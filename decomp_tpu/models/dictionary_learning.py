@@ -1,0 +1,250 @@
+"""Dictionary learning: alternating sparse coding + dictionary updates.
+
+Capability parity target: reference ``decomp/dictionary_learning.py``
+(SURVEY.md §2a row 4, §3.3): minimise over (x, d)
+
+    0.5 * ||mask * (y - x @ d)||^2 + alpha * ||x||_1,   ||d_k||_2 = 1
+
+by alternating (i) a lasso sparse-coding step reusing the lasso kernels and
+(ii) a dictionary update with unit-norm atom renormalisation; plus a
+minibatch/online (Mairal-style) variant and masked variants.
+
+TPU-native design: the outer alternation is one jitted ``lax.while_loop``;
+the inner lasso runs a fixed-budget ``lasso_iter`` while-loop (warm-started
+from the previous outer iterate, so few inner steps suffice); the dictionary
+update is block coordinate descent over atoms from the Gram sufficient
+statistics A = x^H x (K,K) and B = x^H y (K,N) — the Gram matmuls dominate
+and run on the MXU, the K-step BCD loop is O(K^2 N) vector work.
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from decomp_tpu.models import lasso as _lasso
+from decomp_tpu.ops.loop import run_iterations
+from decomp_tpu.ops.spectral import spectral_norm_psd
+from decomp_tpu.utils import assertion
+from decomp_tpu.utils.dtypes import real_dtype
+from decomp_tpu.utils.exceptions import DecompError
+from decomp_tpu.utils.normalize import l2_norm, l2_normalize
+from decomp_tpu.utils.result import DictionaryLearningResult
+
+
+def solve(
+    y,
+    d,
+    alpha,
+    x=None,
+    *,
+    tol=1e-4,
+    maxiter: int = 100,
+    lasso_method: str = "fista",
+    lasso_iter: int = 10,
+    lasso_tol=1e-6,
+    mask=None,
+    minibatch: Optional[int] = None,
+    forget: float = 0.9,
+    random_seed: int = 0,
+    record_objective: bool = False,
+    precision: str = "highest",
+) -> DictionaryLearningResult:
+    """Learn a unit-atom dictionary ``d`` and sparse codes ``x`` for ``y``.
+
+    Parameters
+    ----------
+    y : (n_samples, n_channels), real or complex.
+    d : (n_atoms, n_channels) initial dictionary (required; rows are
+        renormalised to unit L2 norm before iterating).
+    alpha : nonnegative sparse-coding weight (scalar).
+    x : optional warm-start codes (n_samples, n_atoms).
+    tol : stop when the relative change of ``d`` drops below this.
+    lasso_method / lasso_iter / lasso_tol : inner sparse-coding controls
+        (any non-'cd' method of ``decomp_tpu.lasso``).
+    mask : (n_samples, n_channels) 1/0 observedness mask.
+    minibatch : if set, online variant: each outer iteration sparse-codes a
+        random row batch and updates ``d`` from exponentially smoothed
+        sufficient statistics (decay ``forget``).
+    record_objective : record the full-data objective each outer iteration.
+
+    Returns
+    -------
+    DictionaryLearningResult(x, d, niter, converged, objective)
+    """
+    y = jnp.asarray(y)
+    assertion.assert_inexact("y", y)
+    assertion.assert_ndim("y", y, 2)
+    d = jnp.asarray(d)
+    assertion.assert_ndim("d", d, 2)
+    assertion.assert_axis_size("d", d, 1, y.shape[1], "n_channels")
+    dtype = jnp.result_type(y.dtype, d.dtype)
+    y = y.astype(dtype)
+    d = d.astype(dtype)
+    n_samples, _ = y.shape
+    n_atoms = d.shape[0]
+    if x is not None:
+        x = jnp.asarray(x, dtype)
+        assertion.assert_ndim("x", x, 2)
+        assertion.assert_axis_size("x", x, 0, n_samples, "n_samples")
+        assertion.assert_axis_size("x", x, 1, n_atoms, "n_atoms")
+    if mask is not None:
+        assertion.assert_same_shape("mask", mask, "y", y)
+        mask = jnp.asarray(mask, real_dtype(dtype))
+    if minibatch is not None:
+        minibatch = int(minibatch)
+        if not 0 < minibatch <= n_samples:
+            raise DecompError(
+                f"minibatch must be in [1, n_samples={n_samples}], got {minibatch}"
+            )
+    if lasso_method == "cd":
+        raise DecompError("lasso_method 'cd' is not supported inside "
+                          "dictionary learning; use 'fista'/'parallel_cd'")
+    assertion.assert_nonnegative("alpha", alpha)
+
+    rdt = real_dtype(dtype)
+    # 'highest' matmul precision: TPU's default bf16 MXU passes put a ~1e-3
+    # noise floor under iterative convergence (see nmf.solve for details).
+    with jax.default_matmul_precision(precision):
+        return _solve(
+            y, d, x, mask,
+            jnp.asarray(alpha, rdt), jnp.asarray(tol, rdt),
+            jnp.asarray(lasso_tol, rdt), jnp.asarray(forget, rdt),
+            jnp.asarray(random_seed, jnp.uint32),
+            maxiter=int(maxiter), lasso_method=lasso_method,
+            lasso_iter=int(lasso_iter), minibatch=minibatch,
+            record_objective=bool(record_objective),
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("maxiter", "lasso_method", "lasso_iter", "minibatch",
+                     "record_objective"),
+)
+def _solve(y, d, x, mask, alpha, tol, lasso_tol, forget, seed, *, maxiter,
+           lasso_method, lasso_iter, minibatch, record_objective):
+    dtype = y.dtype
+    rdt = real_dtype(dtype)
+    tiny = jnp.asarray(jnp.finfo(rdt).tiny, rdt)
+    d = l2_normalize(d, axis=1)
+    if x is None:
+        x = jnp.zeros((y.shape[0], d.shape[0]), dtype)
+    my = y if mask is None else mask * y
+
+    def sparse_code(y_, d_, x_, mask_):
+        res = _lasso._solve(
+            y_, d_, alpha, x_, mask_, None, lasso_tol,
+            method=lasso_method, maxiter=lasso_iter, record_objective=False,
+        )
+        return res.x
+
+    def objective(x_, d_):
+        recon = x_ @ d_
+        resid = (my - recon) if mask is None else (my - mask * recon)
+        data = 0.5 * jnp.sum(jnp.real(resid * jnp.conj(resid)))
+        return data + jnp.sum(alpha * jnp.abs(x_))
+
+    def diff_fn(old, new):
+        d_old, d_new = old[1], new[1]
+        return l2_norm(d_new - d_old) / jnp.maximum(l2_norm(d_old), tiny)
+
+    if minibatch is None:
+        if mask is None:
+            def update_d(x_, d_, _y_sel, _mask_sel):
+                stats_a = x_.conj().T @ x_
+                stats_b = x_.conj().T @ my
+                return _bcd_dict_update(stats_a, stats_b, d_)
+        else:
+            def update_d(x_, d_, _y_sel, _mask_sel):
+                return _masked_grad_dict_update(my, x_, d_, mask)
+
+        def step(state, it):
+            del it
+            x_, d_ = state
+            x_ = sparse_code(y, d_, x_, mask)
+            d_ = update_d(x_, d_, None, None)
+            return (x_, d_)
+
+        init = (x, d)
+    else:
+        base_key = jax.random.PRNGKey(seed)
+
+        def step(state, it):
+            x_, d_, acc_a, acc_b = state
+            k = jax.random.fold_in(base_key, it)
+            idx = jax.random.randint(k, (minibatch,), 0, y.shape[0])
+            yb = jnp.take(y, idx, axis=0)
+            mb = None if mask is None else jnp.take(mask, idx, axis=0)
+            xb = sparse_code(yb, d_, jnp.take(x_, idx, axis=0), mb)
+            x_ = x_.at[idx].set(xb)
+            f = forget
+            myb = yb if mb is None else mb * yb
+            if mask is None:
+                acc_a = f * acc_a + xb.conj().T @ xb
+                acc_b = f * acc_b + xb.conj().T @ myb
+                d_ = _bcd_dict_update(acc_a, acc_b, d_)
+            else:
+                # Masked statistics cannot be folded into (A, B): take a
+                # projected-gradient step on the batch instead.
+                d_ = _masked_grad_dict_update(myb, xb, d_, mb)
+                acc_a = f * acc_a  # kept for pytree-shape stability
+                acc_b = f * acc_b
+            return (x_, d_, acc_a, acc_b)
+
+        k_atoms = d.shape[0]
+        init = (x, d,
+                jnp.zeros((k_atoms, k_atoms), dtype),
+                jnp.zeros((k_atoms, y.shape[1]), dtype))
+
+    res = run_iterations(
+        step, init, tol=tol, maxiter=maxiter, diff_fn=diff_fn,
+        objective_fn=lambda s: objective(s[0], s[1]),
+        record_objective=record_objective,
+    )
+    return DictionaryLearningResult(
+        x=res.state[0], d=res.state[1], niter=res.niter,
+        converged=res.converged, objective=res.objective,
+    )
+
+
+def _bcd_dict_update(stats_a, stats_b, d):
+    """One block-coordinate-descent pass over atoms (Mairal et al. 2010,
+    Algorithm 2 shape), with exact unit-norm projection per atom.
+
+    Solves rows of  A @ d = B  one atom at a time:
+        u_k = b_k - a_k @ d + a_kk * d_k ;  d_k <- u_k / ||u_k||
+    Dead atoms (||u_k|| ~ 0) keep their previous direction.
+    """
+    rdt = real_dtype(d.dtype)
+    tiny = jnp.asarray(jnp.finfo(rdt).tiny, rdt)
+    n_atoms = d.shape[0]
+
+    def one_atom(k, d_):
+        a_row = jax.lax.dynamic_slice_in_dim(stats_a, k, 1, axis=0)[0]
+        b_row = jax.lax.dynamic_slice_in_dim(stats_b, k, 1, axis=0)[0]
+        d_k = jax.lax.dynamic_slice_in_dim(d_, k, 1, axis=0)[0]
+        a_kk = jnp.real(a_row[k])
+        u = b_row - a_row @ d_ + a_kk.astype(d_.dtype) * d_k
+        norm = l2_norm(u)
+        new_k = jnp.where(norm > tiny, u / jnp.maximum(norm, tiny).astype(rdt),
+                          d_k)
+        return jax.lax.dynamic_update_slice_in_dim(d_, new_k[None, :], k,
+                                                   axis=0)
+
+    return jax.lax.fori_loop(0, n_atoms, one_atom, d)
+
+
+def _masked_grad_dict_update(my, x, d, mask):
+    """Projected-gradient dictionary step for the masked loss, followed by
+    unit-norm renormalisation. Step size 1/lambda_max(x^H x) (a Lipschitz
+    bound that remains valid under masking, which only shrinks curvature).
+    """
+    rdt = real_dtype(d.dtype)
+    gram = x.conj().T @ x
+    lip = jnp.maximum(spectral_norm_psd(gram),
+                      jnp.asarray(jnp.finfo(rdt).tiny, rdt))
+    resid = mask * (x @ d) - my
+    grad = x.conj().T @ resid
+    return l2_normalize(d - grad / lip.astype(d.dtype), axis=1)

@@ -1,0 +1,271 @@
+"""L1-regularised least squares (lasso) solvers.
+
+Capability parity target: reference ``decomp/lasso.py`` (SURVEY.md §2a row 2,
+§3.1): minimise  0.5 * ||y - x @ a||^2 + alpha * ||x||_1  over a batch of row
+problems (each row of ``y`` is an independent problem sharing the dictionary
+``a``), for real and complex dtypes, with an optional missing-value mask.
+
+Methods
+-------
+- 'ista'        proximal gradient with step 1/L, L = lambda_max(a @ a^H)
+- 'fista'       ISTA + Nesterov momentum (Beck & Teboulle)
+- 'acc_ista'    FISTA + adaptive gradient restart (O'Donoghue & Candes) —
+                monotone-safe acceleration
+- 'cd'          cyclic coordinate descent. Exact per-coordinate minimisation;
+                sequential over features, so TPU-hostile — kept as a
+                correctness reference (SURVEY.md §7 M2 note). Unmasked only.
+- 'parallel_cd' all-coordinates-at-once CD: a diagonally preconditioned
+                proximal step in the metric diag(gram)/theta with
+                theta = 1/lambda_max(D^-1/2 gram D^-1/2), which is the
+                TPU-friendly (fully vectorised) replacement for sequential
+                CD and provably converges (majorisation argument).
+
+TPU-native design (SURVEY.md §3.5): one jitted ``lax.while_loop`` per solve;
+Gram-form iterations (x @ (a a^H) - y a^H) so the per-iteration hot op is a
+single (n_samples, n_feat) x (n_feat, n_feat) MXU matmul; on-device
+convergence predicate; momentum state carried on device.
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from decomp_tpu.ops.loop import run_iterations
+from decomp_tpu.ops.soft_threshold import soft_threshold
+from decomp_tpu.ops.spectral import spectral_norm_psd
+from decomp_tpu.utils import assertion
+from decomp_tpu.utils.dtypes import real_dtype
+from decomp_tpu.utils.exceptions import DecompError
+from decomp_tpu.utils.normalize import l2_norm
+from decomp_tpu.utils.result import LassoResult
+
+_METHODS = ("ista", "fista", "acc_ista", "cd", "parallel_cd")
+
+
+def solve(
+    y,
+    a,
+    alpha,
+    x=None,
+    *,
+    tol=1e-5,
+    maxiter: int = 1000,
+    method: str = "fista",
+    mask=None,
+    lipschitz=None,
+    record_objective: bool = False,
+    precision: str = "highest",
+) -> LassoResult:
+    """Solve  min_x 0.5*||mask*(y - x@a)||^2 + alpha*||x||_1.
+
+    Parameters
+    ----------
+    y : (n_channels,) or (n_samples, n_channels), real or complex. Each row
+        is an independent problem (the batch axis; SURVEY.md §2a row 2).
+    a : (n_features, n_channels) dictionary, same dtype family as y.
+    alpha : nonnegative regularisation weight; scalar or broadcastable to
+        the solution shape (per-feature / per-sample weights). 'cd'
+        requires a scalar.
+    x : optional warm start, shape (..., n_features).
+    tol : stop when ||x_new - x_old|| / max(||x_new||, tiny) < tol.
+    method : one of 'ista', 'fista', 'acc_ista', 'cd', 'parallel_cd'.
+    mask : broadcastable to y; 1 = observed, 0 = missing. Unsupported for
+        'cd'.
+    lipschitz : optional user-supplied L >= lambda_max(a @ a^H); skips the
+        on-device power-iteration estimate.
+    record_objective : record the objective per iteration (extra matmul).
+
+    Returns
+    -------
+    LassoResult(x, niter, converged, objective). ``x`` has y's leading
+    shape + (n_features,).
+    """
+    if method not in _METHODS:
+        raise DecompError(f"method must be one of {_METHODS}, got {method!r}")
+    y = jnp.asarray(y)
+    a = jnp.asarray(a)
+    assertion.assert_inexact("y", y)
+    assertion.assert_ndim("y", y, (1, 2))
+    assertion.assert_ndim("a", a, 2)
+    squeeze = y.ndim == 1
+    if squeeze:
+        y = y[None, :]
+    assertion.assert_axis_size("a", a, 1, y.shape[1], "n_channels")
+    n_features = a.shape[0]
+
+    dtype = jnp.result_type(y.dtype, a.dtype)
+    y = y.astype(dtype)
+    a = a.astype(dtype)
+    if x is not None:
+        x = jnp.asarray(x, dtype)
+        if squeeze and x.ndim == 1:
+            x = x[None, :]
+        assertion.assert_ndim("x", x, 2)
+        assertion.assert_axis_size("x", x, 0, y.shape[0], "n_samples")
+        assertion.assert_axis_size("x", x, 1, n_features, "n_features")
+    if mask is not None:
+        mask = jnp.asarray(mask)
+        if squeeze and mask.ndim == 1:
+            mask = mask[None, :]
+        assertion.assert_same_shape("mask", mask, "y", y)
+        mask = mask.astype(real_dtype(dtype))
+        if method == "cd":
+            raise DecompError("method 'cd' does not support mask; use "
+                              "'parallel_cd' or 'fista'")
+
+    rdt = real_dtype(dtype)
+    assertion.assert_nonnegative("alpha", alpha)
+    alpha = jnp.asarray(alpha, rdt)
+    if method == "cd" and alpha.ndim != 0:
+        raise DecompError("method 'cd' requires a scalar alpha")
+    lip = None if lipschitz is None else jnp.asarray(lipschitz, rdt)
+
+    # 'highest' matmul precision: TPU's default bf16 MXU passes put a ~1e-3
+    # noise floor under iterative convergence (see nmf.solve for details).
+    with jax.default_matmul_precision(precision):
+        res = _solve(
+            y, a, alpha, x, mask, lip, jnp.asarray(tol, rdt),
+            method=method, maxiter=int(maxiter),
+            record_objective=bool(record_objective),
+        )
+    if squeeze:
+        res = res._replace(x=res.x[0])
+    return res
+
+
+@functools.partial(
+    jax.jit, static_argnames=("method", "maxiter", "record_objective")
+)
+def _solve(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
+           record_objective):
+    dtype = y.dtype
+    rdt = real_dtype(dtype)
+    ah = a.conj().T
+    gram = a @ ah                        # (n_feat, n_feat), Hermitian PSD
+    my = y if mask is None else mask * y
+    yah = my @ ah                        # (n_samples, n_feat)
+
+    if x is None:
+        x = jnp.zeros((y.shape[0], a.shape[0]), dtype)
+
+    if mask is None:
+        def grad(x_):
+            return x_ @ gram - yah
+    else:
+        def grad(x_):
+            return (mask * (x_ @ a) - my) @ ah
+
+    def objective(x_):
+        resid = (my - x_ @ a) if mask is None else (my - mask * (x_ @ a))
+        data = 0.5 * jnp.sum(jnp.real(resid * jnp.conj(resid)))
+        return data + jnp.sum(alpha * jnp.abs(x_))
+
+    tiny = jnp.asarray(jnp.finfo(rdt).tiny, rdt)
+
+    def rel_change(x_old, x_new):
+        return l2_norm(x_new - x_old) / jnp.maximum(l2_norm(x_new), tiny)
+
+    if method in ("ista", "fista", "acc_ista"):
+        lip_ = spectral_norm_psd(gram) if lipschitz is None else lipschitz
+        inv_l = (1.0 / lip_).astype(rdt)
+        thresh = alpha * inv_l
+
+        if method == "ista":
+            def step(state, it):
+                del it
+                (x_,) = state
+                return (soft_threshold(x_ - inv_l * grad(x_), thresh),)
+
+            init = (x,)
+        else:
+            restart = method == "acc_ista"
+
+            def step(state, it):
+                del it
+                x_, z, t = state
+                x_new = soft_threshold(z - inv_l * grad(z), thresh)
+                t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+                z_new = x_new + ((t - 1.0) / t_new).astype(rdt) * (x_new - x_)
+                if restart:
+                    # Gradient restart (O'Donoghue & Candes 2015): if the
+                    # momentum direction opposes the last proximal step,
+                    # reset the momentum.
+                    do = jnp.real(jnp.vdot(z - x_new, x_new - x_)) > 0
+                    t_new = jnp.where(do, jnp.asarray(1.0, rdt), t_new)
+                    z_new = jnp.where(do, x_new, z_new)
+                return (x_new, z_new, t_new)
+
+            init = (x, x, jnp.asarray(1.0, rdt))
+
+        def diff_fn(old, new):
+            return rel_change(old[0], new[0])
+
+        def obj_fn(state):
+            return objective(state[0])
+
+    elif method == "parallel_cd":
+        diag = jnp.real(jnp.diagonal(gram))
+        diag = jnp.maximum(diag, tiny)
+        # theta = 1 / lambda_max(D^-1/2 gram D^-1/2): largest step for which
+        # the diagonal metric D/theta majorises the quadratic, so the
+        # simultaneous per-coordinate prox step converges.
+        scale = 1.0 / jnp.sqrt(diag)
+        ngram = (scale[:, None] * gram * scale[None, :]).astype(gram.dtype)
+        theta = (1.0 / spectral_norm_psd(ngram)).astype(rdt)
+        inv_diag = (theta / diag).astype(rdt)
+
+        def step(state, it):
+            del it
+            (x_,) = state
+            return (soft_threshold(x_ - inv_diag * grad(x_),
+                                   alpha * inv_diag),)
+
+        init = (x,)
+
+        def diff_fn(old, new):
+            return rel_change(old[0], new[0])
+
+        def obj_fn(state):
+            return objective(state[0])
+
+    elif method == "cd":
+        diag = jnp.maximum(jnp.real(jnp.diagonal(gram)), tiny)
+        n_feat = a.shape[0]
+
+        def sweep(state, it):
+            del it
+            x_, c = state  # c = x @ gram, maintained by rank-1 updates
+
+            def one_coord(j, carry):
+                x_c, c_c = carry
+                g_row = jax.lax.dynamic_slice_in_dim(gram, j, 1, axis=0)[0]
+                g_jj = diag[j]
+                r = yah[:, j] - c_c[:, j] + x_c[:, j] * g_jj.astype(dtype)
+                xj = soft_threshold(r, alpha) / g_jj.astype(dtype)
+                delta = xj - x_c[:, j]
+                c_c = c_c + delta[:, None] * g_row[None, :]
+                x_c = x_c.at[:, j].set(xj)
+                return (x_c, c_c)
+
+            return jax.lax.fori_loop(0, n_feat, one_coord, (x_, c))
+
+        init = (x, x @ gram)
+
+        def diff_fn(old, new):
+            return rel_change(old[0], new[0])
+
+        def obj_fn(state):
+            return objective(state[0])
+
+        step = sweep
+    else:  # pragma: no cover - guarded in solve()
+        raise AssertionError(method)
+
+    res = run_iterations(
+        step, init, tol=tol, maxiter=maxiter, diff_fn=diff_fn,
+        objective_fn=obj_fn, record_objective=record_objective,
+    )
+    return LassoResult(x=res.state[0], niter=res.niter,
+                       converged=res.converged, objective=res.objective)

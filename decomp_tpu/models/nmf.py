@@ -1,0 +1,239 @@
+"""Non-negative matrix factorisation via multiplicative updates.
+
+Capability parity target: reference ``decomp/nmf.py`` (SURVEY.md §2a row 3,
+§3.2): y ≈ x @ d with x >= 0, d >= 0; Lee-Seung multiplicative updates for
+the L2 loss; masked (missing-value) variant; minibatch/online variant for
+matrices too large for a full-batch pass.
+
+TPU-native design (SURVEY.md §3.5): the whole solve is one jitted
+``lax.while_loop`` — per-iteration hot ops are the Gram-form matmuls
+``y @ d.T``, ``d @ d.T``, ``x.T @ y``, ``x.T @ x`` which map straight onto
+the MXU; the convergence predicate (relative change of ``d``) runs on
+device, so there is no host sync inside the loop.
+
+Update rules (L2 loss; SURVEY.md §3.2):
+    x <- x * (y @ d.T) / (x @ (d @ d.T) + eps)
+    d <- d * (x.T @ y) / ((x.T @ x) @ d + eps)
+Masked variant (mask==1 observed, 0 missing): every occurrence of ``y``
+becomes ``mask * y`` and every reconstruction ``x @ d`` becomes
+``mask * (x @ d)`` inside the numerators/denominators.
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from decomp_tpu.ops.loop import run_iterations
+from decomp_tpu.utils import assertion
+from decomp_tpu.utils.dtypes import real_dtype
+from decomp_tpu.utils.exceptions import DecompError
+from decomp_tpu.utils.normalize import l2_norm
+from decomp_tpu.utils.result import NMFResult
+
+_METHODS = ("mu",)
+
+
+def solve(
+    y,
+    d=None,
+    *,
+    rank: Optional[int] = None,
+    x=None,
+    tol=1e-4,
+    maxiter: int = 1000,
+    method: str = "mu",
+    mask=None,
+    minibatch: Optional[int] = None,
+    inner_iter: int = 1,
+    forget: float = 0.9,
+    random_seed: int = 0,
+    eps: float = 1e-15,
+    record_objective: bool = False,
+    precision: str = "highest",
+) -> NMFResult:
+    """Factorise ``y ≈ x @ d`` with nonnegative factors.
+
+    Parameters
+    ----------
+    y : (n_samples, n_channels) real array. Missing entries may hold any
+        finite value if ``mask`` marks them 0.
+    d : (rank, n_channels) initial dictionary (optional; warm start /
+        resume — the checkpoint API per SURVEY.md §5). One of ``d`` or
+        ``rank`` is required.
+    rank : target rank for random initialisation when ``d`` is None.
+    x : (n_samples, rank) initial activations (optional warm start).
+    tol : relative change of ``d`` below which iteration stops (0 = run
+        all ``maxiter`` iterations).
+    method : 'mu' (Lee-Seung multiplicative updates, L2 loss).
+    mask : (n_samples, n_channels) 1/0 or bool array; 1 = observed.
+    minibatch : if set, use the online/minibatch variant: each iteration
+        samples ``minibatch`` rows, refreshes their activations with
+        ``inner_iter`` MU steps, and updates ``d`` from exponentially
+        smoothed sufficient statistics (decay ``forget``).
+    random_seed : seed for factor init and minibatch sampling.
+    eps : additive denominator guard of the multiplicative updates.
+    record_objective : record 0.5*||mask*(y - x@d)||^2 per iteration
+        (costs one extra reconstruction per iteration).
+
+    Returns
+    -------
+    NMFResult(x, d, niter, converged, objective)
+    """
+    if method not in _METHODS:
+        raise DecompError(f"method must be one of {_METHODS}, got {method!r}")
+    assertion.assert_ndim("y", y, 2)
+    assertion.assert_inexact("y", y)
+    assertion.assert_real("y", jnp.asarray(y))
+    y = jnp.asarray(y)
+    n_samples, n_channels = y.shape
+
+    if d is None and rank is None:
+        raise DecompError("provide an initial dictionary `d` or a `rank`")
+    if d is not None:
+        d = jnp.asarray(d, y.dtype)
+        assertion.assert_ndim("d", d, 2)
+        assertion.assert_axis_size("d", d, 1, n_channels, "n_channels")
+        if rank is not None and d.shape[0] != rank:
+            raise DecompError(
+                f"rank={rank} inconsistent with d.shape[0]={d.shape[0]}"
+            )
+        rank = d.shape[0]
+    if x is not None:
+        x = jnp.asarray(x, y.dtype)
+        assertion.assert_ndim("x", x, 2)
+        assertion.assert_axis_size("x", x, 0, n_samples, "n_samples")
+        assertion.assert_axis_size("x", x, 1, rank, "rank")
+    if mask is not None:
+        assertion.assert_same_shape("mask", mask, "y", y)
+        mask = jnp.asarray(mask, y.dtype)
+    if minibatch is not None:
+        minibatch = int(minibatch)
+        if not 0 < minibatch <= n_samples:
+            raise DecompError(
+                f"minibatch must be in [1, n_samples={n_samples}], got {minibatch}"
+            )
+
+    seed = jnp.asarray(random_seed, jnp.uint32)
+    # TPU f32 matmuls default to fast bfloat16 MXU passes, which injects
+    # ~1e-3 relative noise per iteration and puts a floor under the
+    # convergence of iterative solvers (SURVEY.md §7 hard part 2). Default
+    # to 'highest' (f32-accurate passes); benchmarks that feed bf16 data or
+    # accept the fast path can pass precision='default'.
+    with jax.default_matmul_precision(precision):
+        return _solve(
+            y, d, x, mask, seed,
+            jnp.asarray(tol), jnp.asarray(eps), jnp.asarray(forget),
+            rank=rank, maxiter=int(maxiter), minibatch=minibatch,
+            inner_iter=int(inner_iter),
+            record_objective=bool(record_objective),
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rank", "maxiter", "minibatch", "inner_iter",
+                     "record_objective"),
+)
+def _solve(y, d, x, mask, seed, tol, eps, forget, *, rank, maxiter,
+           minibatch, inner_iter, record_objective):
+    rdt = real_dtype(y.dtype)
+    eps = eps.astype(rdt)
+    key = jax.random.PRNGKey(seed)
+    my = y if mask is None else mask * y
+    # Init scale from the observed (masked) data, so junk values at missing
+    # entries cannot blow up the starting point.
+    d, x = _init_factors(key, my, d, x, rank)
+
+    def objective(state):
+        x_, d_ = state[0], state[1]
+        recon = x_ @ d_
+        resid = (my - recon) if mask is None else (my - mask * recon)
+        return 0.5 * jnp.sum(resid * resid)
+
+    def diff_fn(old, new):
+        d_old, d_new = old[1], new[1]
+        num = l2_norm(d_new - d_old)
+        den = jnp.maximum(l2_norm(d_old), jnp.asarray(jnp.finfo(rdt).tiny, rdt))
+        return num / den
+
+    if minibatch is None:
+        def step(state, it):
+            del it
+            x_, d_ = state
+            x_ = _update_x(my, x_, d_, mask, eps)
+            d_ = _update_d(my, x_, d_, mask, eps)
+            return (x_, d_)
+
+        init = (x, d)
+    else:
+        # Online variant: exponentially smoothed K x n_channels sufficient
+        # statistics (numerator acc_num = sum x_b.T @ (mask*y_b), denominator
+        # acc_den = sum x_b.T @ (mask*(x_b @ d))) drive the d update. For the
+        # unmasked case acc_den equals (x_b.T @ x_b) @ d, i.e. the classic
+        # Gram-statistic online NMF (SURVEY.md §3.2 "minibatch variant").
+        base_key = jax.random.fold_in(key, 1)
+
+        def step(state, it):
+            x_, d_, acc_num, acc_den = state
+            k = jax.random.fold_in(base_key, it)
+            idx = jax.random.randint(k, (minibatch,), 0, y.shape[0])
+            yb = jnp.take(my, idx, axis=0)
+            mb = None if mask is None else jnp.take(mask, idx, axis=0)
+            xb = jnp.take(x_, idx, axis=0)
+            for _ in range(inner_iter):
+                xb = _update_x(yb, xb, d_, mb, eps)
+            x_ = x_.at[idx].set(xb)
+            f = forget.astype(rdt)
+            recon = xb @ d_ if mb is None else mb * (xb @ d_)
+            acc_num = f * acc_num + xb.T @ yb
+            acc_den = f * acc_den + xb.T @ recon
+            d_ = d_ * acc_num / (acc_den + eps)
+            return (x_, d_, acc_num, acc_den)
+
+        zeros = jnp.zeros_like(d)
+        init = (x, d, zeros, zeros)
+
+    res = run_iterations(
+        step, init, tol=tol, maxiter=maxiter, diff_fn=diff_fn,
+        objective_fn=objective, record_objective=record_objective,
+    )
+    x_fin, d_fin = res.state[0], res.state[1]
+    return NMFResult(x=x_fin, d=d_fin, niter=res.niter,
+                     converged=res.converged, objective=res.objective)
+
+
+def _update_x(my, x, d, mask, eps):
+    """One multiplicative x update. ``my`` is the (pre-masked) data."""
+    if mask is None:
+        num = my @ d.T
+        den = x @ (d @ d.T)
+    else:
+        num = my @ d.T
+        den = (mask * (x @ d)) @ d.T
+    return x * num / (den + eps)
+
+
+def _update_d(my, x, d, mask, eps):
+    """One multiplicative d update. ``my`` is the (pre-masked) data."""
+    if mask is None:
+        num = x.T @ my
+        den = (x.T @ x) @ d
+    else:
+        num = x.T @ my
+        den = x.T @ (mask * (x @ d))
+    return d * num / (den + eps)
+
+
+def _init_factors(key, y, d, x, rank):
+    """Random nonnegative init scaled so x @ d matches y's magnitude."""
+    rdt = real_dtype(y.dtype)
+    kd, kx = jax.random.split(key)
+    mean_y = jnp.maximum(jnp.mean(y), jnp.asarray(jnp.finfo(rdt).tiny, rdt))
+    scale = jnp.sqrt(2.0 * mean_y / rank).astype(y.dtype)
+    if d is None:
+        d = scale * jax.random.uniform(kd, (rank, y.shape[1]), dtype=y.dtype)
+    if x is None:
+        x = scale * jax.random.uniform(kx, (y.shape[0], rank), dtype=y.dtype)
+    return d, x

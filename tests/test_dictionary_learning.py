@@ -1,0 +1,102 @@
+"""Dictionary-learning tests (SURVEY.md §4): trajectory parity vs the NumPy
+reference, objective decrease, unit-norm atoms, masked and minibatch and
+complex variants."""
+
+import numpy as np
+import pytest
+
+import decomp_tpu
+import reference_impl as ref
+from problems import planted_patches, random_mask, rel_err
+
+ALPHA = 0.05
+
+
+def _perturbed_init(d_true, seed, scale=0.3):
+    rng = np.random.default_rng(seed)
+    noise = rng.normal(size=d_true.shape)
+    if np.iscomplexobj(d_true):
+        noise = noise + 1j * rng.normal(size=d_true.shape)
+    d0 = d_true + scale * noise
+    return d0 / np.sqrt(np.sum(np.abs(d0) ** 2, axis=1, keepdims=True))
+
+
+@pytest.mark.parametrize("complex_", [False, True])
+def test_trajectory_parity(complex_):
+    y, d_true, _ = planted_patches(seed=1, complex_=complex_)
+    d0 = _perturbed_init(d_true, 2)
+    x_ref, d_ref, it_ref, _, _ = ref.dictionary_learning(
+        y, d0, ALPHA, tol=0.0, maxiter=15, lasso_iter=8)
+    res = decomp_tpu.dictionary_learning.solve(
+        y, d0, ALPHA, tol=0.0, maxiter=15, lasso_iter=8)
+    assert int(res.niter) == it_ref == 15
+    assert rel_err(res.d, d_ref) < 1e-8
+    assert rel_err(res.x, x_ref) < 1e-8
+
+
+def test_masked_trajectory_parity():
+    y, d_true, _ = planted_patches(seed=3)
+    mask = random_mask(4, y.shape)
+    d0 = _perturbed_init(d_true, 5)
+    x_ref, d_ref, _, _, _ = ref.dictionary_learning(
+        y * mask, d0, ALPHA, tol=0.0, maxiter=10, lasso_iter=8, mask=mask)
+    res = decomp_tpu.dictionary_learning.solve(
+        y * mask, d0, ALPHA, tol=0.0, maxiter=10, lasso_iter=8, mask=mask)
+    assert rel_err(res.d, d_ref) < 1e-8
+    assert rel_err(res.x, x_ref) < 1e-8
+
+
+def test_atoms_unit_norm_and_objective_decreases():
+    y, d_true, _ = planted_patches(seed=6)
+    d0 = _perturbed_init(d_true, 7)
+    res = decomp_tpu.dictionary_learning.solve(
+        y, d0, ALPHA, tol=0.0, maxiter=30, lasso_iter=10,
+        record_objective=True)
+    norms = np.sqrt(np.sum(np.asarray(res.d) ** 2, axis=1))
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-10)
+    objs = np.asarray(res.objective)
+    assert objs[-1] < objs[0]
+    recon = np.asarray(res.x) @ np.asarray(res.d)
+    assert rel_err(recon, y) < 0.1
+
+
+def test_convergence_flag():
+    y, d_true, _ = planted_patches(seed=8, noise=0.0)
+    d0 = _perturbed_init(d_true, 9, scale=0.05)
+    res = decomp_tpu.dictionary_learning.solve(
+        y, d0, 1e-3, tol=1e-8, maxiter=500, lasso_iter=20)
+    assert bool(res.converged)
+    assert int(res.niter) < 500
+
+
+def test_minibatch_improves_objective():
+    y, d_true, _ = planted_patches(seed=10, n_samples=400)
+    d0 = _perturbed_init(d_true, 11)
+    res = decomp_tpu.dictionary_learning.solve(
+        y, d0, ALPHA, tol=0.0, maxiter=200, lasso_iter=8, minibatch=64,
+        random_seed=12, record_objective=True)
+    objs = np.asarray(res.objective)
+    # x rows not visited recently lag, so compare full objective start/end
+    assert objs[-1] < 0.5 * objs[0]
+    norms = np.sqrt(np.sum(np.asarray(res.d) ** 2, axis=1))
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-10)
+
+
+def test_masked_minibatch_runs():
+    y, d_true, _ = planted_patches(seed=13, n_samples=300)
+    mask = random_mask(14, y.shape)
+    d0 = _perturbed_init(d_true, 15)
+    res = decomp_tpu.dictionary_learning.solve(
+        y * mask, d0, ALPHA, tol=0.0, maxiter=150, lasso_iter=6,
+        minibatch=48, mask=mask, random_seed=16, record_objective=True)
+    objs = np.asarray(res.objective)
+    assert objs[-1] < objs[0]
+
+
+def test_validation_errors():
+    y, d_true, _ = planted_patches(seed=17)
+    with pytest.raises(decomp_tpu.utils.ShapeError):
+        decomp_tpu.dictionary_learning.solve(y, d_true.T, ALPHA)
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.dictionary_learning.solve(y, d_true, ALPHA,
+                                             lasso_method="cd")

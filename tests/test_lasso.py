@@ -1,0 +1,149 @@
+"""Lasso tests (SURVEY.md §4): trajectory parity vs the NumPy reference per
+method x dtype x mask (the reference's main coverage axis), cross-method
+consistency on the convex problem, KKT optimality, batching/vmap."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import decomp_tpu
+import reference_impl as ref
+from problems import planted_lasso, random_mask, rel_err
+
+ALPHA = 0.05
+
+
+@pytest.mark.parametrize("method", ["ista", "fista", "acc_ista", "cd"])
+@pytest.mark.parametrize("complex_", [False, True])
+def test_trajectory_parity(method, complex_):
+    y, a, _ = planted_lasso(seed=1, complex_=complex_)
+    x_ref, it_ref, conv_ref, _ = ref.lasso(
+        y, a, ALPHA, tol=0.0, maxiter=40, method=method)
+    res = decomp_tpu.lasso.solve(y, a, ALPHA, tol=0.0, maxiter=40,
+                                 method=method)
+    assert int(res.niter) == it_ref == 40
+    assert rel_err(res.x, x_ref) < 1e-9
+
+
+@pytest.mark.parametrize("method", ["ista", "fista", "acc_ista"])
+def test_masked_trajectory_parity(method):
+    y, a, _ = planted_lasso(seed=2)
+    mask = random_mask(3, y.shape)
+    x_ref, _, _, _ = ref.lasso(y * mask, a, ALPHA, tol=0.0, maxiter=40,
+                               method=method, mask=mask)
+    res = decomp_tpu.lasso.solve(y * mask, a, ALPHA, tol=0.0, maxiter=40,
+                                 method=method, mask=mask)
+    assert rel_err(res.x, x_ref) < 1e-9
+
+
+@pytest.mark.parametrize("complex_", [False, True])
+def test_cross_method_consistency(complex_):
+    """Different methods on the same convex problem agree (SURVEY.md §4
+    'a free oracle')."""
+    y, a, _ = planted_lasso(seed=4, complex_=complex_)
+    sols = {}
+    for method in ["ista", "fista", "acc_ista", "cd", "parallel_cd"]:
+        res = decomp_tpu.lasso.solve(y, a, ALPHA, tol=1e-12, maxiter=20000,
+                                     method=method)
+        assert bool(res.converged), method
+        sols[method] = np.asarray(res.x)
+    base = sols["cd"]
+    for method, x in sols.items():
+        assert rel_err(x, base) < 1e-4, method
+
+
+def test_kkt_optimality():
+    y, a, _ = planted_lasso(seed=5)
+    res = decomp_tpu.lasso.solve(y, a, ALPHA, tol=1e-14, maxiter=50000,
+                                 method="fista")
+    x = np.asarray(res.x)
+    grad = (x @ a - y) @ a.conj().T
+    # where x != 0: grad = -alpha * sign(x); where x == 0: |grad| <= alpha
+    nz = np.abs(x) > 1e-10
+    np.testing.assert_allclose(grad[nz], -ALPHA * np.sign(x[nz]), atol=1e-6)
+    assert np.all(np.abs(grad[~nz]) <= ALPHA + 1e-6)
+
+
+def test_sparse_recovery():
+    y, a, x_true = planted_lasso(seed=6, n_samples=4, n_features=32,
+                                 n_channels=64, density=0.1, noise=1e-4)
+    res = decomp_tpu.lasso.solve(y, a, 1e-3, tol=1e-12, maxiter=20000,
+                                 method="fista")
+    x = np.asarray(res.x)
+    # support recovery: the large true coefficients are found
+    big = np.abs(x_true) > 0.5
+    assert np.all(np.abs(x[big]) > 0.1)
+    assert rel_err(x, x_true) < 0.1
+
+
+def test_1d_y_squeeze():
+    y, a, _ = planted_lasso(seed=7)
+    res1 = decomp_tpu.lasso.solve(y[0], a, ALPHA, maxiter=30, tol=0.0)
+    res2 = decomp_tpu.lasso.solve(y[:1], a, ALPHA, maxiter=30, tol=0.0)
+    assert res1.x.shape == (a.shape[0],)
+    np.testing.assert_allclose(np.asarray(res1.x), np.asarray(res2.x[0]))
+
+
+def test_warm_start_converges_immediately():
+    y, a, _ = planted_lasso(seed=8)
+    res = decomp_tpu.lasso.solve(y, a, ALPHA, tol=1e-13, maxiter=50000,
+                                 method="fista")
+    res2 = decomp_tpu.lasso.solve(y, a, ALPHA, x=res.x, tol=1e-6,
+                                  maxiter=100, method="ista")
+    assert bool(res2.converged)
+    assert int(res2.niter) <= 3
+
+
+def test_alpha_array_per_feature():
+    y, a, _ = planted_lasso(seed=9)
+    alphas = np.full((a.shape[0],), ALPHA)
+    res_scalar = decomp_tpu.lasso.solve(y, a, ALPHA, maxiter=30, tol=0.0)
+    res_array = decomp_tpu.lasso.solve(y, a, alphas, maxiter=30, tol=0.0)
+    np.testing.assert_allclose(np.asarray(res_scalar.x),
+                               np.asarray(res_array.x))
+
+
+def test_vmap_over_dictionaries():
+    """Batch solves over many independent problems with DIFFERENT
+    dictionaries vmap cleanly (SURVEY.md §2b N4)."""
+    problems = [planted_lasso(seed=s) for s in (10, 11, 12)]
+    ys = jnp.stack([jnp.asarray(p[0]) for p in problems])
+    as_ = jnp.stack([jnp.asarray(p[1]) for p in problems])
+
+    def solve_one(y, a):
+        return decomp_tpu.lasso.solve(y, a, ALPHA, maxiter=30, tol=0.0).x
+
+    batched = jax.vmap(solve_one)(ys, as_)
+    for i, (y, a, _) in enumerate(problems):
+        single = decomp_tpu.lasso.solve(y, a, ALPHA, maxiter=30, tol=0.0).x
+        np.testing.assert_allclose(np.asarray(batched[i]),
+                                   np.asarray(single), rtol=1e-10, atol=1e-12)
+
+
+def test_objective_recording_matches_reference():
+    y, a, _ = planted_lasso(seed=13)
+    _, _, _, objs = ref.lasso(y, a, ALPHA, tol=0.0, maxiter=25,
+                              method="fista")
+    res = decomp_tpu.lasso.solve(y, a, ALPHA, tol=0.0, maxiter=25,
+                                 method="fista", record_objective=True)
+    np.testing.assert_allclose(np.asarray(res.objective), np.asarray(objs),
+                               rtol=1e-9)
+
+
+def test_zero_solution_for_huge_alpha():
+    y, a, _ = planted_lasso(seed=14)
+    res = decomp_tpu.lasso.solve(y, a, 1e6, tol=1e-8, maxiter=100)
+    assert bool(res.converged)
+    assert np.allclose(np.asarray(res.x), 0.0)
+
+
+def test_validation_errors():
+    y, a, _ = planted_lasso(seed=15)
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.lasso.solve(y, a, ALPHA, method="nope")
+    with pytest.raises(decomp_tpu.utils.ShapeError):
+        decomp_tpu.lasso.solve(y, a.T, ALPHA)
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.lasso.solve(y, a, ALPHA, method="cd",
+                               mask=np.ones_like(y))

@@ -1,0 +1,116 @@
+"""NMF tests (SURVEY.md §4): float64 trajectory parity vs the NumPy
+reference, planted-problem quality, masked variant, minibatch variant,
+parameter sweeps, validation errors."""
+
+import numpy as np
+import pytest
+
+import decomp_tpu
+import reference_impl as ref
+from problems import planted_nmf, random_mask, rel_err
+
+
+def _init(seed, m, n, k):
+    rng = np.random.default_rng(seed)
+    return (rng.uniform(0.1, 1.0, (m, k)),      # x0
+            rng.uniform(0.1, 1.0, (k, n)))      # d0
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_trajectory_parity_f64(masked):
+    y, *_ = planted_nmf(seed=1)
+    mask = random_mask(2, y.shape) if masked else None
+    x0, d0 = _init(3, y.shape[0], y.shape[1], 5)
+
+    x_ref, d_ref, it_ref, conv_ref, objs = ref.nmf(
+        y, x0, d0, tol=0.0, maxiter=50, mask=mask)
+    res = decomp_tpu.nmf.solve(
+        y, d0, x=x0, tol=0.0, maxiter=50, mask=mask, record_objective=True)
+
+    assert int(res.niter) == it_ref == 50
+    assert not bool(res.converged) and not conv_ref
+    assert rel_err(res.x, x_ref) < 1e-10
+    assert rel_err(res.d, d_ref) < 1e-10
+    np.testing.assert_allclose(
+        np.asarray(res.objective), np.asarray(objs), rtol=1e-9)
+
+
+def test_convergence_and_reconstruction():
+    y, x_true, d_true = planted_nmf(seed=4, noise=0.0)
+    x0, d0 = _init(5, y.shape[0], y.shape[1], 5)
+    res = decomp_tpu.nmf.solve(y, d0, x=x0, tol=1e-6, maxiter=20000,
+                               record_objective=True)
+    assert bool(res.converged)
+    assert int(res.niter) < 20000
+    recon = np.asarray(res.x) @ np.asarray(res.d)
+    assert rel_err(recon, y) < 5e-4
+    # factors stay nonnegative
+    assert np.asarray(res.x).min() >= 0 and np.asarray(res.d).min() >= 0
+    # objective decreases monotonically (MU guarantee for L2 loss)
+    objs = np.asarray(res.objective)[: int(res.niter)]
+    assert np.all(np.diff(objs) <= objs[:-1] * 1e-12 + 1e-12)
+
+
+def test_masked_recovers_missing_entries():
+    y, x_true, d_true = planted_nmf(seed=6, noise=0.0, n_samples=100,
+                                    n_channels=60, rank=4)
+    mask = random_mask(7, y.shape, frac_missing=0.3)
+    x0, d0 = _init(8, y.shape[0], y.shape[1], 4)
+    res = decomp_tpu.nmf.solve(y * mask, d0, x=x0, tol=1e-12, maxiter=8000,
+                               mask=mask)
+    recon = np.asarray(res.x) @ np.asarray(res.d)
+    # reconstruction must be good on the HELD-OUT (missing) entries
+    miss = mask == 0
+    assert rel_err(recon[miss], y[miss]) < 0.05
+
+
+def test_rank_init_runs():
+    y, *_ = planted_nmf(seed=9)
+    res = decomp_tpu.nmf.solve(y, rank=5, tol=1e-6, maxiter=2000,
+                               random_seed=11)
+    recon = np.asarray(res.x) @ np.asarray(res.d)
+    assert rel_err(recon, y) < 0.1
+
+
+def test_minibatch_reduces_objective():
+    y, *_ = planted_nmf(seed=10, n_samples=200, n_channels=50, rank=5)
+    x0, d0 = _init(12, y.shape[0], y.shape[1], 5)
+    obj0 = 0.5 * np.sum((y - x0 @ d0) ** 2)
+    res = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=300,
+                               minibatch=32, inner_iter=3, random_seed=13,
+                               record_objective=True)
+    objs = np.asarray(res.objective)
+    assert objs[-1] < 0.05 * obj0
+
+
+def test_minibatch_masked_runs():
+    y, *_ = planted_nmf(seed=14, n_samples=120, n_channels=30, rank=4)
+    mask = random_mask(15, y.shape)
+    x0, d0 = _init(16, y.shape[0], y.shape[1], 4)
+    obj0 = 0.5 * np.sum((mask * (y - x0 @ d0)) ** 2)
+    res = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=300,
+                               minibatch=24, inner_iter=2, mask=mask,
+                               random_seed=17, record_objective=True)
+    assert float(np.asarray(res.objective)[-1]) < 0.2 * obj0
+
+
+def test_dtype_preserved_f32():
+    y, *_ = planted_nmf(seed=18)
+    x0, d0 = _init(19, y.shape[0], y.shape[1], 5)
+    res = decomp_tpu.nmf.solve(y.astype(np.float32), d0.astype(np.float32),
+                               x=x0.astype(np.float32), maxiter=20, tol=0.0)
+    assert res.x.dtype == np.float32 and res.d.dtype == np.float32
+
+
+def test_validation_errors():
+    y, *_ = planted_nmf(seed=20)
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.nmf.solve(y)  # neither d nor rank
+    with pytest.raises(decomp_tpu.utils.ShapeError):
+        decomp_tpu.nmf.solve(y[0])  # 1D y
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.nmf.solve(y, rank=5, method="nope")
+    with pytest.raises(decomp_tpu.utils.ShapeError):
+        decomp_tpu.nmf.solve(y, rank=5, mask=np.ones((2, 2)))
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.nmf.solve(y, rank=5, minibatch=10**9)
