@@ -1,0 +1,117 @@
+"""Benchmark harness (SURVEY.md §2b N7, §7 M6; BASELINE.json:2).
+
+Measures the primary metric — MU-NMF update iterations/sec and the implied
+matmul GFLOP/s — at the largest single-chip slice of the pod-scale config
+(BASELINE.json:11 is 1M x 10k rank 100 over a v5e-8; one v5e chip holds a
+400k x 10k bf16 row-slice, i.e. exactly this chip's shard of the pod run).
+Rank is padded 100 -> 128 to align with the MXU tile (SURVEY.md §7 hard
+part 1).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+``vs_baseline`` is achieved matmul FLOP/s divided by the target of
+BASELINE.json:5 ("converging at >= 50% of peak matmul FLOPs"), so
+vs_baseline >= 1.0 means the headline target is met.
+
+Flags: --small (CPU-sized shapes for smoke-testing), --profile (emit a
+jax.profiler trace under /tmp/decomp_tpu_trace).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+# v5e peak bf16 matmul throughput (public spec: 197 TFLOP/s bf16).
+PEAK_FLOPS = {"tpu": 197e12, "axon": 197e12}
+
+
+def flops_per_iter(m: int, n: int, k: int) -> float:
+    """FLOPs of one full MU iteration (x update + d update).
+
+    x-update: y@d.T (2MNK) + d@d.T (2NK^2) + x@(dd.T) (2MK^2)
+    d-update: x.T@y (2MNK) + x.T@x (2MK^2) + (x.Tx)@d (2NK^2)
+    """
+    return 4.0 * m * n * k + 4.0 * m * k * k + 4.0 * n * k * k
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--small", action="store_true",
+                        help="tiny shapes (CPU smoke test)")
+    parser.add_argument("--iters", type=int, default=50)
+    parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--profile", action="store_true")
+    args = parser.parse_args()
+
+    dev = jax.devices()[0]
+    platform = dev.platform.lower()
+    on_tpu = platform in PEAK_FLOPS
+
+    if args.small or not on_tpu:
+        m, n, k = 2048, 1024, 128
+    else:
+        m, n, k = 400_000, 10_000, 128
+
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    key = jax.random.PRNGKey(0)
+    ky, kx, kd = jax.random.split(key, 3)
+    y = jax.random.uniform(ky, (m, n), dtype=dtype)
+    x0 = jax.random.uniform(kx, (m, k), dtype=dtype)
+    d0 = jax.random.uniform(kd, (k, n), dtype=dtype)
+
+    from decomp_tpu.models.nmf import _update_d, _update_x
+
+    eps = jnp.asarray(1e-6, jnp.float32).astype(dtype)
+
+    def run(y, x, d):
+        def body(_, xd):
+            x, d = xd
+            with jax.named_scope("mu_x_update"):
+                x = _update_x(y, x, d, None, eps)
+            with jax.named_scope("mu_d_update"):
+                d = _update_d(y, x, d, None, eps)
+            return (x, d)
+
+        return jax.lax.fori_loop(0, args.iters, body, (x, d))
+
+    run_jit = jax.jit(run)
+    # warmup / compile
+    out = run_jit(y, x0, d0)
+    jax.block_until_ready(out)
+
+    def timed():
+        t0 = time.perf_counter()
+        out = run_jit(y, x0, d0)
+        jax.block_until_ready(out)
+        return time.perf_counter() - t0
+
+    if args.profile:
+        with jax.profiler.trace("/tmp/decomp_tpu_trace"):
+            timed()
+
+    best = min(timed() for _ in range(args.repeats))
+    iters_per_sec = args.iters / best
+    flops = flops_per_iter(m, n, k) * iters_per_sec
+    peak = PEAK_FLOPS.get(platform)
+    frac_peak = (flops / peak) if peak else None
+    vs_baseline = (frac_peak / 0.5) if frac_peak is not None else None
+
+    result = {
+        "metric": f"NMF MU iters/sec, {m}x{n} rank-{k} {dtype.__name__}, "
+                  f"single chip ({platform})",
+        "value": round(iters_per_sec, 3),
+        "unit": "iters/sec",
+        "vs_baseline": round(vs_baseline, 4) if vs_baseline else None,
+        "matmul_tflops": round(flops / 1e12, 2),
+        "frac_of_peak": round(frac_peak, 4) if frac_peak else None,
+        "wall_s_per_iter": round(best / args.iters, 6),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

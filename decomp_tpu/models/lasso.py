@@ -135,11 +135,19 @@ def solve(
     return res
 
 
-@functools.partial(
-    jax.jit, static_argnames=("method", "maxiter", "record_objective")
-)
-def _solve(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
-           record_objective):
+def build_solver(y, a, alpha, x, mask, lipschitz, *, method,
+                 reduce_sum=None):
+    """Construct the iteration machinery for one lasso method.
+
+    Returns ``(step, init, diff_fn, obj_fn)`` for ``run_iterations``. All
+    cross-sample scalar reductions (convergence norms, objective, the
+    acc_ista restart inner product) go through ``reduce_sum``, so the same
+    machinery runs single-device (``reduce_sum=None`` -> identity) and
+    row-sharded under ``shard_map`` (``reduce_sum=partial(lax.psum,
+    axis_name=...)``; SURVEY.md §2b N5). ``y``/``x``/``mask`` are then the
+    device-local row blocks while ``a`` is replicated.
+    """
+    red = (lambda s: s) if reduce_sum is None else reduce_sum
     dtype = y.dtype
     rdt = real_dtype(dtype)
     ah = a.conj().T
@@ -157,15 +165,18 @@ def _solve(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
         def grad(x_):
             return (mask * (x_ @ a) - my) @ ah
 
+    def sumsq(v):
+        return red(jnp.sum(jnp.real(v * jnp.conj(v))))
+
     def objective(x_):
         resid = (my - x_ @ a) if mask is None else (my - mask * (x_ @ a))
-        data = 0.5 * jnp.sum(jnp.real(resid * jnp.conj(resid)))
-        return data + jnp.sum(alpha * jnp.abs(x_))
+        return 0.5 * sumsq(resid) + red(jnp.sum(alpha * jnp.abs(x_)))
 
     tiny = jnp.asarray(jnp.finfo(rdt).tiny, rdt)
 
     def rel_change(x_old, x_new):
-        return l2_norm(x_new - x_old) / jnp.maximum(l2_norm(x_new), tiny)
+        return jnp.sqrt(sumsq(x_new - x_old)) / jnp.maximum(
+            jnp.sqrt(sumsq(x_new)), tiny)
 
     if method in ("ista", "fista", "acc_ista"):
         lip_ = spectral_norm_psd(gram) if lipschitz is None else lipschitz
@@ -192,7 +203,7 @@ def _solve(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
                     # Gradient restart (O'Donoghue & Candes 2015): if the
                     # momentum direction opposes the last proximal step,
                     # reset the momentum.
-                    do = jnp.real(jnp.vdot(z - x_new, x_new - x_)) > 0
+                    do = red(jnp.real(jnp.vdot(z - x_new, x_new - x_))) > 0
                     t_new = jnp.where(do, jnp.asarray(1.0, rdt), t_new)
                     z_new = jnp.where(do, x_new, z_new)
                 return (x_new, z_new, t_new)
@@ -263,6 +274,16 @@ def _solve(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
     else:  # pragma: no cover - guarded in solve()
         raise AssertionError(method)
 
+    return step, init, diff_fn, obj_fn
+
+
+@functools.partial(
+    jax.jit, static_argnames=("method", "maxiter", "record_objective")
+)
+def _solve(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
+           record_objective):
+    step, init, diff_fn, obj_fn = build_solver(
+        y, a, alpha, x, mask, lipschitz, method=method)
     res = run_iterations(
         step, init, tol=tol, maxiter=maxiter, diff_fn=diff_fn,
         objective_fn=obj_fn, record_objective=record_objective,

@@ -204,25 +204,43 @@ def _solve(y, d, x, mask, seed, tol, eps, forget, *, rank, maxiter,
                      converged=res.converged, objective=res.objective)
 
 
-def _update_x(my, x, d, mask, eps):
-    """One multiplicative x update. ``my`` is the (pre-masked) data."""
+def _identity(v):
+    return v
+
+
+def _update_x(my, x, d, mask, eps, psum_cols=_identity):
+    """One multiplicative x update. ``my`` is the (pre-masked) data.
+
+    ``psum_cols`` reduces over a column-sharded channel axis: when ``d`` and
+    ``my``/``mask`` hold only a column block, the (n_samples, rank)
+    numerator and the (rank, rank) Gram term are partial sums whose
+    allreduce rides ICI (SURVEY.md §3.5 sharded stack; BASELINE.json:11).
+    Identity on a single device.
+    """
     if mask is None:
-        num = my @ d.T
-        den = x @ (d @ d.T)
+        num = psum_cols(my @ d.T)
+        den = x @ psum_cols(d @ d.T)
     else:
-        num = my @ d.T
-        den = (mask * (x @ d)) @ d.T
+        num = psum_cols(my @ d.T)
+        den = psum_cols((mask * (x @ d)) @ d.T)
     return x * num / (den + eps)
 
 
-def _update_d(my, x, d, mask, eps):
-    """One multiplicative d update. ``my`` is the (pre-masked) data."""
+def _update_d(my, x, d, mask, eps, psum_rows=_identity):
+    """One multiplicative d update. ``my`` is the (pre-masked) data.
+
+    ``psum_rows`` reduces over a row-sharded sample axis: when ``x`` and
+    ``my``/``mask`` hold only a row block, the (rank, n_channels) numerator
+    and the (rank, rank) Gram sufficient statistic are partial sums
+    allreduced over the mesh (the 'ICI allreduce of Gram terms' of
+    BASELINE.json:11). Identity on a single device.
+    """
     if mask is None:
-        num = x.T @ my
-        den = (x.T @ x) @ d
+        num = psum_rows(x.T @ my)
+        den = psum_rows(x.T @ x) @ d
     else:
-        num = x.T @ my
-        den = x.T @ (mask * (x @ d))
+        num = psum_rows(x.T @ my)
+        den = psum_rows(x.T @ (mask * (x @ d)))
     return d * num / (den + eps)
 
 

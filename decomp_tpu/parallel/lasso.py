@@ -1,0 +1,134 @@
+"""Mesh-sharded batch lasso (SURVEY.md §2b N4/N5; BASELINE.json:8 at scale).
+
+Each row of ``y`` is an independent problem sharing the dictionary ``a``
+(SURVEY.md §2a row 2), so the sample axis shards embarrassingly: ``a`` and
+its Gram matrix are replicated, every device iterates on its own row block,
+and the ONLY cross-device traffic is the allreduced scalars of the global
+convergence criterion (and the acc_ista restart inner product) — a few
+bytes per iteration over ICI. Reuses the exact single-device method
+machinery via ``decomp_tpu.models.lasso.build_solver``.
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from decomp_tpu.models import lasso as _lasso
+from decomp_tpu.ops.loop import run_iterations
+from decomp_tpu.utils import assertion
+from decomp_tpu.utils.dtypes import real_dtype
+from decomp_tpu.utils.exceptions import DecompError
+from decomp_tpu.utils.result import LassoResult
+
+
+def solve(
+    y,
+    a,
+    alpha,
+    x=None,
+    *,
+    mesh: Mesh,
+    axis: str = "rows",
+    tol=1e-5,
+    maxiter: int = 1000,
+    method: str = "fista",
+    mask=None,
+    lipschitz=None,
+    record_objective: bool = False,
+    precision: str = "highest",
+) -> LassoResult:
+    """Row-sharded ``decomp_tpu.lasso.solve`` over ``mesh[axis]``.
+
+    Same contract and methods as the single-device solver; ``y`` (and
+    ``mask``/``x``) shard on the sample axis, which must divide the mesh
+    axis size. Results are numerically identical to the single-device
+    solver up to matmul reduction order.
+    """
+    y = jnp.asarray(y)
+    a = jnp.asarray(a)
+    assertion.assert_ndim("y", y, 2)
+    assertion.assert_ndim("a", a, 2)
+    assertion.assert_axis_size("a", a, 1, y.shape[1], "n_channels")
+    if method not in _lasso._METHODS:
+        raise DecompError(
+            f"method must be one of {_lasso._METHODS}, got {method!r}")
+    if method == "cd" and mask is not None:
+        raise DecompError("method 'cd' does not support mask")
+    if axis not in mesh.axis_names:
+        raise DecompError(f"axis {axis!r} not in mesh axes {mesh.axis_names}")
+    n_dev = mesh.shape[axis]
+    if y.shape[0] % n_dev:
+        raise DecompError(
+            f"n_samples={y.shape[0]} not divisible by mesh axis "
+            f"{axis!r} of size {n_dev}")
+
+    dtype = jnp.result_type(y.dtype, a.dtype)
+    y = y.astype(dtype)
+    a = a.astype(dtype)
+    rdt = real_dtype(dtype)
+    assertion.assert_nonnegative("alpha", alpha)
+    alpha = jnp.asarray(alpha, rdt)
+    if x is not None:
+        x = jnp.asarray(x, dtype)
+        assertion.assert_same_shape("x", x, "y[:, :n_feat]",
+                                    jnp.empty((y.shape[0], a.shape[0])))
+    if mask is not None:
+        assertion.assert_same_shape("mask", mask, "y", y)
+        mask = jnp.asarray(mask, rdt)
+    lip = None if lipschitz is None else jnp.asarray(lipschitz, rdt)
+
+    with jax.default_matmul_precision(precision):
+        return _solve_sharded(
+            y, a, alpha, x, mask, lip, jnp.asarray(tol, rdt),
+            method=method, maxiter=int(maxiter), mesh=mesh, axis=axis,
+            record_objective=bool(record_objective),
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("method", "maxiter", "mesh", "axis",
+                     "record_objective"),
+)
+def _solve_sharded(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
+                   mesh, axis, record_objective):
+    row_spec = P(axis, None)
+    # alpha may be scalar, per-feature (n_feat,) -> replicated, or
+    # per-sample 2D -> row-sharded alongside x.
+    alpha_spec = (row_spec if alpha.ndim == 2
+                  else P(None) if alpha.ndim == 1 else P())
+
+    def body(y_l, a_r, alpha_, x_l, mask_l, lip_, tol_):
+        if x_l is None:
+            # A plain zeros init would be device-UNvarying, but the
+            # while_loop carry becomes row-varying after one step and
+            # shard_map requires carry types to be loop-invariant: mark the
+            # init as varying over the row axis up front.
+            x_l = jax.lax.pcast(
+                jnp.zeros((y_l.shape[0], a_r.shape[0]),
+                          jnp.result_type(y_l, a_r)),
+                axis, to="varying")
+        step, init, diff_fn, obj_fn = _lasso.build_solver(
+            y_l, a_r, alpha_, x_l, mask_l, lip_, method=method,
+            reduce_sum=functools.partial(jax.lax.psum, axis_name=axis),
+        )
+        res = run_iterations(
+            step, init, tol=tol_, maxiter=maxiter, diff_fn=diff_fn,
+            objective_fn=obj_fn, record_objective=record_objective,
+        )
+        return res.state[0], res.niter, res.converged, res.objective
+
+    in_specs = (row_spec, P(None, None), alpha_spec,
+                None if x is None else row_spec,
+                None if mask is None else row_spec,
+                None if lipschitz is None else P(),
+                P())
+    out_specs = (row_spec, P(), P(), P())
+    x_g, niter, converged, objective = jax.shard_map(
+        body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+    )(y, a, alpha, x, mask, lipschitz, tol)
+    return LassoResult(x=x_g, niter=niter, converged=converged,
+                       objective=objective)

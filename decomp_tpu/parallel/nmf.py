@@ -1,0 +1,200 @@
+"""Mesh-sharded NMF (BASELINE.json:11, SURVEY.md §2b N5/N6).
+
+Pod-scale factorisation of a tall matrix Y (e.g. 1M x 10k, rank 100): the
+sample (row) axis of Y and X is sharded over the mesh's ``row_axis``, the
+channel (column) axis of Y and D optionally over ``col_axis``. Per
+multiplicative update the only cross-device traffic is the allreduce of the
+Gram sufficient statistics:
+
+    x-update:  psum_cols(Y_loc @ D_loc^T)  (M_loc, K)   and
+               psum_cols(D_loc @ D_loc^T)  (K, K)
+    d-update:  psum_rows(X_loc^T @ Y_loc)  (K, N_loc)   and
+               psum_rows(X_loc^T @ X_loc)  (K, K)
+
+— K-sized messages over ICI while the O(M N K) matmul FLOPs stay local,
+exactly the shard-the-tall-axis recipe of SURVEY.md §5 ('Long-context' row).
+The entire while_loop runs inside one ``shard_map``: the convergence
+predicate is itself an allreduced scalar, so every device exits the loop on
+the same iteration and there is still no host sync (SURVEY.md §3.5).
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from decomp_tpu.models.nmf import _init_factors, _update_d, _update_x
+from decomp_tpu.ops.loop import run_iterations
+from decomp_tpu.utils import assertion
+from decomp_tpu.utils.dtypes import real_dtype
+from decomp_tpu.utils.exceptions import DecompError
+from decomp_tpu.utils.result import NMFResult
+
+
+def solve(
+    y,
+    d=None,
+    *,
+    rank: Optional[int] = None,
+    x=None,
+    mesh: Mesh,
+    row_axis: str = "rows",
+    col_axis: Optional[str] = None,
+    tol=1e-4,
+    maxiter: int = 1000,
+    mask=None,
+    random_seed: int = 0,
+    eps: float = 1e-15,
+    record_objective: bool = False,
+    precision: str = "highest",
+) -> NMFResult:
+    """Sharded ``y ≈ x @ d`` with nonnegative factors.
+
+    Same contract as ``decomp_tpu.nmf.solve`` (full-batch 'mu' method), but
+    computed SPMD over ``mesh``: ``y``/``mask`` sharded (row_axis,
+    col_axis), ``x`` sharded (row_axis, None), ``d`` sharded (None,
+    col_axis). Inputs may be ordinary host arrays (jit will shard them) or
+    pre-placed global arrays (e.g. via ``parallel.shard_rows``). Global
+    row/column counts must divide the respective mesh axis sizes.
+    """
+    assertion.assert_ndim("y", y, 2)
+    y = jnp.asarray(y)
+    assertion.assert_real("y", y)
+    n_samples, n_channels = y.shape
+
+    if row_axis not in mesh.axis_names:
+        raise DecompError(f"row_axis {row_axis!r} not in mesh axes "
+                          f"{mesh.axis_names}")
+    if col_axis is not None and col_axis not in mesh.axis_names:
+        raise DecompError(f"col_axis {col_axis!r} not in mesh axes "
+                          f"{mesh.axis_names}")
+    n_rows = mesh.shape[row_axis]
+    n_cols = mesh.shape[col_axis] if col_axis is not None else 1
+    if n_samples % n_rows:
+        raise DecompError(
+            f"n_samples={n_samples} not divisible by mesh axis "
+            f"{row_axis!r} of size {n_rows}")
+    if n_channels % n_cols:
+        raise DecompError(
+            f"n_channels={n_channels} not divisible by mesh axis "
+            f"{col_axis!r} of size {n_cols}")
+
+    if d is None and rank is None:
+        raise DecompError("provide an initial dictionary `d` or a `rank`")
+    if d is not None:
+        d = jnp.asarray(d, y.dtype)
+        assertion.assert_ndim("d", d, 2)
+        assertion.assert_axis_size("d", d, 1, n_channels, "n_channels")
+        rank = d.shape[0]
+    if x is not None:
+        x = jnp.asarray(x, y.dtype)
+        assertion.assert_axis_size("x", x, 0, n_samples, "n_samples")
+        assertion.assert_axis_size("x", x, 1, rank, "rank")
+    if mask is not None:
+        assertion.assert_same_shape("mask", mask, "y", y)
+        mask = jnp.asarray(mask, y.dtype)
+
+    seed = jnp.asarray(random_seed, jnp.uint32)
+    with jax.default_matmul_precision(precision):
+        return _solve_sharded(
+            y, d, x, mask, seed, jnp.asarray(tol), jnp.asarray(eps),
+            rank=rank, maxiter=int(maxiter), mesh=mesh, row_axis=row_axis,
+            col_axis=col_axis, record_objective=bool(record_objective),
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rank", "maxiter", "mesh", "row_axis", "col_axis",
+                     "record_objective"),
+)
+def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter, mesh,
+                   row_axis, col_axis, record_objective):
+    rdt = real_dtype(y.dtype)
+    eps = eps.astype(rdt)
+
+    data_spec = P(row_axis, col_axis)
+    x_spec = P(row_axis, None)
+    d_spec = P(None, col_axis)
+    scalar_spec = P()
+
+    def psum_c(v):
+        return jax.lax.psum(v, col_axis) if col_axis is not None else v
+
+    def psum_r(v):
+        return jax.lax.psum(v, row_axis)
+
+    def psum_all(v):
+        axes = (row_axis,) + ((col_axis,) if col_axis is not None else ())
+        return jax.lax.psum(v, axes)
+
+    def body(y_l, d_l, x_l, mask_l, seed_, tol_, eps_):
+        tol, eps = tol_, eps_.astype(rdt)  # shadow: locals, spec P()
+        # Device-local row/column blocks; K (rank) axis fully local.
+        my_l = y_l if mask_l is None else mask_l * y_l
+
+        if d_l is None or x_l is None:
+            # Per-shard init: fold the shard coordinates into the key so
+            # every device draws its own block of the (virtual) global
+            # factor; scale from the global observed mean.
+            key = jax.random.PRNGKey(seed_)
+            row_i = jax.lax.axis_index(row_axis)
+            col_i = (jax.lax.axis_index(col_axis)
+                     if col_axis is not None else 0)
+            n_total = y.shape[0] * y.shape[1]  # global count (static)
+            gmean = psum_all(jnp.sum(my_l)) / n_total
+            scale = jnp.sqrt(
+                2.0 * jnp.maximum(gmean, jnp.finfo(rdt).tiny) / rank
+            ).astype(y_l.dtype)
+            if d_l is None:
+                kd = jax.random.fold_in(jax.random.fold_in(key, 0), col_i)
+                d_l = scale * jax.random.uniform(
+                    kd, (rank, y_l.shape[1]), dtype=y_l.dtype)
+            if x_l is None:
+                kx = jax.random.fold_in(jax.random.fold_in(key, 1), row_i)
+                x_l = scale * jax.random.uniform(
+                    kx, (y_l.shape[0], rank), dtype=y_l.dtype)
+
+        def step(state, it):
+            del it
+            x_, d_ = state
+            x_ = _update_x(my_l, x_, d_, mask_l, eps, psum_cols=psum_c)
+            d_ = _update_d(my_l, x_, d_, mask_l, eps, psum_rows=psum_r)
+            return (x_, d_)
+
+        tiny = jnp.asarray(jnp.finfo(rdt).tiny, rdt)
+
+        def diff_fn(old, new):
+            # d is replicated over row_axis, sharded over col_axis: the
+            # global norm needs a column-axis allreduce only.
+            num = jnp.sqrt(psum_c(jnp.sum((new[1] - old[1]) ** 2)))
+            den = jnp.sqrt(psum_c(jnp.sum(old[1] ** 2)))
+            return num / jnp.maximum(den, tiny)
+
+        def objective(state):
+            recon = state[0] @ state[1]
+            resid = (my_l - recon) if mask_l is None else (
+                my_l - mask_l * recon)
+            return 0.5 * psum_all(jnp.sum(resid * resid))
+
+        res = run_iterations(
+            step, (x_l, d_l), tol=tol, maxiter=maxiter, diff_fn=diff_fn,
+            objective_fn=objective, record_objective=record_objective,
+        )
+        return res.state[0], res.state[1], res.niter, res.converged, \
+            res.objective
+
+    in_specs = (data_spec,
+                None if d is None else d_spec,
+                None if x is None else x_spec,
+                None if mask is None else data_spec,
+                scalar_spec, scalar_spec, scalar_spec)
+    out_specs = (x_spec, d_spec, scalar_spec, scalar_spec, scalar_spec)
+
+    x_g, d_g, niter, converged, objective = jax.shard_map(
+        body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+    )(y, d, x, mask, seed, tol, eps)
+    return NMFResult(x=x_g, d=d_g, niter=niter, converged=converged,
+                     objective=objective)

@@ -1,0 +1,130 @@
+"""Distributed tier (SURVEY.md §4.4): shard_map solvers on 8 virtual CPU
+devices (real psum semantics on one host) must match the single-device
+solvers to fp tolerance."""
+
+import jax
+import numpy as np
+import pytest
+
+import decomp_tpu
+from decomp_tpu import parallel
+from problems import planted_lasso, planted_nmf, random_mask, rel_err
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return parallel.make_mesh(axis_names=("rows",))
+
+
+@pytest.fixture(scope="module")
+def mesh4x2():
+    return parallel.make_mesh((4, 2), axis_names=("rows", "cols"))
+
+
+def _init(seed, m, n, k):
+    rng = np.random.default_rng(seed)
+    return (rng.uniform(0.1, 1.0, (m, k)),
+            rng.uniform(0.1, 1.0, (k, n)))
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_row_sharded_nmf_matches_single_device(mesh8, masked):
+    y, *_ = planted_nmf(seed=1, n_samples=64, n_channels=40, rank=5)
+    mask = random_mask(2, y.shape) if masked else None
+    x0, d0 = _init(3, 64, 40, 5)
+
+    ref = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=40, mask=mask)
+    res = parallel.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=40, mask=mask,
+                             mesh=mesh8)
+    assert rel_err(res.x, ref.x) < 1e-12
+    assert rel_err(res.d, ref.d) < 1e-12
+    assert int(res.niter) == int(ref.niter)
+
+
+def test_2d_sharded_nmf_matches_single_device(mesh4x2):
+    y, *_ = planted_nmf(seed=4, n_samples=64, n_channels=40, rank=5)
+    x0, d0 = _init(5, 64, 40, 5)
+    ref = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=40)
+    res = parallel.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=40,
+                             mesh=mesh4x2, row_axis="rows", col_axis="cols")
+    assert rel_err(res.x, ref.x) < 1e-12
+    assert rel_err(res.d, ref.d) < 1e-12
+
+
+def test_2d_sharded_masked_nmf_with_objective(mesh4x2):
+    y, *_ = planted_nmf(seed=6, n_samples=32, n_channels=16, rank=3)
+    mask = random_mask(7, y.shape)
+    x0, d0 = _init(8, 32, 16, 3)
+    ref = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=25, mask=mask,
+                               record_objective=True)
+    res = parallel.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=25, mask=mask,
+                             mesh=mesh4x2, col_axis="cols",
+                             record_objective=True)
+    np.testing.assert_allclose(np.asarray(res.objective),
+                               np.asarray(ref.objective), rtol=1e-10)
+
+
+def test_sharded_nmf_random_init_runs(mesh8):
+    y, *_ = planted_nmf(seed=9, n_samples=64, n_channels=40, rank=4)
+    res = parallel.nmf.solve(y, rank=4, tol=1e-5, maxiter=3000, mesh=mesh8,
+                             random_seed=10)
+    recon = np.asarray(res.x) @ np.asarray(res.d)
+    assert rel_err(recon, y) < 0.05
+
+
+def test_sharded_nmf_convergence_agrees(mesh8):
+    """tol-triggered early stop happens at the same iteration as the
+    single-device solver (the convergence predicate is itself allreduced)."""
+    y, *_ = planted_nmf(seed=11, n_samples=64, n_channels=40, rank=5)
+    x0, d0 = _init(12, 64, 40, 5)
+    ref = decomp_tpu.nmf.solve(y, d0, x=x0, tol=1e-4, maxiter=4000)
+    res = parallel.nmf.solve(y, d0, x=x0, tol=1e-4, maxiter=4000, mesh=mesh8)
+    assert bool(res.converged) and bool(ref.converged)
+    assert int(res.niter) == int(ref.niter)
+
+
+@pytest.mark.parametrize("method", ["ista", "fista", "acc_ista",
+                                    "parallel_cd", "cd"])
+def test_sharded_lasso_matches_single_device(mesh8, method):
+    y, a, _ = planted_lasso(seed=13, n_samples=16)
+    ref = decomp_tpu.lasso.solve(y, a, 0.05, tol=0.0, maxiter=30,
+                                 method=method)
+    res = parallel.lasso.solve(y, a, 0.05, tol=0.0, maxiter=30,
+                               method=method, mesh=mesh8)
+    assert rel_err(res.x, ref.x) < 1e-12
+
+
+def test_sharded_lasso_masked_and_early_stop(mesh8):
+    y, a, _ = planted_lasso(seed=14, n_samples=16)
+    mask = random_mask(15, y.shape)
+    ref = decomp_tpu.lasso.solve(y * mask, a, 0.05, tol=1e-8, maxiter=5000,
+                                 method="acc_ista", mask=mask)
+    res = parallel.lasso.solve(y * mask, a, 0.05, tol=1e-8, maxiter=5000,
+                               method="acc_ista", mask=mask, mesh=mesh8)
+    assert bool(res.converged)
+    assert int(res.niter) == int(ref.niter)
+    assert rel_err(res.x, ref.x) < 1e-10
+
+
+def test_pre_placed_global_arrays(mesh8):
+    """Inputs already placed with a NamedSharding run without resharding."""
+    y, *_ = planted_nmf(seed=16, n_samples=64, n_channels=40, rank=4)
+    x0, d0 = _init(17, 64, 40, 4)
+    y_sharded = parallel.shard_rows(jax.numpy.asarray(y), mesh8)
+    ref = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=20)
+    res = parallel.nmf.solve(y_sharded, d0, x=x0, tol=0.0, maxiter=20,
+                             mesh=mesh8)
+    assert rel_err(res.x, ref.x) < 1e-12
+
+
+def test_validation_errors(mesh8):
+    y, *_ = planted_nmf(seed=18, n_samples=30, n_channels=40, rank=4)
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        # 30 rows not divisible by 8 devices
+        parallel.nmf.solve(y, rank=4, mesh=mesh8)
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        parallel.nmf.solve(y, rank=4, mesh=mesh8, row_axis="nope")
