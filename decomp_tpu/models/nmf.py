@@ -52,6 +52,9 @@ def solve(
     eps: float = 1e-15,
     record_objective: bool = False,
     precision: str = "highest",
+    use_pallas="auto",
+    pallas_block_rows: Optional[int] = None,
+    _pallas_interpret: bool = False,
 ) -> NMFResult:
     """Factorise ``y ≈ x @ d`` with nonnegative factors.
 
@@ -76,6 +79,12 @@ def solve(
     eps : additive denominator guard of the multiplicative updates.
     record_objective : record 0.5*||mask*(y - x@d)||^2 per iteration
         (costs one extra reconstruction per iteration).
+    use_pallas : True / False / 'auto'. The fused Pallas TPU kernels
+        (decomp_tpu.ops.pallas_mu) stream the data matrix through VMEM once
+        per iteration instead of twice (dense) and never materialise the
+        masked reconstruction in HBM (masked). 'auto' enables them on TPU
+        backends for full-batch real-dtype solves above a size threshold.
+    pallas_block_rows : stripe height override for the Pallas kernels.
 
     Returns
     -------
@@ -115,6 +124,18 @@ def solve(
                 f"minibatch must be in [1, n_samples={n_samples}], got {minibatch}"
             )
 
+    if use_pallas == "auto":
+        # Fused kernels pay off once the data matrix dominates HBM traffic;
+        # tiny problems lose more to padding than they gain.
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and minibatch is None
+            and n_samples * n_channels >= (1 << 20)
+        )
+    use_pallas = bool(use_pallas)
+    if use_pallas and minibatch is not None:
+        raise DecompError("use_pallas=True is incompatible with minibatch")
+
     seed = jnp.asarray(random_seed, jnp.uint32)
     # TPU f32 matmuls default to fast bfloat16 MXU passes, which injects
     # ~1e-3 relative noise per iteration and puts a floor under the
@@ -128,16 +149,21 @@ def solve(
             rank=rank, maxiter=int(maxiter), minibatch=minibatch,
             inner_iter=int(inner_iter),
             record_objective=bool(record_objective),
+            use_pallas=use_pallas,
+            pallas_block_rows=pallas_block_rows,
+            pallas_interpret=bool(_pallas_interpret),
         )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("rank", "maxiter", "minibatch", "inner_iter",
-                     "record_objective"),
+                     "record_objective", "use_pallas", "pallas_block_rows",
+                     "pallas_interpret"),
 )
 def _solve(y, d, x, mask, seed, tol, eps, forget, *, rank, maxiter,
-           minibatch, inner_iter, record_objective):
+           minibatch, inner_iter, record_objective, use_pallas=False,
+           pallas_block_rows=None, pallas_interpret=False):
     rdt = real_dtype(y.dtype)
     eps = eps.astype(rdt)
     key = jax.random.PRNGKey(seed)
@@ -145,6 +171,13 @@ def _solve(y, d, x, mask, seed, tol, eps, forget, *, rank, maxiter,
     # Init scale from the observed (masked) data, so junk values at missing
     # entries cannot blow up the starting point.
     d, x = _init_factors(key, my, d, x, rank)
+
+    if use_pallas:
+        return _solve_pallas(
+            my, d, x, mask, tol, eps, maxiter=maxiter,
+            record_objective=record_objective,
+            block_rows=pallas_block_rows, interpret=pallas_interpret,
+        )
 
     def objective(state):
         x_, d_ = state[0], state[1]
@@ -206,6 +239,69 @@ def _solve(y, d, x, mask, seed, tol, eps, forget, *, rank, maxiter,
 
 def _identity(v):
     return v
+
+
+def _solve_pallas(my, d, x, mask, tol, eps, *, maxiter, record_objective,
+                  block_rows, interpret):
+    """Full-batch MU loop driven by the fused Pallas kernels.
+
+    Pads (M, N, K) once, outside the loop, to the kernels' alignment
+    contract; zero padding is a fixed point of the MU update (zero
+    rows/atoms stay zero and contribute nothing to the sufficient
+    statistics), so padded trajectories equal unpadded ones.
+    """
+    from decomp_tpu.ops import pallas_mu
+
+    rdt = real_dtype(my.dtype)
+    m, n = my.shape
+    k = d.shape[0]
+    n_pad = -(-n // 128) * 128
+    k_pad = -(-k // 128) * 128
+    if block_rows is None:
+        block_rows = pallas_mu.default_block_rows(
+            n_pad, k_pad, my.dtype.itemsize, mask is not None)
+    block_rows = min(block_rows, -(-m // 8) * 8)
+    m_pad = -(-m // block_rows) * block_rows
+
+    my_p = jnp.pad(my, ((0, m_pad - m), (0, n_pad - n)))
+    d_p = jnp.pad(d, ((0, k_pad - k), (0, n_pad - n)))
+    x_p = jnp.pad(x, ((0, m_pad - m), (0, k_pad - k)))
+    mask_p = (None if mask is None
+              else jnp.pad(mask, ((0, m_pad - m), (0, n_pad - n))))
+
+    if mask is None:
+        def step(state, it):
+            del it
+            return pallas_mu.mu_update_dense(
+                my_p, state[0], state[1], eps, block_rows=block_rows,
+                interpret=interpret)
+    else:
+        def step(state, it):
+            del it
+            return pallas_mu.mu_update_masked(
+                my_p, mask_p, state[0], state[1], eps,
+                block_rows=block_rows, interpret=interpret)
+
+    tiny = jnp.asarray(jnp.finfo(rdt).tiny, rdt)
+
+    def diff_fn(old, new):
+        num = l2_norm(new[1] - old[1])
+        return num / jnp.maximum(l2_norm(old[1]), tiny)
+
+    def objective(state):
+        recon = state[0] @ state[1]
+        resid = (my_p - recon) if mask_p is None else (
+            my_p - mask_p * recon)
+        return 0.5 * jnp.sum(resid * resid)
+
+    res = run_iterations(
+        step, (x_p, d_p), tol=tol, maxiter=maxiter, diff_fn=diff_fn,
+        objective_fn=objective, record_objective=record_objective,
+    )
+    return NMFResult(
+        x=res.state[0][:m, :k], d=res.state[1][:k, :n],
+        niter=res.niter, converged=res.converged, objective=res.objective,
+    )
 
 
 def _update_x(my, x, d, mask, eps, psum_cols=_identity):

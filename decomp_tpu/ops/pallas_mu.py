@@ -1,0 +1,289 @@
+"""Fused Pallas TPU kernels for multiplicative NMF updates.
+
+Mandated rebuild components N3 (masked-matmul kernels, BASELINE.json:5,10)
+and the speed-of-light path for the headline benchmark (BASELINE.json:2).
+
+Why fuse (roofline arithmetic, v5e: 197 bf16 TFLOP/s vs 819 GB/s HBM):
+
+- DENSE: one MU iteration costs ~4MNK matmul FLOPs but the naive schedule
+  reads the M x N data matrix TWICE (y @ d.T for the x update, then
+  x.T @ y for the d update). At rank K=128 in bf16 that is 256 FLOPs per
+  byte over two passes = HBM-bound at ~53% of peak. ``mu_update_dense``
+  streams each row stripe of y through VMEM ONCE, computing the x update
+  and accumulating BOTH d-update sufficient statistics (x_new.T @ y and
+  x_new.T @ x_new) in VMEM scratch before the stripe is evicted ->
+  compute-bound.
+
+- MASKED: the jnp composition materialises mask * (x @ d) (an M x N array)
+  in HBM twice per iteration. ``mu_update_masked`` keeps the masked
+  reconstruction entirely in VMEM, touching only my = mask*y and mask in
+  HBM once per iteration.
+
+Kernel structure (both): 1-D grid over row stripes of size ``block_rows``;
+d (K x N) and the K x K Gram of d stay resident in VMEM across stripes; the
+K x N / K x K accumulators live in f32 VMEM scratch and are flushed to the
+outputs on the last stripe. TPU grids execute stripes sequentially, which
+makes the accumulation race-free. All matmuls specify
+preferred_element_type=f32 (MXU accumulation), and the multiplicative
+ratio is formed in f32 before casting back to the storage dtype.
+
+Shape contract: callers pre-pad once, outside the iteration loop —
+M % block_rows == 0, N % 128 == 0, K % 128 == 0. Zero padding is a fixed
+point of the MU update (zero rows/atoms stay zero and contribute nothing
+to the statistics), see decomp_tpu.models.nmf._pad_for_pallas.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Default VMEM budget for choosing the stripe height (bytes). Real VMEM is
+# ~16 MiB per core; leave headroom for double-buffered pipelines.
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def default_block_rows(n: int, k: int, itemsize: int,
+                       masked: bool) -> int:
+    """Stripe height: 128 (one full MXU tile in the row dimension) whenever
+    the streamed stripes fit the VMEM budget, halving for very wide rows.
+
+    Measured on v5e at 400k x 10112 rank-128 bf16: 128-row stripes reach
+    ~77% of peak bf16 matmul FLOPs; 32-row stripes (over-conservative
+    budgeting) drop to ~42% because the MXU row dimension runs 1/4 full
+    and the K x N accumulator is swept 4x as often.
+    """
+    block = 128
+    streams = 2 if masked else 1  # y (+ mask)
+    while block > 8 and block * n * itemsize * 2 * streams > _VMEM_BUDGET:
+        block //= 2
+    return block
+
+
+def _dense_kernel(eps_ref, ddt_ref, y_ref, x_ref, d_ref,
+                  xout_ref, numd_ref, gram_ref,
+                  numd_acc, gram_acc):
+    i = pl.program_id(0)
+    n_i = pl.num_programs(0)
+    y_i = y_ref[:]
+    x_i = x_ref[:]
+    eps = eps_ref[0]
+
+    # x update: x * (y @ d.T) / (x @ (d d.T) + eps), all f32 accumulation.
+    num_x = jax.lax.dot_general(
+        y_i, d_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    den_x = jnp.dot(x_i, ddt_ref[:], preferred_element_type=jnp.float32)
+    x_new_f = x_i.astype(jnp.float32) * num_x / (den_x + eps)
+    x_new = x_new_f.astype(x_i.dtype)
+    xout_ref[:] = x_new
+
+    # d-update sufficient statistics, accumulated across stripes:
+    #   numd = x_new.T @ y,  gram = x_new.T @ x_new
+    # Zero-init once, then unconditional += so Mosaic can keep the MXU
+    # accumulating straight into the scratch instead of a separate VPU add.
+    @pl.when(i == 0)
+    def _():
+        numd_acc[:] = jnp.zeros_like(numd_acc)
+        gram_acc[:] = jnp.zeros_like(gram_acc)
+
+    numd_acc[:] += jax.lax.dot_general(
+        x_new, y_i, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    gram_acc[:] += jax.lax.dot_general(
+        x_new, x_new, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(i == n_i - 1)
+    def _():
+        numd_ref[:] = numd_acc[:]
+        gram_ref[:] = gram_acc[:]
+
+
+def _masked_kernel(eps_ref, my_ref, mask_ref, x_ref, d_ref,
+                   xout_ref, numd_ref, dend_ref,
+                   numd_acc, dend_acc):
+    # No d-Gram shortcut exists under masking: the denominator needs the
+    # masked reconstruction itself.
+    i = pl.program_id(0)
+    n_i = pl.num_programs(0)
+    my_i = my_ref[:]
+    mask_i = mask_ref[:]
+    x_i = x_ref[:]
+    d = d_ref[:]
+    eps = eps_ref[0]
+
+    # x update with the masked reconstruction held in VMEM only:
+    #   x * ((mask*y) @ d.T) / ((mask*(x@d)) @ d.T + eps)
+    num_x = jax.lax.dot_general(
+        my_i, d, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    recon = jnp.dot(x_i, d, preferred_element_type=jnp.float32)
+    recon_m = (mask_i.astype(jnp.float32) * recon).astype(d.dtype)
+    den_x = jax.lax.dot_general(
+        recon_m, d, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    x_new_f = x_i.astype(jnp.float32) * num_x / (den_x + eps)
+    x_new = x_new_f.astype(x_i.dtype)
+    xout_ref[:] = x_new
+
+    # d-update statistics:
+    #   numd = x_new.T @ (mask*y),  dend = x_new.T @ (mask*(x_new@d))
+    recon2 = jnp.dot(x_new, d, preferred_element_type=jnp.float32)
+    recon2_m = (mask_i.astype(jnp.float32) * recon2).astype(d.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        numd_acc[:] = jnp.zeros_like(numd_acc)
+        dend_acc[:] = jnp.zeros_like(dend_acc)
+
+    numd_acc[:] += jax.lax.dot_general(
+        x_new, my_i, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dend_acc[:] += jax.lax.dot_general(
+        x_new, recon2_m, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(i == n_i - 1)
+    def _():
+        numd_ref[:] = numd_acc[:]
+        dend_ref[:] = dend_acc[:]
+
+
+def _check_aligned(m, n, k, block_rows):
+    if m % block_rows:
+        raise ValueError(f"M={m} must be a multiple of block_rows="
+                         f"{block_rows} (pre-pad outside the loop)")
+    if n % 128 or k % 128:
+        raise ValueError(f"N={n} and K={k} must be multiples of 128 "
+                         "(pre-pad outside the loop)")
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def mu_update_dense(y, x, d, eps, *, block_rows=None, interpret=False):
+    """One fused dense MU iteration. Returns (x_new, d_new).
+
+    Single pass over ``y``; d_new is formed from the kernel's accumulated
+    sufficient statistics with an O(KN + K^2 N / tile) epilogue.
+    """
+    m, n = y.shape
+    k = d.shape[0]
+    if block_rows is None:
+        block_rows = default_block_rows(n, k, y.dtype.itemsize, False)
+        block_rows = min(block_rows, m)
+    _check_aligned(m, n, k, block_rows)
+    ddt = jax.lax.dot_general(d, d, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    eps32 = jnp.asarray(eps, jnp.float32).reshape(1)
+
+    grid = (m // block_rows,)
+    x_new, numd, gram = pl.pallas_call(
+        _dense_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                   # eps
+            pl.BlockSpec((k, k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),                   # ddt
+            pl.BlockSpec((block_rows, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),                   # y
+            pl.BlockSpec((block_rows, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),                   # x
+            pl.BlockSpec((k, n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),                   # d
+        ],
+        out_specs=[
+            pl.BlockSpec((block_rows, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, k), x.dtype),
+            jax.ShapeDtypeStruct((k, n), jnp.float32),
+            jax.ShapeDtypeStruct((k, k), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((k, n), jnp.float32),
+            pltpu.VMEM((k, k), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * m * n * k + 2 * m * k * k),
+            bytes_accessed=int((m * n + 2 * m * k) * y.dtype.itemsize
+                               + k * n * (y.dtype.itemsize + 4)),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(eps32, ddt, y, x, d)
+
+    den_d = jnp.dot(gram, d.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    d_new = (d.astype(jnp.float32) * numd / (den_d + eps32[0])).astype(
+        d.dtype)
+    return x_new, d_new
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def mu_update_masked(my, mask, x, d, eps, *, block_rows=None,
+                     interpret=False):
+    """One fused masked MU iteration. Returns (x_new, d_new).
+
+    ``my`` is the pre-masked data (mask * y, computed once outside the
+    loop). The M x N masked reconstructions never leave VMEM.
+    """
+    m, n = my.shape
+    k = d.shape[0]
+    if block_rows is None:
+        block_rows = default_block_rows(n, k, my.dtype.itemsize, True)
+        block_rows = min(block_rows, m)
+    _check_aligned(m, n, k, block_rows)
+    eps32 = jnp.asarray(eps, jnp.float32).reshape(1)
+
+    grid = (m // block_rows,)
+    data_spec = pl.BlockSpec((block_rows, n), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    x_new, numd, dend = pl.pallas_call(
+        _masked_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                   # eps
+            data_spec,                                               # my
+            data_spec,                                               # mask
+            pl.BlockSpec((block_rows, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),                   # x
+            pl.BlockSpec((k, n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),                   # d
+        ],
+        out_specs=[
+            pl.BlockSpec((block_rows, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, k), x.dtype),
+            jax.ShapeDtypeStruct((k, n), jnp.float32),
+            jax.ShapeDtypeStruct((k, n), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((k, n), jnp.float32),
+            pltpu.VMEM((k, n), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(12 * m * n * k),
+            bytes_accessed=int(2 * (m * n) * my.dtype.itemsize
+                               + 2 * m * k * my.dtype.itemsize
+                               + 2 * k * n * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(eps32, my, mask, x, d)
+
+    d_new = (d.astype(jnp.float32) * numd / (dend + eps32[0])).astype(
+        d.dtype)
+    return x_new, d_new

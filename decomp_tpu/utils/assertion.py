@@ -4,6 +4,7 @@ These run before tracing/jit, so they can raise rich Python exceptions with
 the offending shapes/dtypes in the message.
 """
 
+import jax.numpy as jnp
 import numpy as np
 
 from decomp_tpu.utils.exceptions import DtypeError, ShapeError
@@ -38,7 +39,9 @@ def assert_same_shape(name_a: str, a, name_b: str, b) -> None:
 
 def assert_inexact(name: str, arr) -> None:
     dtype = np.asarray(arr).dtype if not hasattr(arr, "dtype") else arr.dtype
-    if not np.issubdtype(dtype, np.inexact):
+    # jnp.issubdtype (unlike np's) also recognises extension float types
+    # such as bfloat16.
+    if not jnp.issubdtype(dtype, jnp.inexact):
         raise DtypeError(f"{name} must be floating or complex, got dtype {dtype}")
 
 

@@ -1,0 +1,92 @@
+"""Pallas kernel tier (SURVEY.md §4 item 3, §5 'Race detection'): the fused
+MU kernels are validated against the dense jnp composition — an exact-math
+oracle — in interpreter mode on CPU (compiled-mode validation runs on real
+TPU via bench/verify)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import decomp_tpu
+from decomp_tpu.models.nmf import _update_d, _update_x
+from decomp_tpu.ops import pallas_mu
+from problems import planted_nmf, random_mask, rel_err
+
+EPS = 1e-15
+
+
+def _arrs(seed, m, n, k, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    return (jnp.asarray(rng.uniform(0.1, 1, (m, n)), dtype),
+            jnp.asarray(rng.uniform(0.1, 1, (m, k)), dtype),
+            jnp.asarray(rng.uniform(0.1, 1, (k, n)), dtype))
+
+
+@pytest.mark.parametrize("block_rows", [32, 128])
+def test_dense_kernel_matches_oracle(block_rows):
+    y, x, d = _arrs(0, 256, 256, 128)
+    xn, dn = pallas_mu.mu_update_dense(y, x, d, EPS,
+                                       block_rows=block_rows,
+                                       interpret=True)
+    x_ref = _update_x(y, x, d, None, EPS)
+    d_ref = _update_d(y, x_ref, d, None, EPS)
+    assert rel_err(xn, x_ref) < 1e-5
+    assert rel_err(dn, d_ref) < 1e-5
+
+
+def test_masked_kernel_matches_oracle():
+    y, x, d = _arrs(1, 128, 384, 128)
+    rng = np.random.default_rng(2)
+    mask = jnp.asarray(rng.random((128, 384)) > 0.3, jnp.float32)
+    my = mask * y
+    xn, dn = pallas_mu.mu_update_masked(my, mask, x, d, EPS,
+                                        block_rows=32, interpret=True)
+    x_ref = _update_x(my, x, d, mask, EPS)
+    d_ref = _update_d(my, x_ref, d, mask, EPS)
+    assert rel_err(xn, x_ref) < 1e-5
+    assert rel_err(dn, d_ref) < 1e-5
+
+
+def test_alignment_contract_enforced():
+    y, x, d = _arrs(3, 250, 256, 128)  # M=250 not divisible
+    with pytest.raises(ValueError):
+        pallas_mu.mu_update_dense(y, x, d, EPS, block_rows=128,
+                                  interpret=True)
+    y, x, d = _arrs(4, 256, 200, 128)  # N=200 not 128-aligned
+    with pytest.raises(ValueError):
+        pallas_mu.mu_update_dense(y, x, d, EPS, block_rows=128,
+                                  interpret=True)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_solve_pallas_path_matches_jnp_path(masked):
+    """End-to-end: use_pallas=True (interpret mode, with ragged shapes
+    exercising the zero-padding fixed-point argument) tracks the jnp path."""
+    y, *_ = planted_nmf(seed=5, n_samples=70, n_channels=50, rank=4)
+    y = y.astype(np.float32)
+    mask = random_mask(6, y.shape).astype(np.float32) if masked else None
+    rng = np.random.default_rng(7)
+    x0 = rng.uniform(0.1, 1.0, (70, 4)).astype(np.float32)
+    d0 = rng.uniform(0.1, 1.0, (4, 50)).astype(np.float32)
+
+    ref = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=15, mask=mask)
+    res = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=15, mask=mask,
+                               use_pallas=True, pallas_block_rows=16,
+                               _pallas_interpret=True)
+    assert res.x.shape == ref.x.shape and res.d.shape == ref.d.shape
+    assert rel_err(res.x, ref.x) < 1e-4
+    assert rel_err(res.d, ref.d) < 1e-4
+
+
+def test_auto_is_off_on_cpu():
+    """'auto' must not enable Pallas on the CPU backend (no TPU kernels)."""
+    y, *_ = planted_nmf(seed=8, n_samples=1100, n_channels=1000, rank=3)
+    res = decomp_tpu.nmf.solve(y.astype(np.float32), rank=3, tol=0.0,
+                               maxiter=2, use_pallas="auto")
+    assert np.isfinite(np.asarray(res.d)).all()
+
+
+def test_pallas_minibatch_rejected():
+    y, *_ = planted_nmf(seed=9)
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.nmf.solve(y, rank=3, minibatch=8, use_pallas=True)
