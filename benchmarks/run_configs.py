@@ -1,0 +1,212 @@
+"""Graded-config benchmark harness (SURVEY.md §2b N7; BASELINE.json:7-11).
+
+Runs the five capability configs end-to-end through the public API and
+prints one JSON line per config: wall time, iterations, iters/sec,
+time-to-tol, and (where the hot path is matmul-dominated) achieved matmul
+GFLOP/s. Convergence curves are captured on device (record_objective) and
+saved as .npy next to this script for the bitwise-stability comparison
+tier (SURVEY.md §4.2).
+
+Usage:
+    python benchmarks/run_configs.py             # all configs
+    python benchmarks/run_configs.py --config 4  # one config
+    python benchmarks/run_configs.py --small     # reduced sizes (CPU ok)
+
+Config 5 (pod-scale sharded NMF) sizes itself to the available devices:
+on a v5e-8 it runs the full 1M x 10k rank-100; on this single-chip
+environment it runs the per-chip slice over a 1-device mesh; with
+8 virtual CPU devices it validates collectives at reduced size.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import decomp_tpu  # noqa: E402
+from decomp_tpu import parallel  # noqa: E402
+
+OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "out")
+
+
+def _force(res):
+    """Fence: block_until_ready is unreliable on the axon platform —
+    reading a reduction is the only dependable completion barrier."""
+    leaf = res.d if hasattr(res, "d") else res.x
+    return float(jnp.asarray(leaf, jnp.float32).sum())
+
+
+def _emit(name, curve, t_wall, res, extra=None):
+    niter = int(res.niter)
+    out = {
+        "config": name,
+        "wall_s": round(t_wall, 4),
+        "niter": niter,
+        "iters_per_sec": round(niter / t_wall, 2) if t_wall > 0 else None,
+        "converged": bool(res.converged),
+    }
+    if extra:
+        out.update(extra)
+    os.makedirs(OUT_DIR, exist_ok=True)
+    if curve is not None:
+        path = os.path.join(OUT_DIR, f"{name}_curve.npy")
+        np.save(path, np.asarray(curve)[:niter])
+        out["curve"] = os.path.relpath(path)
+    print(json.dumps(out))
+    return out
+
+
+def config1_dense_nmf(small):
+    """BASELINE.json:7 — dense NMF 1000x500 rank 10, MU."""
+    m, n, k = (200, 100, 5) if small else (1000, 500, 10)
+    rng = np.random.default_rng(0)
+    y = np.maximum(
+        rng.uniform(0, 1, (m, k)) @ rng.uniform(0, 1, (k, n))
+        + 0.01 * rng.normal(size=(m, n)), 0).astype(np.float32)
+    kw = dict(rank=k, tol=1e-4, maxiter=5000, random_seed=1,
+              record_objective=True)
+    _force(decomp_tpu.nmf.solve(y, **kw))  # compile
+    t0 = time.perf_counter()
+    res = decomp_tpu.nmf.solve(y, **kw)
+    _force(res)
+    t = time.perf_counter() - t0
+    return _emit("c1_dense_nmf_1000x500_r10", res.objective, t, res,
+                 {"time_to_tol_s": round(t, 4), "tol": 1e-4})
+
+
+def config2_batch_fista(small):
+    """BASELINE.json:8 — 10k independent lasso problems, 512-dim dict."""
+    n_prob, n_feat, n_ch = (256, 64, 48) if small else (10_000, 512, 256)
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=(n_feat, n_ch)).astype(np.float32)
+    x_true = (rng.normal(size=(n_prob, n_feat))
+              * (rng.random((n_prob, n_feat)) < 0.05)).astype(np.float32)
+    y = x_true @ a + 0.01 * rng.normal(size=(n_prob, n_ch)).astype(np.float32)
+    kw = dict(tol=1e-4, maxiter=4000, method="fista", record_objective=True)
+
+    def run():
+        return decomp_tpu.lasso.solve(y, a, 0.1, **kw)
+
+    r = run()
+    float(jnp.asarray(r.x, jnp.float32).sum())
+    t0 = time.perf_counter()
+    res = run()
+    float(jnp.asarray(res.x, jnp.float32).sum())
+    t = time.perf_counter() - t0
+    niter = int(res.niter)
+    # dominant matmul: grad = x @ gram (n_prob x n_feat x n_feat) per iter
+    flops = 2.0 * n_prob * n_feat * n_feat * 2 * niter
+    return _emit("c2_batch_fista_10k_512", res.objective, t, res,
+                 {"time_to_tol_s": round(t, 4), "tol": 1e-4,
+                  "matmul_gflops": round(flops / t / 1e9, 1)})
+
+
+def config3_dictionary_learning(small):
+    """BASELINE.json:9 — dictionary learning on 8x8 patches, 256 atoms."""
+    n_samp, n_ch, n_atoms = (300, 64, 32) if small else (20_000, 64, 256)
+    rng = np.random.default_rng(2)
+    d_true = rng.normal(size=(n_atoms, n_ch))
+    d_true /= np.linalg.norm(d_true, axis=1, keepdims=True)
+    x_true = (rng.normal(size=(n_samp, n_atoms))
+              * (rng.random((n_samp, n_atoms)) < 0.1))
+    y = (x_true @ d_true
+         + 0.01 * rng.normal(size=(n_samp, n_ch))).astype(np.float32)
+    d0 = rng.normal(size=(n_atoms, n_ch)).astype(np.float32)
+    kw = dict(tol=1e-5, maxiter=60, lasso_iter=15, record_objective=True)
+
+    def run():
+        return decomp_tpu.dictionary_learning.solve(y, d0, 0.05, **kw)
+
+    _force(run())
+    t0 = time.perf_counter()
+    res = run()
+    _force(res)
+    t = time.perf_counter() - t0
+    return _emit("c3_dictlearn_8x8_256atoms", res.objective, t, res)
+
+
+def config4_masked_nmf(small):
+    """BASELINE.json:10 — masked NMF, 100k x 1k rank 50, 30% missing."""
+    m, n, k = (2000, 128, 8) if small else (100_000, 1000, 50)
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3 = jax.random.split(key, 3)
+    y = (jax.random.uniform(k1, (m, k)) @ jax.random.uniform(k2, (k, n))
+         ).astype(jnp.float32)
+    mask = (jax.random.uniform(k3, (m, n)) >= 0.3).astype(jnp.float32)
+    ym = y * mask
+    kw = dict(rank=k, mask=mask, tol=1e-4, maxiter=4000, random_seed=4,
+              record_objective=True)
+    _force(decomp_tpu.nmf.solve(ym, **kw))
+    t0 = time.perf_counter()
+    res = decomp_tpu.nmf.solve(ym, **kw)
+    _force(res)
+    t = time.perf_counter() - t0
+    recon = np.asarray(res.x, np.float64) @ np.asarray(res.d, np.float64)
+    miss = np.asarray(mask) == 0
+    ynp = np.asarray(y, np.float64)
+    heldout = float(np.linalg.norm(recon[miss] - ynp[miss])
+                    / np.linalg.norm(ynp[miss]))
+    return _emit("c4_masked_nmf_100kx1k_r50", res.objective, t, res,
+                 {"heldout_rel_err": round(heldout, 6)})
+
+
+def config5_sharded_nmf(small):
+    """BASELINE.json:11 — sharded NMF over a mesh, ICI-allreduced Grams.
+
+    Full shape (1M x 10k rank 100 -> rank padded 128) on >= 8 devices;
+    scaled to the per-device slice otherwise.
+    """
+    devices = jax.devices()
+    n_dev = len(devices)
+    mesh = parallel.make_mesh((n_dev,), ("rows",))
+    if small or devices[0].platform == "cpu":
+        m, n, k = 128 * n_dev, 256, 16
+        dtype = jnp.float32
+    else:
+        m, n, k = 125_000 * n_dev, 10_112, 128
+        dtype = jnp.bfloat16
+    key = jax.random.PRNGKey(5)
+    y = jax.random.uniform(key, (m, n), dtype=dtype)
+    y = parallel.shard_rows(y, mesh)
+    kw = dict(rank=k, mesh=mesh, tol=0.0, maxiter=30, random_seed=6,
+              precision="default" if dtype == jnp.bfloat16 else "highest")
+    _force(parallel.nmf.solve(y, **kw))
+    t0 = time.perf_counter()
+    res = parallel.nmf.solve(y, **kw)
+    _force(res)
+    t = time.perf_counter() - t0
+    niter = int(res.niter)
+    flops = (4.0 * m * n * k + 4.0 * m * k * k) * niter
+    return _emit("c5_sharded_nmf", None, t, res,
+                 {"devices": n_dev, "shape": [m, n, k],
+                  "matmul_tflops": round(flops / t / 1e12, 2)})
+
+
+CONFIGS = {
+    1: config1_dense_nmf,
+    2: config2_batch_fista,
+    3: config3_dictionary_learning,
+    4: config4_masked_nmf,
+    5: config5_sharded_nmf,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, choices=sorted(CONFIGS))
+    ap.add_argument("--small", action="store_true")
+    args = ap.parse_args()
+    todo = [args.config] if args.config else sorted(CONFIGS)
+    for i in todo:
+        CONFIGS[i](args.small)
+
+
+if __name__ == "__main__":
+    main()

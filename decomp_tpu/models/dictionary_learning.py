@@ -163,8 +163,10 @@ def _solve(y, d, x, mask, alpha, tol, lasso_tol, forget, seed, *, maxiter,
         def step(state, it):
             del it
             x_, d_ = state
-            x_ = sparse_code(y, d_, x_, mask)
-            d_ = update_d(x_, d_, None, None)
+            with jax.named_scope("dl_sparse_code"):
+                x_ = sparse_code(y, d_, x_, mask)
+            with jax.named_scope("dl_dict_update"):
+                d_ = update_d(x_, d_, None, None)
             return (x_, d_)
 
         init = (x, d)

@@ -32,7 +32,7 @@ from decomp_tpu.utils.exceptions import DecompError
 from decomp_tpu.utils.normalize import l2_norm
 from decomp_tpu.utils.result import NMFResult
 
-_METHODS = ("mu",)
+_METHODS = ("mu", "kl-mu")
 
 
 def solve(
@@ -69,7 +69,8 @@ def solve(
     x : (n_samples, rank) initial activations (optional warm start).
     tol : relative change of ``d`` below which iteration stops (0 = run
         all ``maxiter`` iterations).
-    method : 'mu' (Lee-Seung multiplicative updates, L2 loss).
+    method : 'mu' (Lee-Seung multiplicative updates, L2 loss) or 'kl-mu'
+        (Lee-Seung updates for the generalised KL divergence).
     mask : (n_samples, n_channels) 1/0 or bool array; 1 = observed.
     minibatch : if set, use the online/minibatch variant: each iteration
         samples ``minibatch`` rows, refreshes their activations with
@@ -130,11 +131,14 @@ def solve(
         use_pallas = (
             jax.default_backend() == "tpu"
             and minibatch is None
+            and method == "mu"
             and n_samples * n_channels >= (1 << 20)
         )
     use_pallas = bool(use_pallas)
     if use_pallas and minibatch is not None:
         raise DecompError("use_pallas=True is incompatible with minibatch")
+    if use_pallas and method != "mu":
+        raise DecompError("use_pallas=True currently supports method='mu'")
 
     seed = jnp.asarray(random_seed, jnp.uint32)
     # TPU f32 matmuls default to fast bfloat16 MXU passes, which injects
@@ -146,8 +150,8 @@ def solve(
         return _solve(
             y, d, x, mask, seed,
             jnp.asarray(tol), jnp.asarray(eps), jnp.asarray(forget),
-            rank=rank, maxiter=int(maxiter), minibatch=minibatch,
-            inner_iter=int(inner_iter),
+            rank=rank, maxiter=int(maxiter), method=method,
+            minibatch=minibatch, inner_iter=int(inner_iter),
             record_objective=bool(record_objective),
             use_pallas=use_pallas,
             pallas_block_rows=pallas_block_rows,
@@ -157,13 +161,13 @@ def solve(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rank", "maxiter", "minibatch", "inner_iter",
+    static_argnames=("rank", "maxiter", "method", "minibatch", "inner_iter",
                      "record_objective", "use_pallas", "pallas_block_rows",
                      "pallas_interpret"),
 )
 def _solve(y, d, x, mask, seed, tol, eps, forget, *, rank, maxiter,
-           minibatch, inner_iter, record_objective, use_pallas=False,
-           pallas_block_rows=None, pallas_interpret=False):
+           method="mu", minibatch, inner_iter, record_objective,
+           use_pallas=False, pallas_block_rows=None, pallas_interpret=False):
     rdt = real_dtype(y.dtype)
     eps = eps.astype(rdt)
     key = jax.random.PRNGKey(seed)
@@ -179,11 +183,19 @@ def _solve(y, d, x, mask, seed, tol, eps, forget, *, rank, maxiter,
             block_rows=pallas_block_rows, interpret=pallas_interpret,
         )
 
-    def objective(state):
-        x_, d_ = state[0], state[1]
-        recon = x_ @ d_
-        resid = (my - recon) if mask is None else (my - mask * recon)
-        return 0.5 * jnp.sum(resid * resid)
+    if method == "mu":
+        upd_x, upd_d = _update_x, _update_d
+
+        def objective(state):
+            x_, d_ = state[0], state[1]
+            recon = x_ @ d_
+            resid = (my - recon) if mask is None else (my - mask * recon)
+            return 0.5 * jnp.sum(resid * resid)
+    else:  # kl-mu
+        upd_x, upd_d = _update_x_kl, _update_d_kl
+
+        def objective(state):
+            return _kl_objective(my, state[0], state[1], mask, eps)
 
     def diff_fn(old, new):
         d_old, d_new = old[1], new[1]
@@ -195,8 +207,12 @@ def _solve(y, d, x, mask, seed, tol, eps, forget, *, rank, maxiter,
         def step(state, it):
             del it
             x_, d_ = state
-            x_ = _update_x(my, x_, d_, mask, eps)
-            d_ = _update_d(my, x_, d_, mask, eps)
+            # named_scope -> phases visible in jax.profiler / Perfetto
+            # traces (SURVEY.md §5 'Tracing / profiling').
+            with jax.named_scope("nmf_x_update"):
+                x_ = upd_x(my, x_, d_, mask, eps)
+            with jax.named_scope("nmf_d_update"):
+                d_ = upd_d(my, x_, d_, mask, eps)
             return (x_, d_)
 
         init = (x, d)
@@ -216,17 +232,27 @@ def _solve(y, d, x, mask, seed, tol, eps, forget, *, rank, maxiter,
             mb = None if mask is None else jnp.take(mask, idx, axis=0)
             xb = jnp.take(x_, idx, axis=0)
             for _ in range(inner_iter):
-                xb = _update_x(yb, xb, d_, mb, eps)
+                xb = upd_x(yb, xb, d_, mb, eps)
             x_ = x_.at[idx].set(xb)
             f = forget.astype(rdt)
-            recon = xb @ d_ if mb is None else mb * (xb @ d_)
-            acc_num = f * acc_num + xb.T @ yb
-            acc_den = f * acc_den + xb.T @ recon
+            if method == "mu":
+                recon = xb @ d_ if mb is None else mb * (xb @ d_)
+                acc_num = f * acc_num + xb.T @ yb
+                acc_den = f * acc_den + xb.T @ recon
+            else:  # kl-mu: accumulate x.T(y/r) and x.T mask (or col sums)
+                r = xb @ d_ + eps
+                acc_num = f * acc_num + xb.T @ (yb / r)
+                if mb is None:
+                    acc_den = f * acc_den + jnp.sum(xb, axis=0)[:, None]
+                else:
+                    acc_den = f * acc_den + xb.T @ mb
             d_ = d_ * acc_num / (acc_den + eps)
             return (x_, d_, acc_num, acc_den)
 
         zeros = jnp.zeros_like(d)
-        init = (x, d, zeros, zeros)
+        den_zeros = (jnp.zeros((d.shape[0], 1), d.dtype)
+                     if method == "kl-mu" and mask is None else zeros)
+        init = (x, d, zeros, den_zeros)
 
     res = run_iterations(
         step, init, tol=tol, maxiter=maxiter, diff_fn=diff_fn,
@@ -338,6 +364,47 @@ def _update_d(my, x, d, mask, eps, psum_rows=_identity):
         num = psum_rows(x.T @ my)
         den = psum_rows(x.T @ (mask * (x @ d)))
     return d * num / (den + eps)
+
+
+def _update_x_kl(my, x, d, mask, eps, psum_cols=_identity):
+    """One Lee-Seung KL-divergence x update.
+
+    x <- x * ((mask*y / (x@d + eps)) @ d.T) / ((mask or 1) @ d.T + eps)
+    For mask=None the denominator is the row-sum of d broadcast over
+    samples. ``my`` is the pre-masked data, so my/(x@d+eps) is already the
+    masked ratio.
+    """
+    r = x @ d + eps
+    num = psum_cols((my / r) @ d.T)
+    if mask is None:
+        den = psum_cols(jnp.sum(d, axis=1))
+    else:
+        den = psum_cols(mask @ d.T)
+    return x * num / (den + eps)
+
+
+def _update_d_kl(my, x, d, mask, eps, psum_rows=_identity):
+    """One Lee-Seung KL-divergence d update.
+
+    d <- d * (x.T @ (mask*y / (x@d + eps))) / (x.T @ (mask or 1) + eps)
+    """
+    r = x @ d + eps
+    num = psum_rows(x.T @ (my / r))
+    if mask is None:
+        den = psum_rows(jnp.sum(x, axis=0))[:, None]
+    else:
+        den = psum_rows(x.T @ mask)
+    return d * num / (den + eps)
+
+
+def _kl_objective(my, x, d, mask, eps):
+    """Generalised KL divergence D(y || x@d) over observed entries."""
+    r = x @ d + eps
+    if mask is not None:
+        r = mask * r
+    # y*log(y/r) with the 0*log0 = 0 convention.
+    ylogy = jnp.where(my > 0, my * jnp.log(my / (r + eps)), 0.0)
+    return jnp.sum(ylogy - my + r)
 
 
 def _init_factors(key, y, d, x, rank):

@@ -161,12 +161,22 @@ def _check_aligned(m, n, k, block_rows):
                          "(pre-pad outside the loop)")
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
-def mu_update_dense(y, x, d, eps, *, block_rows=None, interpret=False):
+def mu_update_dense(y, x, d, eps, *, block_rows=None, interpret=False,
+                    psum=None, vma=None):
     """One fused dense MU iteration. Returns (x_new, d_new).
 
     Single pass over ``y``; d_new is formed from the kernel's accumulated
     sufficient statistics with an O(KN + K^2 N / tile) epilogue.
+
+    ``psum``: optional collective applied to the d-update sufficient
+    statistics between the kernel and the epilogue — under a row-sharded
+    ``shard_map``, the kernel computes LOCAL partial statistics on each
+    device's row block and ``psum`` (lax.psum over the row axis) turns
+    them into the global ones (SURVEY.md §2b N5). The x update is fully
+    row-local, so this is the only cross-device point.
+
+    ``vma``: when called inside a ``shard_map`` with vma checking, the set
+    of mesh axes the kernel's outputs vary over (e.g. {row_axis}).
     """
     m, n = y.shape
     k = d.shape[0]
@@ -202,9 +212,9 @@ def mu_update_dense(y, x, d, eps, *, block_rows=None, interpret=False):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((m, k), x.dtype),
-            jax.ShapeDtypeStruct((k, n), jnp.float32),
-            jax.ShapeDtypeStruct((k, k), jnp.float32),
+            jax.ShapeDtypeStruct((m, k), x.dtype, vma=vma),
+            jax.ShapeDtypeStruct((k, n), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((k, k), jnp.float32, vma=vma),
         ],
         scratch_shapes=[
             pltpu.VMEM((k, n), jnp.float32),
@@ -219,6 +229,8 @@ def mu_update_dense(y, x, d, eps, *, block_rows=None, interpret=False):
         interpret=interpret,
     )(eps32, ddt, y, x, d)
 
+    if psum is not None:
+        numd, gram = psum(numd), psum(gram)
     den_d = jnp.dot(gram, d.astype(jnp.float32),
                     preferred_element_type=jnp.float32)
     d_new = (d.astype(jnp.float32) * numd / (den_d + eps32[0])).astype(
@@ -226,9 +238,8 @@ def mu_update_dense(y, x, d, eps, *, block_rows=None, interpret=False):
     return x_new, d_new
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
 def mu_update_masked(my, mask, x, d, eps, *, block_rows=None,
-                     interpret=False):
+                     interpret=False, psum=None, vma=None):
     """One fused masked MU iteration. Returns (x_new, d_new).
 
     ``my`` is the pre-masked data (mask * y, computed once outside the
@@ -266,9 +277,9 @@ def mu_update_masked(my, mask, x, d, eps, *, block_rows=None,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((m, k), x.dtype),
-            jax.ShapeDtypeStruct((k, n), jnp.float32),
-            jax.ShapeDtypeStruct((k, n), jnp.float32),
+            jax.ShapeDtypeStruct((m, k), x.dtype, vma=vma),
+            jax.ShapeDtypeStruct((k, n), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((k, n), jnp.float32, vma=vma),
         ],
         scratch_shapes=[
             pltpu.VMEM((k, n), jnp.float32),
@@ -284,6 +295,8 @@ def mu_update_masked(my, mask, x, d, eps, *, block_rows=None,
         interpret=interpret,
     )(eps32, my, mask, x, d)
 
+    if psum is not None:
+        numd, dend = psum(numd), psum(dend)
     d_new = (d.astype(jnp.float32) * numd / (dend + eps32[0])).astype(
         d.dtype)
     return x_new, d_new

@@ -25,7 +25,16 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from decomp_tpu.models.nmf import _init_factors, _update_d, _update_x
+from decomp_tpu.ops import pallas_mu
+
+from decomp_tpu.models.nmf import (
+    _init_factors,
+    _kl_objective,
+    _update_d,
+    _update_d_kl,
+    _update_x,
+    _update_x_kl,
+)
 from decomp_tpu.ops.loop import run_iterations
 from decomp_tpu.utils import assertion
 from decomp_tpu.utils.dtypes import real_dtype
@@ -44,11 +53,15 @@ def solve(
     col_axis: Optional[str] = None,
     tol=1e-4,
     maxiter: int = 1000,
+    method: str = "mu",
     mask=None,
     random_seed: int = 0,
     eps: float = 1e-15,
     record_objective: bool = False,
     precision: str = "highest",
+    use_pallas="auto",
+    pallas_block_rows: Optional[int] = None,
+    _pallas_interpret: bool = False,
 ) -> NMFResult:
     """Sharded ``y ≈ x @ d`` with nonnegative factors.
 
@@ -58,11 +71,19 @@ def solve(
     col_axis). Inputs may be ordinary host arrays (jit will shard them) or
     pre-placed global arrays (e.g. via ``parallel.shard_rows``). Global
     row/column counts must divide the respective mesh axis sizes.
+
+    use_pallas: as in ``decomp_tpu.nmf.solve`` — for row-only sharding
+    (col_axis=None, method='mu') each device runs the fused single-pass
+    Pallas kernel on its local row block and only the K-sized sufficient
+    statistics are psum'd; with a column axis the x update itself needs a
+    mid-iteration collective, so the jnp path is used.
     """
     assertion.assert_ndim("y", y, 2)
     y = jnp.asarray(y)
     assertion.assert_real("y", y)
     n_samples, n_channels = y.shape
+    if method not in ("mu", "kl-mu"):
+        raise DecompError(f"method must be 'mu' or 'kl-mu', got {method!r}")
 
     if row_axis not in mesh.axis_names:
         raise DecompError(f"row_axis {row_axis!r} not in mesh axes "
@@ -96,22 +117,40 @@ def solve(
         assertion.assert_same_shape("mask", mask, "y", y)
         mask = jnp.asarray(mask, y.dtype)
 
+    if use_pallas == "auto":
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and method == "mu"
+            and col_axis is None
+            and (n_samples // n_rows) * n_channels >= (1 << 20)
+        )
+    use_pallas = bool(use_pallas)
+    if use_pallas and (method != "mu" or col_axis is not None):
+        raise DecompError("use_pallas=True requires method='mu' and "
+                          "col_axis=None (row-only sharding)")
+
     seed = jnp.asarray(random_seed, jnp.uint32)
     with jax.default_matmul_precision(precision):
         return _solve_sharded(
             y, d, x, mask, seed, jnp.asarray(tol), jnp.asarray(eps),
-            rank=rank, maxiter=int(maxiter), mesh=mesh, row_axis=row_axis,
-            col_axis=col_axis, record_objective=bool(record_objective),
+            rank=rank, maxiter=int(maxiter), method=method, mesh=mesh,
+            row_axis=row_axis, col_axis=col_axis,
+            record_objective=bool(record_objective),
+            use_pallas=use_pallas, pallas_block_rows=pallas_block_rows,
+            pallas_interpret=bool(_pallas_interpret),
         )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rank", "maxiter", "mesh", "row_axis", "col_axis",
-                     "record_objective"),
+    static_argnames=("rank", "maxiter", "method", "mesh", "row_axis",
+                     "col_axis", "record_objective", "use_pallas",
+                     "pallas_block_rows", "pallas_interpret"),
 )
-def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter, mesh,
-                   row_axis, col_axis, record_objective):
+def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter,
+                   method, mesh, row_axis, col_axis, record_objective,
+                   use_pallas=False, pallas_block_rows=None,
+                   pallas_interpret=False):
     rdt = real_dtype(y.dtype)
     eps = eps.astype(rdt)
 
@@ -157,12 +196,47 @@ def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter, mesh,
                 x_l = scale * jax.random.uniform(
                     kx, (y_l.shape[0], rank), dtype=y_l.dtype)
 
-        def step(state, it):
-            del it
-            x_, d_ = state
-            x_ = _update_x(my_l, x_, d_, mask_l, eps, psum_cols=psum_c)
-            d_ = _update_d(my_l, x_, d_, mask_l, eps, psum_rows=psum_r)
-            return (x_, d_)
+        m_l, n_l = my_l.shape
+        if use_pallas:
+            # Fused per-device kernels on local row blocks; only the
+            # K x N / K x K sufficient statistics cross devices.
+            n_pad = -(-n_l // 128) * 128
+            k_pad = -(-rank // 128) * 128
+            br = pallas_block_rows or pallas_mu.default_block_rows(
+                n_pad, k_pad, my_l.dtype.itemsize, mask_l is not None)
+            br = min(br, -(-m_l // 8) * 8)
+            m_pad = -(-m_l // br) * br
+            my_l = jnp.pad(my_l, ((0, m_pad - m_l), (0, n_pad - n_l)))
+            d_l = jnp.pad(d_l, ((0, k_pad - rank), (0, n_pad - n_l)))
+            x_l = jnp.pad(x_l, ((0, m_pad - m_l), (0, k_pad - rank)))
+            if mask_l is not None:
+                mask_l = jnp.pad(mask_l,
+                                 ((0, m_pad - m_l), (0, n_pad - n_l)))
+
+            vma = frozenset({row_axis})
+            if mask_l is None:
+                def step(state, it):
+                    del it
+                    return pallas_mu.mu_update_dense(
+                        my_l, state[0], state[1], eps, block_rows=br,
+                        interpret=pallas_interpret, psum=psum_r, vma=vma)
+            else:
+                def step(state, it):
+                    del it
+                    return pallas_mu.mu_update_masked(
+                        my_l, mask_l, state[0], state[1], eps,
+                        block_rows=br, interpret=pallas_interpret,
+                        psum=psum_r, vma=vma)
+        else:
+            upd_x = _update_x if method == "mu" else _update_x_kl
+            upd_d = _update_d if method == "mu" else _update_d_kl
+
+            def step(state, it):
+                del it
+                x_, d_ = state
+                x_ = upd_x(my_l, x_, d_, mask_l, eps, psum_c)
+                d_ = upd_d(my_l, x_, d_, mask_l, eps, psum_r)
+                return (x_, d_)
 
         tiny = jnp.asarray(jnp.finfo(rdt).tiny, rdt)
 
@@ -174,6 +248,9 @@ def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter, mesh,
             return num / jnp.maximum(den, tiny)
 
         def objective(state):
+            if method == "kl-mu":
+                return psum_all(
+                    _kl_objective(my_l, state[0], state[1], mask_l, eps))
             recon = state[0] @ state[1]
             resid = (my_l - recon) if mask_l is None else (
                 my_l - mask_l * recon)
@@ -183,8 +260,11 @@ def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter, mesh,
             step, (x_l, d_l), tol=tol, maxiter=maxiter, diff_fn=diff_fn,
             objective_fn=objective, record_objective=record_objective,
         )
-        return res.state[0], res.state[1], res.niter, res.converged, \
-            res.objective
+        x_out, d_out = res.state[0], res.state[1]
+        if use_pallas:  # slice the alignment padding back off
+            x_out = x_out[:m_l, :rank]
+            d_out = d_out[:rank, :n_l]
+        return x_out, d_out, res.niter, res.converged, res.objective
 
     in_specs = (data_spec,
                 None if d is None else d_spec,
@@ -193,8 +273,14 @@ def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter, mesh,
                 scalar_spec, scalar_spec, scalar_spec)
     out_specs = (x_spec, d_spec, scalar_spec, scalar_spec, scalar_spec)
 
+    # check_vma must be off for the Pallas branch: the varying-manual-axes
+    # checker cannot propagate vma through pallas_call internals
+    # (dot_general inside the kernel sees mixed {row_axis}/{} operands).
+    # Correctness of that branch is pinned by the equivalence tests against
+    # the vma-checked jnp path (tests/test_sharded.py).
     x_g, d_g, niter, converged, objective = jax.shard_map(
         body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=not use_pallas,
     )(y, d, x, mask, seed, tol, eps)
     return NMFResult(x=x_g, d=d_g, niter=niter, converged=converged,
                      objective=objective)

@@ -1,0 +1,102 @@
+"""Lightweight checkpoint/resume (SURVEY.md §5 'Checkpoint / resume').
+
+The reference's resume contract is its warm-start arguments — pass the
+factors back in (SURVEY.md §5). This module keeps that contract and adds
+the mandated orbax-free persistence layer for long pod-scale runs: factor
+snapshots as atomic .npz files, plus ``checkpointed_solve``, which runs any
+decomp_tpu solver in fixed-iteration chunks, snapshotting the warm-start
+fields between chunks so an interrupted run resumes where it stopped.
+"""
+
+import os
+import tempfile
+from typing import Callable, Dict, Sequence, Tuple
+
+import numpy as np
+
+_STEP_KEY = "__decomp_tpu_step__"
+
+
+class CheckpointManager:
+    """Atomic .npz snapshots of a {name: array} state dict at ``path``."""
+
+    def __init__(self, path: str):
+        if not str(path).endswith(".npz"):
+            path = str(path) + ".npz"
+        self.path = str(path)
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    def save(self, step: int, state: Dict[str, np.ndarray]) -> None:
+        """Write atomically (tmp file + rename) so a crash mid-save can
+        never corrupt the previous snapshot."""
+        payload = {k: np.asarray(v) for k, v in state.items()}
+        payload[_STEP_KEY] = np.asarray(int(step))
+        directory = os.path.dirname(os.path.abspath(self.path))
+        fd, tmp = tempfile.mkstemp(suffix=".npz.tmp", dir=directory)
+        try:
+            with os.fdopen(fd, "wb") as f:
+                np.savez(f, **payload)
+            os.replace(tmp, self.path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+
+    def load(self) -> Tuple[int, Dict[str, np.ndarray]]:
+        with np.load(self.path) as data:
+            state = {k: data[k] for k in data.files if k != _STEP_KEY}
+            step = int(data[_STEP_KEY])
+        return step, state
+
+
+def checkpointed_solve(
+    solve_fn: Callable,
+    *args,
+    manager: CheckpointManager,
+    chunk_iters: int = 100,
+    maxiter: int = 1000,
+    warm_fields: Sequence[str] = ("x", "d"),
+    **kwargs,
+):
+    """Run ``solve_fn`` in chunks of ``chunk_iters``, checkpointing between.
+
+    ``solve_fn`` is any decomp_tpu ``solve`` (nmf / lasso /
+    dictionary_learning, single-device or sharded); ``warm_fields`` names
+    the result fields that are both returned and accepted as warm-start
+    kwargs (the reference's resume contract). If the manager's file exists,
+    the run resumes from it: completed iterations count against
+    ``maxiter``.
+
+    Chunking is exact for solvers whose state is exactly the warm-start
+    fields (MU-NMF, ISTA, coordinate descent). Momentum methods (FISTA /
+    acc_ista) restart their acceleration at each chunk boundary — still
+    convergent, marginally slower than an uninterrupted run.
+
+    Returns (last_result, total_iterations_run_across_all_sessions).
+    """
+    if chunk_iters < 1:
+        raise ValueError("chunk_iters must be >= 1")
+    total = 0
+    warm: Dict[str, np.ndarray] = {}
+    if manager.exists():
+        total, warm = manager.load()
+
+    result = None
+    while total < maxiter:
+        it = min(chunk_iters, maxiter - total)
+        call_kwargs = dict(kwargs)
+        call_kwargs.update(warm)
+        result = solve_fn(*args, maxiter=it, **call_kwargs)
+        total += int(result.niter)
+        warm = {f: np.asarray(getattr(result, f)) for f in warm_fields}
+        manager.save(total, warm)
+        if bool(result.converged):
+            break
+    if result is None:
+        raise RuntimeError(
+            f"checkpoint at {manager.path} already holds {total} >= "
+            f"maxiter={maxiter} iterations; raise maxiter to continue, or "
+            "read the factors directly via manager.load()")
+    return result, total

@@ -132,8 +132,9 @@ def lasso(y, a, alpha, x=None, *, tol=1e-5, maxiter=1000, method="fista",
 
 # ---------------------------------------------------------------------- NMF
 
-def nmf(y, x, d, *, tol=1e-4, maxiter=1000, mask=None, eps=1e-15):
-    """Mirror of decomp_tpu.nmf.solve (full-batch 'mu', L2 loss).
+def nmf(y, x, d, *, tol=1e-4, maxiter=1000, mask=None, eps=1e-15,
+        method="mu"):
+    """Mirror of decomp_tpu.nmf.solve (full-batch 'mu' L2 / 'kl-mu' KL).
 
     Returns (x, d, niter, converged, objectives list).
     """
@@ -144,21 +145,36 @@ def nmf(y, x, d, *, tol=1e-4, maxiter=1000, mask=None, eps=1e-15):
 
     def objective(x_, d_):
         recon = x_ @ d_
-        resid = (my - recon) if mask is None else (my - mask * recon)
-        return 0.5 * np.sum(resid * resid)
+        if method == "mu":
+            resid = (my - recon) if mask is None else (my - mask * recon)
+            return 0.5 * np.sum(resid * resid)
+        r = recon + eps
+        if mask is not None:
+            r = mask * r
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ylogy = np.where(my > 0, my * np.log(my / (r + eps)), 0.0)
+        return np.sum(ylogy - my + r)
 
     objs = []
     converged, it = False, 0
     for it in range(1, maxiter + 1):
         d_old = d.copy()
-        # x update
-        num = my @ d.T
-        den = x @ (d @ d.T) if mask is None else (mask * (x @ d)) @ d.T
-        x = x * num / (den + eps)
-        # d update
-        num = x.T @ my
-        den = (x.T @ x) @ d if mask is None else x.T @ (mask * (x @ d))
-        d = d * num / (den + eps)
+        if method == "mu":
+            num = my @ d.T
+            den = x @ (d @ d.T) if mask is None else (mask * (x @ d)) @ d.T
+            x = x * num / (den + eps)
+            num = x.T @ my
+            den = (x.T @ x) @ d if mask is None else x.T @ (mask * (x @ d))
+            d = d * num / (den + eps)
+        else:  # kl-mu
+            r = x @ d + eps
+            num = (my / r) @ d.T
+            den = d.sum(axis=1) if mask is None else mask @ d.T
+            x = x * num / (den + eps)
+            r = x @ d + eps
+            num = x.T @ (my / r)
+            den = x.sum(axis=0)[:, None] if mask is None else x.T @ mask
+            d = d * num / (den + eps)
         objs.append(objective(x, d))
         diff = l2_norm(d - d_old) / max(l2_norm(d_old), TINY64)
         if diff < tol:

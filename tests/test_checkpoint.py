@@ -1,0 +1,83 @@
+"""Checkpoint/resume tier (SURVEY.md §5): chunked solves snapshot warm-start
+fields atomically and resume to the same answer."""
+
+import numpy as np
+import pytest
+
+import decomp_tpu
+from decomp_tpu.utils.checkpoint import CheckpointManager, checkpointed_solve
+from problems import planted_nmf, rel_err
+
+
+def _problem():
+    y, *_ = planted_nmf(seed=30, n_samples=60, n_channels=40, rank=4)
+    rng = np.random.default_rng(31)
+    x0 = rng.uniform(0.1, 1.0, (60, 4))
+    d0 = rng.uniform(0.1, 1.0, (4, 40))
+    return y, x0, d0
+
+
+def test_chunked_matches_straight_run(tmp_path):
+    y, x0, d0 = _problem()
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    res, total = checkpointed_solve(
+        decomp_tpu.nmf.solve, y, manager=mgr, chunk_iters=25, maxiter=100,
+        tol=0.0, d=d0, x=x0)
+    assert total == 100
+    straight = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=100)
+    assert rel_err(res.d, straight.d) < 1e-12
+    assert rel_err(res.x, straight.x) < 1e-12
+
+
+def test_resume_after_interruption(tmp_path):
+    y, x0, d0 = _problem()
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    # "crash" after 50 of 100 iterations
+    checkpointed_solve(decomp_tpu.nmf.solve, y, manager=mgr, chunk_iters=25,
+                       maxiter=50, tol=0.0, d=d0, x=x0)
+    assert mgr.exists()
+    step, state = mgr.load()
+    assert step == 50 and set(state) == {"x", "d"}
+    # resume to 100 in a fresh "session"
+    res, total = checkpointed_solve(
+        decomp_tpu.nmf.solve, y, manager=mgr, chunk_iters=25, maxiter=100,
+        tol=0.0, d=d0, x=x0)
+    assert total == 100
+    straight = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=100)
+    assert rel_err(res.d, straight.d) < 1e-12
+
+
+def test_stops_on_convergence(tmp_path):
+    y, x0, d0 = _problem()
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    res, total = checkpointed_solve(
+        decomp_tpu.nmf.solve, y, manager=mgr, chunk_iters=2000,
+        maxiter=100000, tol=1e-5, d=d0, x=x0)
+    assert bool(res.converged)
+    assert total < 100000
+
+
+def test_lasso_checkpointing(tmp_path):
+    rng = np.random.default_rng(32)
+    a = rng.normal(size=(16, 24))
+    y = rng.normal(size=(8, 24))
+    mgr = CheckpointManager(str(tmp_path / "lasso"))
+    # ISTA is Markovian in x, so chunked == straight exactly. (FISTA's
+    # momentum restarts at chunk boundaries — still correct, just slower.)
+    res, total = checkpointed_solve(
+        decomp_tpu.lasso.solve, y, a, 0.05, manager=mgr, chunk_iters=10,
+        maxiter=40, tol=0.0, method="ista", warm_fields=("x",))
+    straight = decomp_tpu.lasso.solve(y, a, 0.05, tol=0.0, maxiter=40,
+                                      method="ista")
+    assert total == 40
+    assert rel_err(res.x, straight.x) < 1e-12
+
+
+def test_exhausted_budget_raises(tmp_path):
+    y, x0, d0 = _problem()
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    checkpointed_solve(decomp_tpu.nmf.solve, y, manager=mgr, chunk_iters=10,
+                       maxiter=10, tol=0.0, d=d0, x=x0)
+    with pytest.raises(RuntimeError):
+        checkpointed_solve(decomp_tpu.nmf.solve, y, manager=mgr,
+                           chunk_iters=10, maxiter=10, tol=0.0, d=d0, x=x0)

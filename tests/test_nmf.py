@@ -35,6 +35,42 @@ def test_trajectory_parity_f64(masked):
         np.asarray(res.objective), np.asarray(objs), rtol=1e-9)
 
 
+@pytest.mark.parametrize("masked", [False, True])
+def test_kl_trajectory_parity_f64(masked):
+    y, *_ = planted_nmf(seed=21)
+    mask = random_mask(22, y.shape) if masked else None
+    x0, d0 = _init(23, y.shape[0], y.shape[1], 5)
+    x_ref, d_ref, _, _, objs = ref.nmf(
+        y, x0, d0, tol=0.0, maxiter=40, mask=mask, method="kl-mu")
+    res = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=40, mask=mask,
+                               method="kl-mu", record_objective=True)
+    assert rel_err(res.x, x_ref) < 1e-10
+    assert rel_err(res.d, d_ref) < 1e-10
+    np.testing.assert_allclose(np.asarray(res.objective), np.asarray(objs),
+                               rtol=1e-8)
+
+
+def test_kl_objective_decreases():
+    y, *_ = planted_nmf(seed=24, noise=0.0)
+    x0, d0 = _init(25, y.shape[0], y.shape[1], 5)
+    res = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=300,
+                               method="kl-mu", record_objective=True)
+    objs = np.asarray(res.objective)
+    assert np.all(np.diff(objs) <= np.abs(objs[:-1]) * 1e-10 + 1e-10)
+    recon = np.asarray(res.x) @ np.asarray(res.d)
+    assert rel_err(recon, y) < 0.05
+
+
+def test_kl_minibatch_runs():
+    y, *_ = planted_nmf(seed=26, n_samples=120, rank=4)
+    x0, d0 = _init(27, y.shape[0], y.shape[1], 4)
+    res = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=200,
+                               method="kl-mu", minibatch=24, inner_iter=2,
+                               random_seed=28, record_objective=True)
+    objs = np.asarray(res.objective)
+    assert objs[-1] < objs[0]
+
+
 def test_convergence_and_reconstruction():
     y, x_true, d_true = planted_nmf(seed=4, noise=0.0)
     x0, d0 = _init(5, y.shape[0], y.shape[1], 5)

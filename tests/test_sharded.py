@@ -87,6 +87,19 @@ def test_sharded_nmf_convergence_agrees(mesh8):
     assert int(res.niter) == int(ref.niter)
 
 
+@pytest.mark.parametrize("masked", [False, True])
+def test_2d_sharded_kl_nmf_matches_single_device(mesh4x2, masked):
+    y, *_ = planted_nmf(seed=19, n_samples=64, n_channels=40, rank=5)
+    mask = random_mask(20, y.shape) if masked else None
+    x0, d0 = _init(21, 64, 40, 5)
+    ref = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=30, mask=mask,
+                               method="kl-mu")
+    res = parallel.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=30, mask=mask,
+                             method="kl-mu", mesh=mesh4x2, col_axis="cols")
+    assert rel_err(res.x, ref.x) < 1e-12
+    assert rel_err(res.d, ref.d) < 1e-12
+
+
 @pytest.mark.parametrize("method", ["ista", "fista", "acc_ista",
                                     "parallel_cd", "cd"])
 def test_sharded_lasso_matches_single_device(mesh8, method):
@@ -108,6 +121,27 @@ def test_sharded_lasso_masked_and_early_stop(mesh8):
     assert bool(res.converged)
     assert int(res.niter) == int(ref.niter)
     assert rel_err(res.x, ref.x) < 1e-10
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_row_sharded_pallas_matches_jnp_path(mesh8, masked):
+    """The fused per-device Pallas kernels (interpret mode) under shard_map
+    track the jnp sharded path, including ragged local shapes that
+    exercise the in-body padding."""
+    y, *_ = planted_nmf(seed=22, n_samples=80, n_channels=50, rank=4)
+    y = y.astype(np.float32)
+    mask = (random_mask(23, y.shape).astype(np.float32) if masked else None)
+    rng = np.random.default_rng(24)
+    x0 = rng.uniform(0.1, 1.0, (80, 4)).astype(np.float32)
+    d0 = rng.uniform(0.1, 1.0, (4, 50)).astype(np.float32)
+    ref = parallel.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=12, mask=mask,
+                             mesh=mesh8, use_pallas=False)
+    res = parallel.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=12, mask=mask,
+                             mesh=mesh8, use_pallas=True,
+                             pallas_block_rows=8, _pallas_interpret=True)
+    assert res.x.shape == ref.x.shape and res.d.shape == ref.d.shape
+    assert rel_err(res.x, ref.x) < 1e-4
+    assert rel_err(res.d, ref.d) < 1e-4
 
 
 def test_pre_placed_global_arrays(mesh8):

@@ -1,0 +1,106 @@
+"""TPU-vs-CPU convergence-curve parity check (SURVEY.md §4.2, §7 hard
+part 2; BASELINE.json:5 'bitwise-stable convergence curves vs the CPU
+reference').
+
+Runs the same solve, same dtype, same inputs on BOTH backends in one
+process (the CPU backend is always available alongside the TPU) and
+reports per-iteration objective-curve agreement plus final-factor
+agreement. With precision='highest' the TPU f32 matmul path is f32-exact
+per pass, so curves agree to f32 reduction-order noise (~1e-6 relative);
+the default bf16-pass precision would diverge at ~1e-3 — this script is
+the regression guard for that policy.
+
+Usage:  python tools/parity_check.py [--maxiter 200]
+"""
+
+import argparse
+import os
+import sys
+
+import jax
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import decomp_tpu  # noqa: E402
+
+
+def run_on(device, fn):
+    with jax.default_device(device):
+        return fn()
+
+
+def curves(res):
+    return np.asarray(res.objective, np.float64)[: int(res.niter)]
+
+
+def rel(a, b):
+    # Scale-aware: normalise by the pointwise magnitude plus a floor tied
+    # to the curve's initial scale — a pointwise-relative metric explodes
+    # spuriously as objectives decay toward zero (e.g. KL on a noiseless
+    # fit) even when trajectories agree.
+    floor = 1e-6 * np.max(np.abs(b)) if b.size else 1e-30
+    return float(np.max(np.abs(a - b) / (np.abs(b) + floor)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--maxiter", type=int, default=200)
+    args = ap.parse_args()
+
+    cpu = jax.devices("cpu")[0]
+    accel = jax.devices()[0]
+    if accel.platform == "cpu":
+        print("no accelerator visible; nothing to compare")
+        return 1
+
+    rng = np.random.default_rng(0)
+    m, n, k = 400, 200, 8
+    y = np.maximum(
+        rng.uniform(0, 1, (m, k)) @ rng.uniform(0, 1, (k, n))
+        + 0.01 * rng.normal(size=(m, n)), 0).astype(np.float32)
+    x0 = rng.uniform(0.1, 1.0, (m, k)).astype(np.float32)
+    d0 = rng.uniform(0.1, 1.0, (k, n)).astype(np.float32)
+
+    a = rng.normal(size=(64, 96)).astype(np.float32)
+    yl = rng.normal(size=(32, 96)).astype(np.float32)
+
+    checks = {
+        "nmf_mu": lambda: decomp_tpu.nmf.solve(
+            y, d0, x=x0, tol=0.0, maxiter=args.maxiter,
+            record_objective=True, use_pallas=False),
+        "nmf_kl": lambda: decomp_tpu.nmf.solve(
+            y, d0, x=x0, tol=0.0, maxiter=args.maxiter, method="kl-mu",
+            record_objective=True),
+        "lasso_fista": lambda: decomp_tpu.lasso.solve(
+            yl, a, 0.05, tol=0.0, maxiter=args.maxiter,
+            record_objective=True),
+        "dict_learn": lambda: decomp_tpu.dictionary_learning.solve(
+            yl, a[:16], 0.05, tol=0.0, maxiter=min(args.maxiter, 40),
+            record_objective=True),
+    }
+
+    worst = 0.0
+    for name, fn in checks.items():
+        r_acc = run_on(accel, fn)
+        r_cpu = run_on(cpu, fn)
+        c_acc, c_cpu = curves(r_acc), curves(r_cpu)
+        nmin = min(len(c_acc), len(c_cpu))
+        curve_rel = rel(c_acc[:nmin], c_cpu[:nmin])
+        fac_rel = float(
+            np.linalg.norm(np.asarray(r_acc.x, np.float64)
+                           - np.asarray(r_cpu.x, np.float64))
+            / max(np.linalg.norm(np.asarray(r_cpu.x, np.float64)), 1e-30))
+        worst = max(worst, curve_rel)
+        print(f"{name:12s} curve max rel dev {curve_rel:.3e}   "
+              f"final-x rel dev {fac_rel:.3e}")
+
+    budget = 1e-4  # f32 reduction-order noise accumulated over iterations
+    status = "PASS" if worst <= budget else "FAIL"
+    print(f"{status}: worst curve deviation {worst:.3e} "
+          f"(budget {budget:.0e}, {accel.platform} vs cpu, f32 'highest')")
+    return 0 if worst <= budget else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
