@@ -31,6 +31,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from decomp_tpu.ops.loop import run_iterations
 from decomp_tpu.ops.soft_threshold import soft_threshold
@@ -57,6 +58,7 @@ def solve(
     lipschitz=None,
     record_objective: bool = False,
     precision: str = "highest",
+    complex_split="auto",
 ) -> LassoResult:
     """Solve  min_x 0.5*||mask*(y - x@a)||^2 + alpha*||x||_1.
 
@@ -76,6 +78,13 @@ def solve(
     lipschitz : optional user-supplied L >= lambda_max(a @ a^H); skips the
         on-device power-iteration estimate.
     record_objective : record the objective per iteration (extra matmul).
+    complex_split : True / False / 'auto'. TPU backends have limited or no
+        complex-dtype support (SURVEY.md §7 hard part 5); with split mode
+        the solver runs complex problems as (real, imag) pairs — each
+        complex matmul becomes four real MXU matmuls — and reassembles the
+        complex solution on the CPU device. 'auto' enables it for complex
+        inputs when the default backend is TPU. Unsupported for method
+        'cd' and requires concrete (non-traced) inputs.
 
     Returns
     -------
@@ -84,6 +93,19 @@ def solve(
     """
     if method not in _METHODS:
         raise DecompError(f"method must be one of {_METHODS}, got {method!r}")
+
+    if complex_split == "auto":
+        complex_split = (_is_complex_concrete(y, a)
+                         and jax.default_backend() == "tpu")
+    if complex_split and _is_complex_concrete(y, a):
+        # Split path: never materialise a complex array on the device.
+        if method == "cd":
+            raise DecompError("complex_split does not support method 'cd'")
+        return _solve_complex_split(
+            y, a, alpha, x, mask, lipschitz, tol=tol, method=method,
+            maxiter=int(maxiter),
+            record_objective=bool(record_objective), precision=precision)
+
     y = jnp.asarray(y)
     a = jnp.asarray(a)
     assertion.assert_inexact("y", y)
@@ -290,3 +312,178 @@ def _solve(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
     )
     return LassoResult(x=res.state[0], niter=res.niter,
                        converged=res.converged, objective=res.objective)
+
+
+def _is_complex_concrete(y, a) -> bool:
+    """True when inputs are concrete (non-traced) and complex-dtyped."""
+    if isinstance(y, jax.core.Tracer) or isinstance(a, jax.core.Tracer):
+        return False
+
+    def dt(v):
+        d = getattr(v, "dtype", None)
+        return d if d is not None else np.asarray(v).dtype
+
+    return bool(np.issubdtype(dt(y), np.complexfloating)
+                or np.issubdtype(dt(a), np.complexfloating))
+
+
+def _solve_complex_split(y, a, alpha, x, mask, lipschitz, *, tol, method,
+                         maxiter, record_objective, precision):
+    """Host-level driver of the split-complex path: decompose on the host,
+    solve over (re, im) real pairs on the accelerator, reassemble the
+    complex solution on the CPU device (complex arrays never touch the
+    accelerator — SURVEY.md §7 hard part 5)."""
+    from decomp_tpu.ops import complex_split as cs
+
+    y_np = np.asarray(y)
+    a_np = np.asarray(a)
+    squeeze = y_np.ndim == 1
+    if squeeze:
+        y_np = y_np[None, :]
+    assertion.assert_ndim("y", y_np, 2)
+    assertion.assert_ndim("a", a_np, 2)
+    assertion.assert_axis_size("a", a_np, 1, y_np.shape[1], "n_channels")
+    cdtype = np.result_type(y_np.dtype, a_np.dtype, np.complex64)
+    rdt = np.finfo(cdtype).dtype
+    ys = cs.from_numpy(y_np.astype(cdtype))
+    a_s = cs.from_numpy(a_np.astype(cdtype))
+    xs = None
+    if x is not None:
+        x_np = np.asarray(x)
+        if squeeze and x_np.ndim == 1:
+            x_np = x_np[None, :]
+        assertion.assert_axis_size("x", x_np, 0, y_np.shape[0], "n_samples")
+        assertion.assert_axis_size("x", x_np, 1, a_np.shape[0],
+                                   "n_features")
+        xs = cs.from_numpy(x_np.astype(cdtype))
+    if mask is not None:
+        mask_np = np.asarray(mask)
+        if squeeze and mask_np.ndim == 1:
+            mask_np = mask_np[None, :]
+        assertion.assert_same_shape("mask", mask_np, "y", y_np)
+        mask = jnp.asarray(mask_np.real.astype(rdt))
+    assertion.assert_nonnegative("alpha", alpha)
+    alpha = jnp.asarray(np.asarray(alpha).real.astype(rdt))
+    lip = None if lipschitz is None else jnp.asarray(lipschitz, rdt)
+
+    with jax.default_matmul_precision(precision):
+        xr, xi, niter, converged, objective = _solve_split(
+            ys, a_s, alpha, xs, mask, lip, jnp.asarray(tol, rdt),
+            method=method, maxiter=maxiter,
+            record_objective=record_objective)
+
+    x_c = np.asarray(xr).astype(rdt) + 1j * np.asarray(xi).astype(rdt)
+    x_c = x_c.astype(cdtype)
+    if squeeze:
+        x_c = x_c[0]
+    cpu = jax.devices("cpu")[0]
+    return LassoResult(x=jax.device_put(x_c, cpu), niter=niter,
+                       converged=converged, objective=objective)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("method", "maxiter", "record_objective")
+)
+def _solve_split(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
+                 record_objective):
+    """Split-complex mirror of ``build_solver`` + ``run_iterations`` for
+    methods ista / fista / acc_ista / parallel_cd."""
+    from decomp_tpu.ops import complex_split as cs
+
+    rdt = y.re.dtype
+    ah = cs.conj_t(a)
+    gram = cs.matmul(a, ah)          # Hermitian PSD, split form
+    my = y if mask is None else cs.scale(y, mask)
+    yah = cs.matmul(my, ah)
+    if x is None:
+        zeros = jnp.zeros((y.re.shape[0], a.re.shape[0]), rdt)
+        x = cs.SplitComplex(zeros, zeros)
+
+    if mask is None:
+        def grad(x_):
+            return cs.sub(cs.matmul(x_, gram), yah)
+    else:
+        def grad(x_):
+            return cs.matmul(
+                cs.sub(cs.scale(cs.matmul(x_, a), mask), my), ah)
+
+    def objective(x_):
+        recon = cs.matmul(x_, a)
+        resid = (cs.sub(my, recon) if mask is None
+                 else cs.sub(my, cs.scale(recon, mask)))
+        return (0.5 * cs.sum_abs2(resid)
+                + jnp.sum(alpha * jnp.sqrt(cs.abs2(x_))))
+
+    tiny = jnp.asarray(jnp.finfo(rdt).tiny, rdt)
+
+    def rel_change(x_old, x_new):
+        num = jnp.sqrt(cs.sum_abs2(cs.sub(x_new, x_old)))
+        return num / jnp.maximum(jnp.sqrt(cs.sum_abs2(x_new)), tiny)
+
+    def select(do, a_, b_):
+        return cs.SplitComplex(jnp.where(do, a_.re, b_.re),
+                               jnp.where(do, a_.im, b_.im))
+
+    if method in ("ista", "fista", "acc_ista"):
+        lip_ = (cs.spectral_norm_hermitian(gram) if lipschitz is None
+                else lipschitz)
+        inv_l = (1.0 / lip_).astype(rdt)
+        thresh = alpha * inv_l
+
+        if method == "ista":
+            def step(state, it):
+                del it
+                (x_,) = state
+                return (cs.soft_threshold(
+                    cs.sub(x_, cs.scale(grad(x_), inv_l)), thresh),)
+
+            init = (x,)
+        else:
+            restart = method == "acc_ista"
+
+            def step(state, it):
+                del it
+                x_, z, t = state
+                x_new = cs.soft_threshold(
+                    cs.sub(z, cs.scale(grad(z), inv_l)), thresh)
+                t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+                z_new = cs.add(x_new, cs.scale(
+                    cs.sub(x_new, x_), ((t - 1.0) / t_new).astype(rdt)))
+                if restart:
+                    do = cs.real_vdot(cs.sub(z, x_new),
+                                      cs.sub(x_new, x_)) > 0
+                    t_new = jnp.where(do, jnp.asarray(1.0, rdt), t_new)
+                    z_new = select(do, x_new, z_new)
+                return (x_new, z_new, t_new)
+
+            init = (x, x, jnp.asarray(1.0, rdt))
+    elif method == "parallel_cd":
+        diag = jnp.maximum(jnp.diagonal(gram.re), tiny)
+        scale_v = 1.0 / jnp.sqrt(diag)
+        ngram = cs.SplitComplex(
+            scale_v[:, None] * gram.re * scale_v[None, :],
+            scale_v[:, None] * gram.im * scale_v[None, :])
+        theta = (1.0 / cs.spectral_norm_hermitian(ngram)).astype(rdt)
+        inv_diag = (theta / diag).astype(rdt)
+
+        def step(state, it):
+            del it
+            (x_,) = state
+            return (cs.soft_threshold(
+                cs.sub(x_, cs.scale(grad(x_), inv_diag)),
+                alpha * inv_diag),)
+
+        init = (x,)
+    else:  # pragma: no cover - guarded in solve()
+        raise AssertionError(method)
+
+    def diff_fn(old, new):
+        return rel_change(old[0], new[0])
+
+    res = run_iterations(
+        step, init, tol=tol, maxiter=maxiter, diff_fn=diff_fn,
+        objective_fn=lambda s: objective(s[0]),
+        record_objective=record_objective,
+    )
+    return (res.state[0].re, res.state[0].im, res.niter, res.converged,
+            res.objective)

@@ -121,6 +121,50 @@ def test_vmap_over_dictionaries():
                                    np.asarray(single), rtol=1e-10, atol=1e-12)
 
 
+@pytest.mark.parametrize("method", ["ista", "fista", "acc_ista",
+                                    "parallel_cd"])
+@pytest.mark.parametrize("masked", [False, True])
+def test_complex_split_matches_native(method, masked):
+    """The (re, im)-decomposed execution path (for TPU backends without
+    complex support, SURVEY.md §7 hard part 5) matches the native complex
+    path trajectory-for-trajectory."""
+    y, a, _ = planted_lasso(seed=16, complex_=True)
+    mask = random_mask(17, y.shape) if masked else None
+    if mask is not None:
+        y = y * mask
+    native = decomp_tpu.lasso.solve(y, a, ALPHA, tol=0.0, maxiter=35,
+                                    method=method, mask=mask,
+                                    complex_split=False,
+                                    record_objective=True)
+    split = decomp_tpu.lasso.solve(y, a, ALPHA, tol=0.0, maxiter=35,
+                                   method=method, mask=mask,
+                                   complex_split=True,
+                                   record_objective=True)
+    assert split.x.dtype == native.x.dtype
+    assert rel_err(split.x, native.x) < 1e-10
+    np.testing.assert_allclose(np.asarray(split.objective),
+                               np.asarray(native.objective), rtol=1e-9)
+
+
+def test_complex_split_1d_and_warm_start():
+    y, a, _ = planted_lasso(seed=18, complex_=True)
+    r_full = decomp_tpu.lasso.solve(y, a, ALPHA, tol=1e-10, maxiter=5000,
+                                    complex_split=True)
+    r1 = decomp_tpu.lasso.solve(y[0], a, ALPHA, tol=0.0, maxiter=20,
+                                complex_split=True)
+    assert r1.x.shape == (a.shape[0],)
+    r2 = decomp_tpu.lasso.solve(y, a, ALPHA, x=r_full.x, tol=1e-6,
+                                maxiter=50, method="ista",
+                                complex_split=True)
+    assert bool(r2.converged) and int(r2.niter) <= 3
+
+
+def test_complex_split_rejects_cd():
+    y, a, _ = planted_lasso(seed=19, complex_=True)
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.lasso.solve(y, a, ALPHA, method="cd", complex_split=True)
+
+
 def test_objective_recording_matches_reference():
     y, a, _ = planted_lasso(seed=13)
     _, _, _, objs = ref.lasso(y, a, ALPHA, tol=0.0, maxiter=25,

@@ -80,7 +80,16 @@ def main():
             record_objective=True),
     }
 
-    worst = 0.0
+    # Budgets: l2-based objectives are well-conditioned -> curves agree to
+    # f32 reduction-order noise. The KL objective is a sum of large
+    # cancelling terms (sum of y*log(y/r) - y + r), so its f32 EVALUATION
+    # is ~1e-3-conditioned even when the trajectories themselves agree to
+    # 1e-6 — hence the looser curve budget plus a tight factor budget.
+    curve_budget = {"nmf_kl": 1e-2}
+    default_curve_budget = 1e-4
+    factor_budget = 1e-4
+
+    ok = True
     for name, fn in checks.items():
         r_acc = run_on(accel, fn)
         r_cpu = run_on(cpu, fn)
@@ -91,15 +100,16 @@ def main():
             np.linalg.norm(np.asarray(r_acc.x, np.float64)
                            - np.asarray(r_cpu.x, np.float64))
             / max(np.linalg.norm(np.asarray(r_cpu.x, np.float64)), 1e-30))
-        worst = max(worst, curve_rel)
-        print(f"{name:12s} curve max rel dev {curve_rel:.3e}   "
-              f"final-x rel dev {fac_rel:.3e}")
+        budget = curve_budget.get(name, default_curve_budget)
+        line_ok = curve_rel <= budget and fac_rel <= factor_budget
+        ok = ok and line_ok
+        print(f"{name:12s} curve max rel dev {curve_rel:.3e} "
+              f"(budget {budget:.0e})   final-x rel dev {fac_rel:.3e}   "
+              f"{'ok' if line_ok else 'FAIL'}")
 
-    budget = 1e-4  # f32 reduction-order noise accumulated over iterations
-    status = "PASS" if worst <= budget else "FAIL"
-    print(f"{status}: worst curve deviation {worst:.3e} "
-          f"(budget {budget:.0e}, {accel.platform} vs cpu, f32 'highest')")
-    return 0 if worst <= budget else 2
+    status = "PASS" if ok else "FAIL"
+    print(f"{status} ({accel.platform} vs cpu, f32, precision='highest')")
+    return 0 if ok else 2
 
 
 if __name__ == "__main__":
