@@ -238,15 +238,19 @@ def _bcd_dict_update(stats_a, stats_b, d):
     return jax.lax.fori_loop(0, n_atoms, one_atom, d)
 
 
-def _masked_grad_dict_update(my, x, d, mask):
+def _masked_grad_dict_update(my, x, d, mask, reduce_sum=None):
     """Projected-gradient dictionary step for the masked loss, followed by
     unit-norm renormalisation. Step size 1/lambda_max(x^H x) (a Lipschitz
     bound that remains valid under masking, which only shrinks curvature).
+
+    ``reduce_sum`` allreduces the row-sharded Gram and gradient partials
+    under shard_map (identity on a single device).
     """
+    red = (lambda s: s) if reduce_sum is None else reduce_sum
     rdt = real_dtype(d.dtype)
-    gram = x.conj().T @ x
+    gram = red(x.conj().T @ x)
     lip = jnp.maximum(spectral_norm_psd(gram),
                       jnp.asarray(jnp.finfo(rdt).tiny, rdt))
     resid = mask * (x @ d) - my
-    grad = x.conj().T @ resid
+    grad = red(x.conj().T @ resid)
     return l2_normalize(d - grad / lip.astype(d.dtype), axis=1)

@@ -9,7 +9,7 @@ the communication backend IS mesh + PartitionSpecs + XLA collectives
 (SURVEY.md §5 'Distributed communication backend').
 """
 
-from decomp_tpu.parallel import lasso, nmf
+from decomp_tpu.parallel import dictionary_learning, lasso, nmf
 from decomp_tpu.parallel.mesh import make_mesh, shard_rows
 
-__all__ = ["nmf", "lasso", "make_mesh", "shard_rows"]
+__all__ = ["nmf", "lasso", "dictionary_learning", "make_mesh", "shard_rows"]

@@ -1,0 +1,165 @@
+"""Mesh-sharded dictionary learning (SURVEY.md §2b N5 applied to family 3).
+
+Row-shards the sample axis: each device sparse-codes its own row block
+(the dictionary and its Gram are replicated, so the inner lasso is local
+except for the allreduced convergence scalars), and the dictionary update
+runs identically on every device from the psum'd K x K / K x N sufficient
+statistics — the same ICI-allreduce-of-Grams pattern as sharded NMF
+(BASELINE.json:11). Full-batch only (the minibatch/online variant is a
+single-device feature; shard the batch instead).
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from decomp_tpu.models import lasso as _lasso
+from decomp_tpu.models.dictionary_learning import (
+    _bcd_dict_update,
+    _masked_grad_dict_update,
+)
+from decomp_tpu.ops.loop import run_iterations
+from decomp_tpu.utils import assertion
+from decomp_tpu.utils.dtypes import real_dtype
+from decomp_tpu.utils.exceptions import DecompError
+from decomp_tpu.utils.normalize import l2_norm, l2_normalize
+from decomp_tpu.utils.result import DictionaryLearningResult
+
+
+def solve(
+    y,
+    d,
+    alpha,
+    x=None,
+    *,
+    mesh: Mesh,
+    axis: str = "rows",
+    tol=1e-4,
+    maxiter: int = 100,
+    lasso_method: str = "fista",
+    lasso_iter: int = 10,
+    lasso_tol=1e-6,
+    mask=None,
+    record_objective: bool = False,
+    precision: str = "highest",
+) -> DictionaryLearningResult:
+    """Row-sharded ``decomp_tpu.dictionary_learning.solve`` over
+    ``mesh[axis]``. Same contract as the single-device solver; the sample
+    count must divide the mesh axis size."""
+    y = jnp.asarray(y)
+    assertion.assert_ndim("y", y, 2)
+    d = jnp.asarray(d)
+    assertion.assert_ndim("d", d, 2)
+    assertion.assert_axis_size("d", d, 1, y.shape[1], "n_channels")
+    dtype = jnp.result_type(y.dtype, d.dtype)
+    y = y.astype(dtype)
+    d = d.astype(dtype)
+    if x is not None:
+        x = jnp.asarray(x, dtype)
+        assertion.assert_axis_size("x", x, 0, y.shape[0], "n_samples")
+        assertion.assert_axis_size("x", x, 1, d.shape[0], "n_atoms")
+    if mask is not None:
+        assertion.assert_same_shape("mask", mask, "y", y)
+        mask = jnp.asarray(mask, real_dtype(dtype))
+    if lasso_method == "cd":
+        raise DecompError("lasso_method 'cd' is not supported inside "
+                          "dictionary learning; use 'fista'/'parallel_cd'")
+    assertion.assert_nonnegative("alpha", alpha)
+    if axis not in mesh.axis_names:
+        raise DecompError(f"axis {axis!r} not in mesh axes {mesh.axis_names}")
+    if y.shape[0] % mesh.shape[axis]:
+        raise DecompError(
+            f"n_samples={y.shape[0]} not divisible by mesh axis "
+            f"{axis!r} of size {mesh.shape[axis]}")
+
+    rdt = real_dtype(dtype)
+    with jax.default_matmul_precision(precision):
+        return _solve_sharded(
+            y, d, x, mask,
+            jnp.asarray(alpha, rdt), jnp.asarray(tol, rdt),
+            jnp.asarray(lasso_tol, rdt),
+            maxiter=int(maxiter), lasso_method=lasso_method,
+            lasso_iter=int(lasso_iter), mesh=mesh, axis=axis,
+            record_objective=bool(record_objective),
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("maxiter", "lasso_method", "lasso_iter", "mesh",
+                     "axis", "record_objective"),
+)
+def _solve_sharded(y, d, x, mask, alpha, tol, lasso_tol, *, maxiter,
+                   lasso_method, lasso_iter, mesh, axis, record_objective):
+    dtype = y.dtype
+    rdt = real_dtype(dtype)
+    row_spec = P(axis, None)
+    psum = functools.partial(jax.lax.psum, axis_name=axis)
+
+    def body(y_l, d_r, x_l, mask_l, alpha_, tol_, lasso_tol_):
+        tiny = jnp.asarray(jnp.finfo(rdt).tiny, rdt)
+        d_r = l2_normalize(d_r, axis=1)
+        if x_l is None:
+            x_l = jax.lax.pcast(
+                jnp.zeros((y_l.shape[0], d_r.shape[0]), dtype),
+                axis, to="varying")
+        my_l = y_l if mask_l is None else mask_l * y_l
+
+        def sparse_code(d_, x_):
+            step, init, diff_fn, obj_fn = _lasso.build_solver(
+                y_l, d_, alpha_, x_, mask_l, None, method=lasso_method,
+                reduce_sum=psum)
+            res = run_iterations(
+                step, init, tol=lasso_tol_, maxiter=lasso_iter,
+                diff_fn=diff_fn, objective_fn=obj_fn,
+                record_objective=False)
+            return res.state[0]
+
+        def step(state, it):
+            del it
+            x_, d_ = state
+            with jax.named_scope("dl_sparse_code"):
+                x_ = sparse_code(d_, x_)
+            with jax.named_scope("dl_dict_update"):
+                if mask_l is None:
+                    stats_a = psum(x_.conj().T @ x_)
+                    stats_b = psum(x_.conj().T @ my_l)
+                    d_ = _bcd_dict_update(stats_a, stats_b, d_)
+                else:
+                    d_ = _masked_grad_dict_update(my_l, x_, d_, mask_l,
+                                                  reduce_sum=psum)
+            return (x_, d_)
+
+        def diff_fn(old, new):
+            # d is replicated (derived from psum'd statistics).
+            return l2_norm(new[1] - old[1]) / jnp.maximum(
+                l2_norm(old[1]), tiny)
+
+        def objective(state):
+            x_, d_ = state
+            recon = x_ @ d_
+            resid = (my_l - recon) if mask_l is None else (
+                my_l - mask_l * recon)
+            data = 0.5 * psum(jnp.sum(jnp.real(resid * jnp.conj(resid))))
+            return data + psum(jnp.sum(alpha_ * jnp.abs(x_)))
+
+        res = run_iterations(
+            step, (x_l, d_r), tol=tol_, maxiter=maxiter, diff_fn=diff_fn,
+            objective_fn=objective, record_objective=record_objective)
+        return (res.state[0], res.state[1], res.niter, res.converged,
+                res.objective)
+
+    in_specs = (row_spec, P(None, None),
+                None if x is None else row_spec,
+                None if mask is None else row_spec,
+                P() if alpha.ndim == 0 else P(None), P(), P())
+    out_specs = (row_spec, P(None, None), P(), P(), P())
+    x_g, d_g, niter, converged, objective = jax.shard_map(
+        body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+    )(y, d, x, mask, alpha, tol, lasso_tol)
+    return DictionaryLearningResult(x=x_g, d=d_g, niter=niter,
+                                    converged=converged,
+                                    objective=objective)

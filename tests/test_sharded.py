@@ -144,6 +144,37 @@ def test_row_sharded_pallas_matches_jnp_path(mesh8, masked):
     assert rel_err(res.d, ref.d) < 1e-4
 
 
+@pytest.mark.parametrize("masked", [False, True])
+def test_sharded_dictionary_learning_matches_single_device(mesh8, masked):
+    from problems import planted_patches
+    y, d_true, _ = planted_patches(seed=25, n_samples=160)
+    mask = random_mask(26, y.shape) if masked else None
+    if mask is not None:
+        y = y * mask
+    rng = np.random.default_rng(27)
+    d0 = d_true + 0.3 * rng.normal(size=d_true.shape)
+    ref = decomp_tpu.dictionary_learning.solve(
+        y, d0, 0.05, tol=0.0, maxiter=12, lasso_iter=8, mask=mask)
+    res = parallel.dictionary_learning.solve(
+        y, d0, 0.05, tol=0.0, maxiter=12, lasso_iter=8, mask=mask,
+        mesh=mesh8)
+    assert rel_err(res.d, ref.d) < 1e-10
+    assert rel_err(res.x, ref.x) < 1e-10
+
+
+def test_sharded_dictionary_learning_complex(mesh8):
+    from problems import planted_patches
+    y, d_true, _ = planted_patches(seed=28, n_samples=160, complex_=True)
+    rng = np.random.default_rng(29)
+    d0 = d_true + 0.2 * (rng.normal(size=d_true.shape)
+                         + 1j * rng.normal(size=d_true.shape))
+    ref = decomp_tpu.dictionary_learning.solve(
+        y, d0, 0.05, tol=0.0, maxiter=8, lasso_iter=6)
+    res = parallel.dictionary_learning.solve(
+        y, d0, 0.05, tol=0.0, maxiter=8, lasso_iter=6, mesh=mesh8)
+    assert rel_err(res.d, ref.d) < 1e-10
+
+
 def test_pre_placed_global_arrays(mesh8):
     """Inputs already placed with a NamedSharding run without resharding."""
     y, *_ = planted_nmf(seed=16, n_samples=64, n_channels=40, rank=4)
