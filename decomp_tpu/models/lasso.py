@@ -27,7 +27,6 @@ convergence predicate; momentum state carried on device.
 """
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +38,7 @@ from decomp_tpu.ops.spectral import spectral_norm_psd
 from decomp_tpu.utils import assertion
 from decomp_tpu.utils.dtypes import real_dtype
 from decomp_tpu.utils.exceptions import DecompError
-from decomp_tpu.utils.normalize import l2_norm
+
 from decomp_tpu.utils.result import LassoResult
 
 _METHODS = ("ista", "fista", "acc_ista", "cd", "parallel_cd")

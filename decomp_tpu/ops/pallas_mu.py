@@ -33,7 +33,6 @@ point of the MU update (zero rows/atoms stay zero and contribute nothing
 to the statistics), see decomp_tpu.models.nmf._pad_for_pallas.
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp

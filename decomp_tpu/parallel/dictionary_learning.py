@@ -10,7 +10,6 @@ single-device feature; shard the batch instead).
 """
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ machinery via ``decomp_tpu.models.lasso.build_solver``.
 """
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
