@@ -418,3 +418,8 @@ def _init_factors(key, y, d, x, rank):
     if x is None:
         x = scale * jax.random.uniform(kx, (y.shape[0], rank), dtype=y.dtype)
     return d, x
+
+
+# Out-of-core variant (host-streamed row chunks) — import at end of module
+# because nmf_streaming reuses this module's update rules.
+from decomp_tpu.models.nmf_streaming import solve_streaming  # noqa: E402,F401

@@ -1,0 +1,55 @@
+"""Out-of-core ("serial") NMF tier: host-streamed chunks must reproduce the
+full-batch trajectory exactly (the x update is row-local and the d update
+uses accumulated sufficient statistics)."""
+
+import numpy as np
+import pytest
+
+import decomp_tpu
+from problems import planted_nmf, random_mask, rel_err
+
+
+def _init(seed, m, n, k):
+    rng = np.random.default_rng(seed)
+    return (rng.uniform(0.1, 1.0, (m, k)), rng.uniform(0.1, 1.0, (k, n)))
+
+
+@pytest.mark.parametrize("method", ["mu", "kl-mu"])
+@pytest.mark.parametrize("masked", [False, True])
+def test_streamed_matches_full_batch(method, masked):
+    y, *_ = planted_nmf(seed=40, n_samples=83, n_channels=30, rank=4)
+    mask = random_mask(41, y.shape) if masked else None
+    x0, d0 = _init(42, 83, 30, 4)
+    full = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=25,
+                                method=method, mask=mask)
+    # ragged chunk size exercises the remainder chunk
+    stream = decomp_tpu.nmf.solve_streaming(
+        y, d0, x=x0, tol=0.0, maxiter=25, method=method, mask=mask,
+        chunk_rows=17)
+    assert rel_err(stream.d, full.d) < 1e-12
+    assert rel_err(stream.x, full.x) < 1e-12
+    assert isinstance(stream.x, np.ndarray)  # host-side factor
+
+
+def test_streamed_convergence_and_callback():
+    y, *_ = planted_nmf(seed=43, n_samples=64, n_channels=40, rank=4)
+    x0, d0 = _init(44, 64, 40, 4)
+    diffs = []
+    res = decomp_tpu.nmf.solve_streaming(
+        y, d0, x=x0, tol=1e-4, maxiter=5000, chunk_rows=16,
+        callback=lambda it, diff: diffs.append((it, diff)))
+    assert bool(res.converged)
+    assert len(diffs) == int(res.niter)
+    assert diffs[-1][1] < 1e-4
+    ref = decomp_tpu.nmf.solve(y, d0, x=x0, tol=1e-4, maxiter=5000)
+    assert int(res.niter) == int(ref.niter)
+
+
+def test_streamed_validation():
+    y, *_ = planted_nmf(seed=45)
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.nmf.solve_streaming(y)
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.nmf.solve_streaming(y, rank=4, chunk_rows=0)
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.nmf.solve_streaming(y, rank=4, method="nope")
