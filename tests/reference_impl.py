@@ -108,6 +108,24 @@ def lasso(y, a, alpha, x=None, *, tol=1e-5, maxiter=1000, method="fista",
                 break
         return x, it, converged, objs
 
+    if method == "parallel_cd":
+        diag = np.maximum(np.real(np.diagonal(gram)), TINY64)
+        scale = 1.0 / np.sqrt(diag)
+        ngram = scale[:, None] * gram * scale[None, :]
+        theta = 1.0 / spectral_norm_psd(ngram)
+        inv_diag = theta / diag
+        converged, it = False, 0
+        for it in range(1, maxiter + 1):
+            x_new = soft_threshold(x - inv_diag * grad(x),
+                                   alpha * inv_diag)
+            diff = rel_change(x, x_new)
+            x = x_new
+            objs.append(objective(x))
+            if diff < tol:
+                converged = True
+                break
+        return x, it, converged, objs
+
     if method == "cd":
         diag = np.maximum(np.real(np.diagonal(gram)), TINY64)
         c = x @ gram

@@ -14,7 +14,8 @@ from problems import planted_lasso, random_mask, rel_err
 ALPHA = 0.05
 
 
-@pytest.mark.parametrize("method", ["ista", "fista", "acc_ista", "cd"])
+@pytest.mark.parametrize("method", ["ista", "fista", "acc_ista", "cd",
+                                    "parallel_cd"])
 @pytest.mark.parametrize("complex_", [False, True])
 def test_trajectory_parity(method, complex_):
     y, a, _ = planted_lasso(seed=1, complex_=complex_)
