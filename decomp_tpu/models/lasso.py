@@ -58,6 +58,7 @@ def solve(
     record_objective: bool = False,
     precision: str = "highest",
     complex_split="auto",
+    check_every: int = 1,
 ) -> LassoResult:
     """Solve  min_x 0.5*||mask*(y - x@a)||^2 + alpha*||x||_1.
 
@@ -103,7 +104,8 @@ def solve(
         return _solve_complex_split(
             y, a, alpha, x, mask, lipschitz, tol=tol, method=method,
             maxiter=int(maxiter),
-            record_objective=bool(record_objective), precision=precision)
+            record_objective=bool(record_objective), precision=precision,
+            check_every=int(check_every))
 
     y = jnp.asarray(y)
     a = jnp.asarray(a)
@@ -150,6 +152,7 @@ def solve(
             y, a, alpha, x, mask, lip, jnp.asarray(tol, rdt),
             method=method, maxiter=int(maxiter),
             record_objective=bool(record_objective),
+            check_every=int(check_every),
         )
     if squeeze:
         res = res._replace(x=res.x[0])
@@ -299,15 +302,17 @@ def build_solver(y, a, alpha, x, mask, lipschitz, *, method,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("method", "maxiter", "record_objective")
+    jax.jit, static_argnames=("method", "maxiter", "record_objective",
+                              "check_every")
 )
 def _solve(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
-           record_objective):
+           record_objective, check_every=1):
     step, init, diff_fn, obj_fn = build_solver(
         y, a, alpha, x, mask, lipschitz, method=method)
     res = run_iterations(
         step, init, tol=tol, maxiter=maxiter, diff_fn=diff_fn,
         objective_fn=obj_fn, record_objective=record_objective,
+        check_every=check_every,
     )
     return LassoResult(x=res.state[0], niter=res.niter,
                        converged=res.converged, objective=res.objective)
@@ -327,7 +332,8 @@ def _is_complex_concrete(y, a) -> bool:
 
 
 def _solve_complex_split(y, a, alpha, x, mask, lipschitz, *, tol, method,
-                         maxiter, record_objective, precision):
+                         maxiter, record_objective, precision,
+                         check_every=1):
     """Host-level driver of the split-complex path: decompose on the host,
     solve over (re, im) real pairs on the accelerator, reassemble the
     complex solution on the CPU device (complex arrays never touch the
@@ -369,7 +375,7 @@ def _solve_complex_split(y, a, alpha, x, mask, lipschitz, *, tol, method,
         xr, xi, niter, converged, objective = _solve_split(
             ys, a_s, alpha, xs, mask, lip, jnp.asarray(tol, rdt),
             method=method, maxiter=maxiter,
-            record_objective=record_objective)
+            record_objective=record_objective, check_every=check_every)
 
     x_c = np.asarray(xr).astype(rdt) + 1j * np.asarray(xi).astype(rdt)
     x_c = x_c.astype(cdtype)
@@ -381,10 +387,11 @@ def _solve_complex_split(y, a, alpha, x, mask, lipschitz, *, tol, method,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("method", "maxiter", "record_objective")
+    jax.jit, static_argnames=("method", "maxiter", "record_objective",
+                              "check_every")
 )
 def _solve_split(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
-                 record_objective):
+                 record_objective, check_every=1):
     """Split-complex mirror of ``build_solver`` + ``run_iterations`` for
     methods ista / fista / acc_ista / parallel_cd."""
     from decomp_tpu.ops import complex_split as cs
@@ -482,7 +489,7 @@ def _solve_split(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
     res = run_iterations(
         step, init, tol=tol, maxiter=maxiter, diff_fn=diff_fn,
         objective_fn=lambda s: objective(s[0]),
-        record_objective=record_objective,
+        record_objective=record_objective, check_every=check_every,
     )
     return (res.state[0].re, res.state[0].im, res.niter, res.converged,
             res.objective)

@@ -54,6 +54,7 @@ def solve(
     precision: str = "highest",
     use_pallas="auto",
     pallas_block_rows: Optional[int] = None,
+    check_every: int = 1,
     _pallas_interpret: bool = False,
 ) -> NMFResult:
     """Factorise ``y ≈ x @ d`` with nonnegative factors.
@@ -156,6 +157,7 @@ def solve(
             use_pallas=use_pallas,
             pallas_block_rows=pallas_block_rows,
             pallas_interpret=bool(_pallas_interpret),
+            check_every=int(check_every),
         )
 
 
@@ -163,11 +165,12 @@ def solve(
     jax.jit,
     static_argnames=("rank", "maxiter", "method", "minibatch", "inner_iter",
                      "record_objective", "use_pallas", "pallas_block_rows",
-                     "pallas_interpret"),
+                     "pallas_interpret", "check_every"),
 )
 def _solve(y, d, x, mask, seed, tol, eps, forget, *, rank, maxiter,
            method="mu", minibatch, inner_iter, record_objective,
-           use_pallas=False, pallas_block_rows=None, pallas_interpret=False):
+           use_pallas=False, pallas_block_rows=None, pallas_interpret=False,
+           check_every=1):
     rdt = real_dtype(y.dtype)
     eps = eps.astype(rdt)
     key = jax.random.PRNGKey(seed)
@@ -181,6 +184,7 @@ def _solve(y, d, x, mask, seed, tol, eps, forget, *, rank, maxiter,
             my, d, x, mask, tol, eps, maxiter=maxiter,
             record_objective=record_objective,
             block_rows=pallas_block_rows, interpret=pallas_interpret,
+            check_every=check_every,
         )
 
     if method == "mu":
@@ -257,6 +261,7 @@ def _solve(y, d, x, mask, seed, tol, eps, forget, *, rank, maxiter,
     res = run_iterations(
         step, init, tol=tol, maxiter=maxiter, diff_fn=diff_fn,
         objective_fn=objective, record_objective=record_objective,
+        check_every=check_every,
     )
     x_fin, d_fin = res.state[0], res.state[1]
     return NMFResult(x=x_fin, d=d_fin, niter=res.niter,
@@ -268,7 +273,7 @@ def _identity(v):
 
 
 def _solve_pallas(my, d, x, mask, tol, eps, *, maxiter, record_objective,
-                  block_rows, interpret):
+                  block_rows, interpret, check_every=1):
     """Full-batch MU loop driven by the fused Pallas kernels.
 
     Pads (M, N, K) once, outside the loop, to the kernels' alignment
@@ -323,6 +328,7 @@ def _solve_pallas(my, d, x, mask, tol, eps, *, maxiter, record_objective,
     res = run_iterations(
         step, (x_p, d_p), tol=tol, maxiter=maxiter, diff_fn=diff_fn,
         objective_fn=objective, record_objective=record_objective,
+        check_every=check_every,
     )
     return NMFResult(
         x=res.state[0][:m, :k], d=res.state[1][:k, :n],

@@ -35,6 +35,7 @@ def run_iterations(
     objective_fn: Optional[Callable[[Any], jax.Array]] = None,
     record_objective: bool = False,
     objective_dtype=None,
+    check_every: int = 1,
 ) -> IterationResult:
     """Run ``state <- step(state, it)`` until converged or ``maxiter``.
 
@@ -46,6 +47,13 @@ def run_iterations(
                    factor change). Compared against ``tol`` on device.
     objective_fn:  state -> real scalar; evaluated per iteration only when
                    ``record_objective`` (it usually costs an extra matmul).
+    check_every:   evaluate the convergence criterion only every this many
+                   iterations (amortises the diff norms when they are a
+                   visible fraction of the step cost). ``diff_fn`` then
+                   measures the change across the whole block, so tol
+                   semantics coarsen accordingly; ``niter`` stays exact.
+                   Requires record_objective=False unless 1 (the objective
+                   is recorded per iteration).
 
     Everything here traces into one XLA while loop; no host syncs.
     """
@@ -53,6 +61,12 @@ def run_iterations(
         raise ValueError(f"maxiter must be >= 1, got {maxiter}")
     if record_objective and objective_fn is None:
         raise ValueError("record_objective=True requires objective_fn")
+    check_every = int(check_every)
+    if check_every < 1:
+        raise ValueError(f"check_every must be >= 1, got {check_every}")
+    if check_every > 1 and record_objective:
+        raise ValueError("check_every > 1 is incompatible with "
+                         "record_objective")
 
     if objective_dtype is not None:
         obj_dtype = objective_dtype
@@ -76,12 +90,25 @@ def run_iterations(
 
     def body(carry):
         it, _, state, obj = carry
-        new_state = step(state, it)
+        if check_every == 1:
+            new_state = step(state, it)
+            steps_done = 1
+        else:
+            # Run a block of steps, then one convergence evaluation across
+            # the block. The inner trip count shrinks near maxiter so
+            # niter stays exact.
+            n_steps = jnp.minimum(check_every, maxiter - it)
+
+            def inner(j, s):
+                return step(s, it + j)
+
+            new_state = jax.lax.fori_loop(0, n_steps, inner, state)
+            steps_done = n_steps
         diff = diff_fn(state, new_state)
         converged = diff < tol.astype(diff.dtype)
         if record_objective:
             obj = obj.at[it].set(objective_fn(new_state).astype(obj_dtype))
-        return (it + 1, converged, new_state, obj)
+        return (it + steps_done, converged, new_state, obj)
 
     it0 = jnp.asarray(0, jnp.int32)
     conv0 = jnp.asarray(False)

@@ -150,3 +150,13 @@ def test_validation_errors():
         decomp_tpu.nmf.solve(y, rank=5, mask=np.ones((2, 2)))
     with pytest.raises(decomp_tpu.utils.DecompError):
         decomp_tpu.nmf.solve(y, rank=5, minibatch=10**9)
+
+
+def test_check_every_matches_per_iter_trajectory():
+    y, *_ = planted_nmf(seed=29)
+    x0, d0 = _init(30, y.shape[0], y.shape[1], 5)
+    a = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=40)
+    b = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=40,
+                             check_every=7)
+    assert rel_err(a.d, b.d) < 1e-12
+    assert int(b.niter) == 40

@@ -101,3 +101,33 @@ def test_real_dtype():
     assert real_dtype(jnp.complex128) == np.float64
     assert real_dtype(jnp.float32) == np.float32
     assert real_dtype(jnp.bfloat16) == jnp.bfloat16
+
+
+def test_check_every_block_semantics():
+    # x <- x + 1, diff measured across the block
+    def step(state, it):
+        return (state[0] + 1.0,)
+
+    res = run_iterations(
+        step, (jnp.asarray(0.0),), tol=0.0, maxiter=10,
+        diff_fn=lambda o, n: jnp.abs(n[0] - o[0]), check_every=4,
+    )
+    assert int(res.niter) == 10  # 4 + 4 + 2 (remainder block)
+    np.testing.assert_allclose(float(res.state[0]), 10.0)
+
+    # converges when the across-block change drops below tol
+    def decay(state, it):
+        return (state[0] * 0.5,)
+
+    res = run_iterations(
+        decay, (jnp.asarray(1.0),), tol=1e-3, maxiter=100,
+        diff_fn=lambda o, n: jnp.abs(n[0] - o[0]), check_every=4,
+    )
+    assert bool(res.converged)
+    assert int(res.niter) % 4 == 0
+
+    with pytest.raises(ValueError):
+        run_iterations(step, (jnp.asarray(0.0),), tol=0.0, maxiter=4,
+                       diff_fn=lambda o, n: jnp.asarray(1.0),
+                       check_every=2, objective_fn=lambda s: s[0],
+                       record_objective=True)
