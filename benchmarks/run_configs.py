@@ -70,14 +70,17 @@ def config1_dense_nmf(small):
     y = np.maximum(
         rng.uniform(0, 1, (m, k)) @ rng.uniform(0, 1, (k, n))
         + 0.01 * rng.normal(size=(m, n)), 0).astype(np.float32)
-    kw = dict(rank=k, tol=1e-4, maxiter=5000, random_seed=1,
-              record_objective=True)
+    kw = dict(rank=k, tol=1e-4, maxiter=5000, random_seed=1)
+    # Curve capture in a separate UNtimed pass: record_objective costs an
+    # extra reconstruction per iteration and must not pollute time-to-tol.
+    curve_res = decomp_tpu.nmf.solve(y, record_objective=True, **kw)
+    _force(curve_res)
     _force(decomp_tpu.nmf.solve(y, **kw))  # compile
     t0 = time.perf_counter()
     res = decomp_tpu.nmf.solve(y, **kw)
     _force(res)
     t = time.perf_counter() - t0
-    return _emit("c1_dense_nmf_1000x500_r10", res.objective, t, res,
+    return _emit("c1_dense_nmf_1000x500_r10", curve_res.objective, t, res,
                  {"time_to_tol_s": round(t, 4), "tol": 1e-4})
 
 
@@ -89,11 +92,16 @@ def config2_batch_fista(small):
     x_true = (rng.normal(size=(n_prob, n_feat))
               * (rng.random((n_prob, n_feat)) < 0.05)).astype(np.float32)
     y = x_true @ a + 0.01 * rng.normal(size=(n_prob, n_ch)).astype(np.float32)
-    kw = dict(tol=1e-4, maxiter=4000, method="fista", record_objective=True)
+    # precision='high' (bf16x3): measured to track the f32-'highest'
+    # trajectory (same iteration count, ~4e-4 solution agreement) at ~2x
+    # the speed; 'default' (single bf16 pass) diverges on FISTA.
+    kw = dict(tol=1e-4, maxiter=4000, method="fista", precision="high")
 
-    def run():
-        return decomp_tpu.lasso.solve(y, a, 0.1, **kw)
+    def run(**extra):
+        return decomp_tpu.lasso.solve(y, a, 0.1, **kw, **extra)
 
+    curve_res = run(record_objective=True)
+    float(jnp.asarray(curve_res.x, jnp.float32).sum())
     r = run()
     float(jnp.asarray(r.x, jnp.float32).sum())
     t0 = time.perf_counter()
@@ -103,8 +111,9 @@ def config2_batch_fista(small):
     niter = int(res.niter)
     # dominant matmul: grad = x @ gram (n_prob x n_feat x n_feat) per iter
     flops = 2.0 * n_prob * n_feat * n_feat * 2 * niter
-    return _emit("c2_batch_fista_10k_512", res.objective, t, res,
+    return _emit("c2_batch_fista_10k_512", curve_res.objective, t, res,
                  {"time_to_tol_s": round(t, 4), "tol": 1e-4,
+                  "precision": "high",
                   "matmul_gflops": round(flops / t / 1e9, 1)})
 
 
@@ -119,17 +128,20 @@ def config3_dictionary_learning(small):
     y = (x_true @ d_true
          + 0.01 * rng.normal(size=(n_samp, n_ch))).astype(np.float32)
     d0 = rng.normal(size=(n_atoms, n_ch)).astype(np.float32)
-    kw = dict(tol=1e-5, maxiter=60, lasso_iter=15, record_objective=True)
+    kw = dict(tol=1e-5, maxiter=60, lasso_iter=15)
 
-    def run():
-        return decomp_tpu.dictionary_learning.solve(y, d0, 0.05, **kw)
+    def run(**extra):
+        return decomp_tpu.dictionary_learning.solve(y, d0, 0.05, **kw,
+                                                    **extra)
 
+    curve_res = run(record_objective=True)
+    _force(curve_res)
     _force(run())
     t0 = time.perf_counter()
     res = run()
     _force(res)
     t = time.perf_counter() - t0
-    return _emit("c3_dictlearn_8x8_256atoms", res.objective, t, res)
+    return _emit("c3_dictlearn_8x8_256atoms", curve_res.objective, t, res)
 
 
 def config4_masked_nmf(small):
@@ -141,8 +153,9 @@ def config4_masked_nmf(small):
          ).astype(jnp.float32)
     mask = (jax.random.uniform(k3, (m, n)) >= 0.3).astype(jnp.float32)
     ym = y * mask
-    kw = dict(rank=k, mask=mask, tol=1e-4, maxiter=4000, random_seed=4,
-              record_objective=True)
+    kw = dict(rank=k, mask=mask, tol=1e-4, maxiter=4000, random_seed=4)
+    curve_res = decomp_tpu.nmf.solve(ym, record_objective=True, **kw)
+    _force(curve_res)
     _force(decomp_tpu.nmf.solve(ym, **kw))
     t0 = time.perf_counter()
     res = decomp_tpu.nmf.solve(ym, **kw)
@@ -153,7 +166,7 @@ def config4_masked_nmf(small):
     ynp = np.asarray(y, np.float64)
     heldout = float(np.linalg.norm(recon[miss] - ynp[miss])
                     / np.linalg.norm(ynp[miss]))
-    return _emit("c4_masked_nmf_100kx1k_r50", res.objective, t, res,
+    return _emit("c4_masked_nmf_100kx1k_r50", curve_res.objective, t, res,
                  {"heldout_rel_err": round(heldout, 6)})
 
 
