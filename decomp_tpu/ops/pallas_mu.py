@@ -36,6 +36,12 @@ to the statistics), see decomp_tpu.models.nmf._pad_for_pallas.
 
 import jax
 import jax.numpy as jnp
+
+# Mosaic rejects the intermediate 'high' (bf16x3) dot precision; pin the
+# kernels to HIGHEST so a caller-level default_matmul_precision('high')
+# context cannot crash the Pallas path. For bf16 operands HIGHEST is the
+# native single pass, so the headline path is unaffected.
+_PREC = jax.lax.Precision.HIGHEST
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -73,8 +79,9 @@ def _dense_kernel(eps_ref, ddt_ref, y_ref, x_ref, d_ref,
     # x update: x * (y @ d.T) / (x @ (d d.T) + eps), all f32 accumulation.
     num_x = jax.lax.dot_general(
         y_i, d_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    den_x = jnp.dot(x_i, ddt_ref[:], preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32, precision=_PREC)
+    den_x = jnp.dot(x_i, ddt_ref[:], precision=_PREC,
+                    preferred_element_type=jnp.float32)
     x_new_f = x_i.astype(jnp.float32) * num_x / (den_x + eps)
     x_new = x_new_f.astype(x_i.dtype)
     xout_ref[:] = x_new
@@ -90,10 +97,10 @@ def _dense_kernel(eps_ref, ddt_ref, y_ref, x_ref, d_ref,
 
     numd_acc[:] += jax.lax.dot_general(
         x_new, y_i, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32, precision=_PREC)
     gram_acc[:] += jax.lax.dot_general(
         x_new, x_new, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32, precision=_PREC)
 
     @pl.when(i == n_i - 1)
     def _():
@@ -118,19 +125,19 @@ def _masked_kernel(eps_ref, my_ref, mask_ref, x_ref, d_ref,
     #   x * ((mask*y) @ d.T) / ((mask*(x@d)) @ d.T + eps)
     num_x = jax.lax.dot_general(
         my_i, d, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    recon = jnp.dot(x_i, d, preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32, precision=_PREC)
+    recon = jnp.dot(x_i, d, preferred_element_type=jnp.float32, precision=_PREC)
     recon_m = (mask_i.astype(jnp.float32) * recon).astype(d.dtype)
     den_x = jax.lax.dot_general(
         recon_m, d, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32, precision=_PREC)
     x_new_f = x_i.astype(jnp.float32) * num_x / (den_x + eps)
     x_new = x_new_f.astype(x_i.dtype)
     xout_ref[:] = x_new
 
     # d-update statistics:
     #   numd = x_new.T @ (mask*y),  dend = x_new.T @ (mask*(x_new@d))
-    recon2 = jnp.dot(x_new, d, preferred_element_type=jnp.float32)
+    recon2 = jnp.dot(x_new, d, preferred_element_type=jnp.float32, precision=_PREC)
     recon2_m = (mask_i.astype(jnp.float32) * recon2).astype(d.dtype)
 
     @pl.when(i == 0)
@@ -140,10 +147,10 @@ def _masked_kernel(eps_ref, my_ref, mask_ref, x_ref, d_ref,
 
     numd_acc[:] += jax.lax.dot_general(
         x_new, my_i, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32, precision=_PREC)
     dend_acc[:] += jax.lax.dot_general(
         x_new, recon2_m, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32, precision=_PREC)
 
     @pl.when(i == n_i - 1)
     def _():
@@ -184,7 +191,7 @@ def mu_update_dense(y, x, d, eps, *, block_rows=None, interpret=False,
         block_rows = min(block_rows, m)
     _check_aligned(m, n, k, block_rows)
     ddt = jax.lax.dot_general(d, d, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32, precision=_PREC)
     eps32 = jnp.asarray(eps, jnp.float32).reshape(1)
 
     grid = (m // block_rows,)
@@ -231,7 +238,7 @@ def mu_update_dense(y, x, d, eps, *, block_rows=None, interpret=False,
     if psum is not None:
         numd, gram = psum(numd), psum(gram)
     den_d = jnp.dot(gram, d.astype(jnp.float32),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32, precision=_PREC)
     d_new = (d.astype(jnp.float32) * numd / (den_d + eps32[0])).astype(
         d.dtype)
     return x_new, d_new
