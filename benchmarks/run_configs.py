@@ -35,6 +35,20 @@ from decomp_tpu import parallel  # noqa: E402
 
 OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "out")
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: verified to work with this
+    platform's remote compile (fresh-process compile 12s -> 0.7s)."""
+    import os
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "../.jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass  # older jax or read-only fs: cache is an optimisation only
+
+
 
 def _force(res):
     """Fence: block_until_ready is unreliable on the axon platform —
@@ -213,6 +227,7 @@ def main():
     ap.add_argument("--config", type=int, choices=sorted(CONFIGS))
     ap.add_argument("--small", action="store_true")
     args = ap.parse_args()
+    _enable_compile_cache()
     todo = [args.config] if args.config else sorted(CONFIGS)
     for i in todo:
         CONFIGS[i](args.small)

@@ -37,11 +37,18 @@ to the statistics), see decomp_tpu.models.nmf._pad_for_pallas.
 import jax
 import jax.numpy as jnp
 
-# Mosaic rejects the intermediate 'high' (bf16x3) dot precision; pin the
-# kernels to HIGHEST so a caller-level default_matmul_precision('high')
-# context cannot crash the Pallas path. For bf16 operands HIGHEST is the
-# native single pass, so the headline path is unaffected.
-_PREC = jax.lax.Precision.HIGHEST
+import functools
+
+
+def _dot_precision(dtype):
+    """Kernels must pin their dot precision: Mosaic rejects both the
+    intermediate 'high' (bf16x3) mode and an fp32 contract precision on
+    bf16 operands, so inheriting the caller's default_matmul_precision
+    context can crash the Pallas path. f32 operands -> HIGHEST (exact
+    passes, matching the library's convergence policy); bf16 operands ->
+    DEFAULT (the native single pass)."""
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -67,7 +74,7 @@ def default_block_rows(n: int, k: int, itemsize: int,
     return block
 
 
-def _dense_kernel(eps_ref, ddt_ref, y_ref, x_ref, d_ref,
+def _dense_kernel(prec, eps_ref, ddt_ref, y_ref, x_ref, d_ref,
                   xout_ref, numd_ref, gram_ref,
                   numd_acc, gram_acc):
     i = pl.program_id(0)
@@ -79,8 +86,8 @@ def _dense_kernel(eps_ref, ddt_ref, y_ref, x_ref, d_ref,
     # x update: x * (y @ d.T) / (x @ (d d.T) + eps), all f32 accumulation.
     num_x = jax.lax.dot_general(
         y_i, d_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PREC)
-    den_x = jnp.dot(x_i, ddt_ref[:], precision=_PREC,
+        preferred_element_type=jnp.float32, precision=prec)
+    den_x = jnp.dot(x_i, ddt_ref[:], precision=prec,
                     preferred_element_type=jnp.float32)
     x_new_f = x_i.astype(jnp.float32) * num_x / (den_x + eps)
     x_new = x_new_f.astype(x_i.dtype)
@@ -97,10 +104,10 @@ def _dense_kernel(eps_ref, ddt_ref, y_ref, x_ref, d_ref,
 
     numd_acc[:] += jax.lax.dot_general(
         x_new, y_i, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PREC)
+        preferred_element_type=jnp.float32, precision=prec)
     gram_acc[:] += jax.lax.dot_general(
         x_new, x_new, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PREC)
+        preferred_element_type=jnp.float32, precision=prec)
 
     @pl.when(i == n_i - 1)
     def _():
@@ -108,7 +115,7 @@ def _dense_kernel(eps_ref, ddt_ref, y_ref, x_ref, d_ref,
         gram_ref[:] = gram_acc[:]
 
 
-def _masked_kernel(eps_ref, my_ref, mask_ref, x_ref, d_ref,
+def _masked_kernel(prec, eps_ref, my_ref, mask_ref, x_ref, d_ref,
                    xout_ref, numd_ref, dend_ref,
                    numd_acc, dend_acc):
     # No d-Gram shortcut exists under masking: the denominator needs the
@@ -125,19 +132,19 @@ def _masked_kernel(eps_ref, my_ref, mask_ref, x_ref, d_ref,
     #   x * ((mask*y) @ d.T) / ((mask*(x@d)) @ d.T + eps)
     num_x = jax.lax.dot_general(
         my_i, d, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PREC)
-    recon = jnp.dot(x_i, d, preferred_element_type=jnp.float32, precision=_PREC)
+        preferred_element_type=jnp.float32, precision=prec)
+    recon = jnp.dot(x_i, d, preferred_element_type=jnp.float32, precision=prec)
     recon_m = (mask_i.astype(jnp.float32) * recon).astype(d.dtype)
     den_x = jax.lax.dot_general(
         recon_m, d, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PREC)
+        preferred_element_type=jnp.float32, precision=prec)
     x_new_f = x_i.astype(jnp.float32) * num_x / (den_x + eps)
     x_new = x_new_f.astype(x_i.dtype)
     xout_ref[:] = x_new
 
     # d-update statistics:
     #   numd = x_new.T @ (mask*y),  dend = x_new.T @ (mask*(x_new@d))
-    recon2 = jnp.dot(x_new, d, preferred_element_type=jnp.float32, precision=_PREC)
+    recon2 = jnp.dot(x_new, d, preferred_element_type=jnp.float32, precision=prec)
     recon2_m = (mask_i.astype(jnp.float32) * recon2).astype(d.dtype)
 
     @pl.when(i == 0)
@@ -147,10 +154,10 @@ def _masked_kernel(eps_ref, my_ref, mask_ref, x_ref, d_ref,
 
     numd_acc[:] += jax.lax.dot_general(
         x_new, my_i, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PREC)
+        preferred_element_type=jnp.float32, precision=prec)
     dend_acc[:] += jax.lax.dot_general(
         x_new, recon2_m, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PREC)
+        preferred_element_type=jnp.float32, precision=prec)
 
     @pl.when(i == n_i - 1)
     def _():
@@ -191,12 +198,13 @@ def mu_update_dense(y, x, d, eps, *, block_rows=None, interpret=False,
         block_rows = min(block_rows, m)
     _check_aligned(m, n, k, block_rows)
     ddt = jax.lax.dot_general(d, d, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32, precision=_PREC)
+                              preferred_element_type=jnp.float32,
+                              precision=_dot_precision(d.dtype))
     eps32 = jnp.asarray(eps, jnp.float32).reshape(1)
 
     grid = (m // block_rows,)
     x_new, numd, gram = pl.pallas_call(
-        _dense_kernel,
+        functools.partial(_dense_kernel, _dot_precision(y.dtype)),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                   # eps
@@ -238,7 +246,8 @@ def mu_update_dense(y, x, d, eps, *, block_rows=None, interpret=False,
     if psum is not None:
         numd, gram = psum(numd), psum(gram)
     den_d = jnp.dot(gram, d.astype(jnp.float32),
-                    preferred_element_type=jnp.float32, precision=_PREC)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     d_new = (d.astype(jnp.float32) * numd / (den_d + eps32[0])).astype(
         d.dtype)
     return x_new, d_new
@@ -263,7 +272,7 @@ def mu_update_masked(my, mask, x, d, eps, *, block_rows=None,
     data_spec = pl.BlockSpec((block_rows, n), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     x_new, numd, dend = pl.pallas_call(
-        _masked_kernel,
+        functools.partial(_masked_kernel, _dot_precision(my.dtype)),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                   # eps
