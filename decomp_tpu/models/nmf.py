@@ -32,7 +32,7 @@ from decomp_tpu.utils.exceptions import DecompError
 from decomp_tpu.utils.normalize import l2_norm
 from decomp_tpu.utils.result import NMFResult
 
-_METHODS = ("mu", "kl-mu")
+_METHODS = ("mu", "kl-mu", "hals")
 
 
 def solve(
@@ -70,8 +70,12 @@ def solve(
     x : (n_samples, rank) initial activations (optional warm start).
     tol : relative change of ``d`` below which iteration stops (0 = run
         all ``maxiter`` iterations).
-    method : 'mu' (Lee-Seung multiplicative updates, L2 loss) or 'kl-mu'
-        (Lee-Seung updates for the generalised KL divergence).
+    method : 'mu' (Lee-Seung multiplicative updates, L2 loss), 'kl-mu'
+        (Lee-Seung updates for the generalised KL divergence), or 'hals'
+        (hierarchical alternating least squares, L2 loss — exact
+        per-component coordinate updates; typically converges in far
+        fewer iterations than 'mu' [Gillis & Glineur 2011, PAPERS.md].
+        Unmasked full-batch only).
     mask : (n_samples, n_channels) 1/0 or bool array; 1 = observed.
     minibatch : if set, use the online/minibatch variant: each iteration
         samples ``minibatch`` rows, refreshes their activations with
@@ -140,6 +144,11 @@ def solve(
         raise DecompError("use_pallas=True is incompatible with minibatch")
     if use_pallas and method != "mu":
         raise DecompError("use_pallas=True currently supports method='mu'")
+    if method == "hals" and mask is not None:
+        raise DecompError("method 'hals' does not support mask; use 'mu'")
+    if method == "hals" and minibatch is not None:
+        raise DecompError("method 'hals' does not support minibatch; "
+                          "use 'mu'")
 
     seed = jnp.asarray(random_seed, jnp.uint32)
     # TPU f32 matmuls default to fast bfloat16 MXU passes, which injects
@@ -187,8 +196,11 @@ def _solve(y, d, x, mask, seed, tol, eps, forget, *, rank, maxiter,
             check_every=check_every,
         )
 
-    if method == "mu":
-        upd_x, upd_d = _update_x, _update_d
+    if method in ("mu", "hals"):
+        if method == "mu":
+            upd_x, upd_d = _update_x, _update_d
+        else:
+            upd_x, upd_d = _update_x_hals, _update_d_hals
 
         def objective(state):
             x_, d_ = state[0], state[1]
@@ -401,6 +413,51 @@ def _update_d_kl(my, x, d, mask, eps, psum_rows=_identity):
     else:
         den = psum_rows(x.T @ mask)
     return d * num / (den + eps)
+
+
+def _update_x_hals(my, x, d, mask, eps, psum_cols=_identity):
+    """One HALS pass over the columns of x (Gillis & Glineur 2011).
+
+    Exact coordinate minimisation per component with all other components
+    fixed:  x_k <- max(0, x_k + (B_k - x @ A_k) / A_kk)  with A = d d^T,
+    B = y d^T. Sequential over the K components (K is small); each inner
+    step is an (n_samples, K) matvec. Unmasked only (the Gram shortcut
+    does not survive masking). ``psum_cols`` allreduces the Gram terms
+    under column sharding.
+    """
+    del mask
+    rdt = real_dtype(x.dtype)
+    tiny = jnp.asarray(jnp.finfo(rdt).tiny, rdt)
+    a = psum_cols(d @ d.T)           # (K, K)
+    b = psum_cols(my @ d.T)          # (M, K)
+
+    def one_component(k, x_):
+        a_col = jax.lax.dynamic_slice_in_dim(a, k, 1, axis=1)[:, 0]
+        akk = jnp.maximum(a_col[k], tiny)
+        xk = x_[:, k] + (b[:, k] - x_ @ a_col) / akk
+        return x_.at[:, k].set(jnp.maximum(xk, 0))
+
+    return jax.lax.fori_loop(0, d.shape[0], one_component, x)
+
+
+def _update_d_hals(my, x, d, mask, eps, psum_rows=_identity):
+    """One HALS pass over the rows (components) of d:
+    d_k <- max(0, d_k + (E_k - C_k @ d) / C_kk), C = x^T x, E = x^T y.
+    ``psum_rows`` allreduces the sufficient statistics under row sharding.
+    """
+    del mask
+    rdt = real_dtype(d.dtype)
+    tiny = jnp.asarray(jnp.finfo(rdt).tiny, rdt)
+    c = psum_rows(x.T @ x)           # (K, K)
+    e = psum_rows(x.T @ my)          # (K, N)
+
+    def one_component(k, d_):
+        c_row = jax.lax.dynamic_slice_in_dim(c, k, 1, axis=0)[0]
+        ckk = jnp.maximum(c_row[k], tiny)
+        dk = d_[k] + (e[k] - c_row @ d_) / ckk
+        return d_.at[k].set(jnp.maximum(dk, 0))
+
+    return jax.lax.fori_loop(0, d.shape[0], one_component, d)
 
 
 def _kl_objective(my, x, d, mask, eps):

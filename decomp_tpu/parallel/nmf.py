@@ -31,8 +31,10 @@ from decomp_tpu.models.nmf import (
     _init_factors,
     _kl_objective,
     _update_d,
+    _update_d_hals,
     _update_d_kl,
     _update_x,
+    _update_x_hals,
     _update_x_kl,
 )
 from decomp_tpu.ops.loop import run_iterations
@@ -82,8 +84,11 @@ def solve(
     y = jnp.asarray(y)
     assertion.assert_real("y", y)
     n_samples, n_channels = y.shape
-    if method not in ("mu", "kl-mu"):
-        raise DecompError(f"method must be 'mu' or 'kl-mu', got {method!r}")
+    if method not in ("mu", "kl-mu", "hals"):
+        raise DecompError(
+            f"method must be 'mu', 'kl-mu' or 'hals', got {method!r}")
+    if method == "hals" and mask is not None:
+        raise DecompError("method 'hals' does not support mask; use 'mu'")
 
     if row_axis not in mesh.axis_names:
         raise DecompError(f"row_axis {row_axis!r} not in mesh axes "
@@ -228,8 +233,10 @@ def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter,
                         block_rows=br, interpret=pallas_interpret,
                         psum=psum_r, vma=vma)
         else:
-            upd_x = _update_x if method == "mu" else _update_x_kl
-            upd_d = _update_d if method == "mu" else _update_d_kl
+            upd_x = {"mu": _update_x, "kl-mu": _update_x_kl,
+                     "hals": _update_x_hals}[method]
+            upd_d = {"mu": _update_d, "kl-mu": _update_d_kl,
+                     "hals": _update_d_hals}[method]
 
             def step(state, it):
                 del it

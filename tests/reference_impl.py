@@ -163,7 +163,7 @@ def nmf(y, x, d, *, tol=1e-4, maxiter=1000, mask=None, eps=1e-15,
 
     def objective(x_, d_):
         recon = x_ @ d_
-        if method == "mu":
+        if method in ("mu", "hals"):
             resid = (my - recon) if mask is None else (my - mask * recon)
             return 0.5 * np.sum(resid * resid)
         r = recon + eps
@@ -184,6 +184,19 @@ def nmf(y, x, d, *, tol=1e-4, maxiter=1000, mask=None, eps=1e-15,
             num = x.T @ my
             den = (x.T @ x) @ d if mask is None else x.T @ (mask * (x @ d))
             d = d * num / (den + eps)
+        elif method == "hals":
+            a = d @ d.T
+            b = my @ d.T
+            for k in range(d.shape[0]):
+                akk = max(a[k, k], TINY64)
+                xk = x[:, k] + (b[:, k] - x @ a[:, k]) / akk
+                x[:, k] = np.maximum(xk, 0)
+            c = x.T @ x
+            e = x.T @ my
+            for k in range(d.shape[0]):
+                ckk = max(c[k, k], TINY64)
+                dk = d[k] + (e[k] - c[k] @ d) / ckk
+                d[k] = np.maximum(dk, 0)
         else:  # kl-mu
             r = x @ d + eps
             num = (my / r) @ d.T

@@ -152,6 +152,46 @@ def test_validation_errors():
         decomp_tpu.nmf.solve(y, rank=5, minibatch=10**9)
 
 
+def test_hals_trajectory_parity_f64():
+    y, *_ = planted_nmf(seed=31)
+    x0, d0 = _init(32, y.shape[0], y.shape[1], 5)
+    x_ref, d_ref, _, _, objs = ref.nmf(y, x0, d0, tol=0.0, maxiter=30,
+                                       method="hals")
+    res = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=30,
+                               method="hals", record_objective=True)
+    assert rel_err(res.x, x_ref) < 1e-10
+    assert rel_err(res.d, d_ref) < 1e-10
+    # HALS drives the objective toward zero fast; late-iteration values are
+    # cancellation-limited, so compare with an absolute floor too.
+    obj = np.asarray(res.objective)
+    np.testing.assert_allclose(obj, np.asarray(objs), rtol=1e-6,
+                               atol=1e-9 * max(objs[0], 1.0))
+
+
+def test_hals_converges_much_faster_than_mu():
+    """The point of HALS: exact coordinate updates beat multiplicative
+    updates by a large factor in iteration count."""
+    y, *_ = planted_nmf(seed=33, noise=0.0)
+    x0, d0 = _init(34, y.shape[0], y.shape[1], 5)
+    mu = decomp_tpu.nmf.solve(y, d0, x=x0, tol=1e-6, maxiter=30000)
+    hals = decomp_tpu.nmf.solve(y, d0, x=x0, tol=1e-6, maxiter=30000,
+                                method="hals")
+    assert bool(hals.converged)
+    assert int(hals.niter) * 4 < int(mu.niter)
+    recon = np.asarray(hals.x) @ np.asarray(hals.d)
+    assert rel_err(recon, y) < 1e-3
+    assert np.asarray(hals.x).min() >= 0 and np.asarray(hals.d).min() >= 0
+
+
+def test_hals_validation():
+    y, *_ = planted_nmf(seed=35)
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.nmf.solve(y, rank=5, method="hals",
+                             mask=np.ones_like(y))
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.nmf.solve(y, rank=5, method="hals", minibatch=8)
+
+
 def test_check_every_matches_per_iter_trajectory():
     y, *_ = planted_nmf(seed=29)
     x0, d0 = _init(30, y.shape[0], y.shape[1], 5)

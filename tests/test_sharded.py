@@ -193,3 +193,14 @@ def test_validation_errors(mesh8):
         parallel.nmf.solve(y, rank=4, mesh=mesh8)
     with pytest.raises(decomp_tpu.utils.DecompError):
         parallel.nmf.solve(y, rank=4, mesh=mesh8, row_axis="nope")
+
+
+def test_2d_sharded_hals_matches_single_device(mesh4x2):
+    y, *_ = planted_nmf(seed=30, n_samples=64, n_channels=40, rank=5)
+    x0, d0 = _init(31, 64, 40, 5)
+    ref = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=20,
+                               method="hals")
+    res = parallel.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=20,
+                             method="hals", mesh=mesh4x2, col_axis="cols")
+    assert rel_err(res.x, ref.x) < 1e-12
+    assert rel_err(res.d, ref.d) < 1e-12
