@@ -89,6 +89,9 @@ def main():
         "nmf_kl": lambda: decomp_tpu.nmf.solve(
             y, d0, x=x0, tol=0.0, maxiter=args.maxiter, method="kl-mu",
             record_objective=True),
+        "nmf_hals": lambda: decomp_tpu.nmf.solve(
+            y, d0, x=x0, tol=0.0, maxiter=min(args.maxiter, 60),
+            method="hals", record_objective=True),
         "lasso_fista": lambda: decomp_tpu.lasso.solve(
             yl, a, 0.05, tol=0.0, maxiter=args.maxiter,
             record_objective=True),
@@ -102,7 +105,10 @@ def main():
     # cancelling terms (sum of y*log(y/r) - y + r), so its f32 EVALUATION
     # is ~1e-3-conditioned even when the trajectories themselves agree to
     # 1e-6 — hence the looser curve budget plus a tight factor budget.
-    curve_budget = {"nmf_kl": 1e-2}
+    # (HALS drives the objective to the noise floor within tens of
+    # iterations, where pointwise-relative comparison is cancellation-
+    # limited, like KL.)
+    curve_budget = {"nmf_kl": 1e-2, "nmf_hals": 1e-2}
     default_curve_budget = 1e-4
     factor_budget = 1e-4
 
