@@ -204,3 +204,39 @@ def test_2d_sharded_hals_matches_single_device(mesh4x2):
                              method="hals", mesh=mesh4x2, col_axis="cols")
     assert rel_err(res.x, ref.x) < 1e-12
     assert rel_err(res.d, ref.d) < 1e-12
+
+
+def test_sharded_lasso_feature_alpha_and_warm(mesh8):
+    y, a, _ = planted_lasso(seed=32, n_samples=16)
+    alphas = np.full((a.shape[0],), 0.05)
+    ref = decomp_tpu.lasso.solve(y, a, alphas, tol=0.0, maxiter=25)
+    res = parallel.lasso.solve(y, a, alphas, tol=0.0, maxiter=25, mesh=mesh8)
+    assert rel_err(res.x, ref.x) < 1e-12
+    # warm start through the sharded path: resume from a converged solution
+    full = parallel.lasso.solve(y, a, alphas, tol=1e-12, maxiter=50000,
+                                mesh=mesh8)
+    assert bool(full.converged)
+    res2 = parallel.lasso.solve(y, a, alphas, x=full.x, tol=1e-6,
+                                maxiter=50, method="ista", mesh=mesh8)
+    assert bool(res2.converged)
+    assert int(res2.niter) <= 3
+
+
+def test_checkpointed_sharded_solve(mesh8, tmp_path):
+    from decomp_tpu.utils.checkpoint import (CheckpointManager,
+                                             checkpointed_solve)
+    y, *_ = planted_nmf(seed=33, n_samples=64, n_channels=40, rank=4)
+    x0, d0 = _init(34, 64, 40, 4)
+    mgr = CheckpointManager(str(tmp_path / "shard_ckpt"))
+    res, total = checkpointed_solve(
+        parallel.nmf.solve, y, manager=mgr, chunk_iters=10, maxiter=30,
+        tol=0.0, d=d0, x=x0, mesh=mesh8)
+    straight = parallel.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=30,
+                                  mesh=mesh8)
+    assert total == 30
+    assert rel_err(res.d, straight.d) < 1e-12
+
+
+def test_make_mesh_validation():
+    with pytest.raises(ValueError):
+        parallel.make_mesh((3,), ("rows",))  # 3 != 8 devices
