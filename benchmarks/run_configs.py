@@ -142,8 +142,9 @@ def config2_batch_fista(small):
     float(jnp.asarray(curve_res.x, jnp.float32).sum())
     res, t = _best_of(run)
     niter = int(res.niter)
-    # dominant matmul: grad = x @ gram (n_prob x n_feat x n_feat) per iter
-    flops = 2.0 * n_prob * n_feat * n_feat * 2 * niter
+    # dominant matmul: grad = z @ gram — ONE (n_prob, n_feat) x
+    # (n_feat, n_feat) matmul per iteration (2 flops/MAC)
+    flops = 2.0 * n_prob * n_feat * n_feat * niter
     return _emit("c2_batch_fista_10k_512", curve_res.objective, t, res,
                  {"time_to_tol_s": round(t, 4), "tol": 1e-4,
                   "precision": "high",

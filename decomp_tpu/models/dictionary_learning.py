@@ -55,7 +55,11 @@ def solve(
 
     Parameters
     ----------
-    y : (n_samples, n_channels), real or complex.
+    y : (n_samples, n_channels), real or complex. NOTE: complex dictionary
+        learning requires a backend with complex-dtype support (CPU, GPU,
+        standard TPU runtimes with complex lowering); on TPU backends
+        without it, only the lasso family offers a split-(re,im) execution
+        path (``decomp_tpu.lasso.solve(complex_split=...)``).
     d : (n_atoms, n_channels) initial dictionary (required; rows are
         renormalised to unit L2 norm before iterating).
     alpha : nonnegative sparse-coding weight (scalar).

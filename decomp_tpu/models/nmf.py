@@ -427,15 +427,21 @@ def _update_x_hals(my, x, d, mask, eps, psum_cols=_identity):
     """
     del mask
     rdt = real_dtype(x.dtype)
-    tiny = jnp.asarray(jnp.finfo(rdt).tiny, rdt)
     a = psum_cols(d @ d.T)           # (K, K)
     b = psum_cols(my @ d.T)          # (M, K)
+    # Numerically-dead component guard: dividing by a clamped-to-tiny
+    # diagonal would blow a near-zero component up to ~1e38 (f32) and NaN
+    # the factorisation on the next sweep. Components whose diagonal falls
+    # below machine-eps relative to the Gram's scale keep their old value.
+    floor = jnp.asarray(jnp.finfo(rdt).eps, rdt) * jnp.maximum(
+        jnp.trace(a), jnp.asarray(jnp.finfo(rdt).tiny, rdt))
 
     def one_component(k, x_):
         a_col = jax.lax.dynamic_slice_in_dim(a, k, 1, axis=1)[:, 0]
-        akk = jnp.maximum(a_col[k], tiny)
-        xk = x_[:, k] + (b[:, k] - x_ @ a_col) / akk
-        return x_.at[:, k].set(jnp.maximum(xk, 0))
+        akk = a_col[k]
+        xk = x_[:, k] + (b[:, k] - x_ @ a_col) / jnp.maximum(akk, floor)
+        xk = jnp.where(akk > floor, jnp.maximum(xk, 0), x_[:, k])
+        return x_.at[:, k].set(xk)
 
     return jax.lax.fori_loop(0, d.shape[0], one_component, x)
 
@@ -447,15 +453,17 @@ def _update_d_hals(my, x, d, mask, eps, psum_rows=_identity):
     """
     del mask
     rdt = real_dtype(d.dtype)
-    tiny = jnp.asarray(jnp.finfo(rdt).tiny, rdt)
     c = psum_rows(x.T @ x)           # (K, K)
     e = psum_rows(x.T @ my)          # (K, N)
+    floor = jnp.asarray(jnp.finfo(rdt).eps, rdt) * jnp.maximum(
+        jnp.trace(c), jnp.asarray(jnp.finfo(rdt).tiny, rdt))
 
     def one_component(k, d_):
         c_row = jax.lax.dynamic_slice_in_dim(c, k, 1, axis=0)[0]
-        ckk = jnp.maximum(c_row[k], tiny)
-        dk = d_[k] + (e[k] - c_row @ d_) / ckk
-        return d_.at[k].set(jnp.maximum(dk, 0))
+        ckk = c_row[k]
+        dk = d_[k] + (e[k] - c_row @ d_) / jnp.maximum(ckk, floor)
+        dk = jnp.where(ckk > floor, jnp.maximum(dk, 0), d_[k])
+        return d_.at[k].set(dk)
 
     return jax.lax.fori_loop(0, d.shape[0], one_component, d)
 

@@ -67,19 +67,34 @@ def solve_streaming(
     y = np.asarray(y)
     assertion.assert_ndim("y", y, 2)
     assertion.assert_inexact("y", y)
+    if np.iscomplexobj(y):
+        from decomp_tpu.utils.exceptions import DtypeError
+        raise DtypeError("y must be real-valued for NMF")
     n_samples, n_channels = y.shape
     if d is None and rank is None:
         raise DecompError("provide an initial dictionary `d` or a `rank`")
     rng = np.random.default_rng(random_seed)
+
+    def _init_scale(k):
+        # Mean over OBSERVED entries of the leading rows: missing entries
+        # may hold arbitrary finite values (same contract as nmf.solve).
+        head = y[: min(n_samples, 4096)]
+        if mask is not None:
+            mh = np.asarray(mask)[: min(n_samples, 4096)]
+            total = float((head * mh).sum())
+            count = max(float(np.asarray(mh, np.float64).sum()), 1.0)
+            mean_y = max(total / count, 1e-30)
+        else:
+            mean_y = max(float(head.mean()), 1e-30)
+        return np.sqrt(2.0 * mean_y / k)
+
     if d is None:
-        mean_y = max(float(y[: min(n_samples, 4096)].mean()), 1e-30)
-        scale = np.sqrt(2.0 * mean_y / rank)
+        scale = _init_scale(rank)
         d = (scale * rng.uniform(size=(rank, n_channels))).astype(y.dtype)
     d = jnp.asarray(d)
     rank = d.shape[0]
     if x is None:
-        mean_y = max(float(y[: min(n_samples, 4096)].mean()), 1e-30)
-        scale = np.sqrt(2.0 * mean_y / rank)
+        scale = _init_scale(rank)
         x = (scale * rng.uniform(size=(n_samples, rank))).astype(y.dtype)
     else:
         x = np.array(x, dtype=y.dtype, copy=True)

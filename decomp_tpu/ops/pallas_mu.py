@@ -30,14 +30,16 @@ ratio is formed in f32 before casting back to the storage dtype.
 Shape contract: callers pre-pad once, outside the iteration loop —
 M % block_rows == 0, N % 128 == 0, K % 128 == 0. Zero padding is a fixed
 point of the MU update (zero rows/atoms stay zero and contribute nothing
-to the statistics), see decomp_tpu.models.nmf._pad_for_pallas.
+to the statistics); the padding itself lives in the callers
+(decomp_tpu.models.nmf._solve_pallas and decomp_tpu.parallel.nmf).
 """
 
+import functools
 
 import jax
 import jax.numpy as jnp
-
-import functools
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _dot_precision(dtype):
@@ -49,8 +51,6 @@ def _dot_precision(dtype):
     DEFAULT (the native single pass)."""
     return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 # Default VMEM budget for choosing the stripe height (bytes). Real VMEM is
 # ~16 MiB per core; leave headroom for double-buffered pipelines.

@@ -44,9 +44,13 @@ def spectral_norm_psd(gram, *, iters: int = 60, method: str = "power",
         ).astype(rdt)
 
     v = jax.lax.fori_loop(0, iters, body, v)
-    # Rayleigh quotient; real for Hermitian gram.
-    lam = jnp.real(jnp.vdot(v, gram @ v)) / jnp.real(jnp.vdot(v, v))
-    return (lam * safety).astype(rdt)
+    # Rayleigh quotient; real for Hermitian gram. Guard the denominator:
+    # an (effectively) zero gram drives v to 0 and 0/0 would poison the
+    # solver with NaN instead of the harmless L=tiny.
+    tiny = jnp.asarray(jnp.finfo(rdt).tiny, rdt)
+    lam = jnp.real(jnp.vdot(v, gram @ v)) / jnp.maximum(
+        jnp.real(jnp.vdot(v, v)), tiny)
+    return jnp.maximum(lam * safety, tiny).astype(rdt)
 
 
 def lipschitz_gram(a, *, iters: int = 60, method: str = "power",

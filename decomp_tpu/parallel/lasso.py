@@ -72,8 +72,9 @@ def solve(
     alpha = jnp.asarray(alpha, rdt)
     if x is not None:
         x = jnp.asarray(x, dtype)
-        assertion.assert_same_shape("x", x, "y[:, :n_feat]",
-                                    jnp.empty((y.shape[0], a.shape[0])))
+        assertion.assert_ndim("x", x, 2)
+        assertion.assert_axis_size("x", x, 0, y.shape[0], "n_samples")
+        assertion.assert_axis_size("x", x, 1, a.shape[0], "n_features")
     if mask is not None:
         assertion.assert_same_shape("mask", mask, "y", y)
         mask = jnp.asarray(mask, rdt)

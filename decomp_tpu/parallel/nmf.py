@@ -113,6 +113,9 @@ def solve(
         d = jnp.asarray(d, y.dtype)
         assertion.assert_ndim("d", d, 2)
         assertion.assert_axis_size("d", d, 1, n_channels, "n_channels")
+        if rank is not None and d.shape[0] != rank:
+            raise DecompError(
+                f"rank={rank} inconsistent with d.shape[0]={d.shape[0]}")
         rank = d.shape[0]
     if x is not None:
         x = jnp.asarray(x, y.dtype)

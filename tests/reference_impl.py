@@ -187,16 +187,19 @@ def nmf(y, x, d, *, tol=1e-4, maxiter=1000, mask=None, eps=1e-15,
         elif method == "hals":
             a = d @ d.T
             b = my @ d.T
+            floor = np.finfo(np.float64).eps * max(np.trace(a), TINY64)
             for k in range(d.shape[0]):
-                akk = max(a[k, k], TINY64)
-                xk = x[:, k] + (b[:, k] - x @ a[:, k]) / akk
-                x[:, k] = np.maximum(xk, 0)
+                if a[k, k] > floor:
+                    xk = x[:, k] + (b[:, k] - x @ a[:, k]) / max(a[k, k],
+                                                                 floor)
+                    x[:, k] = np.maximum(xk, 0)
             c = x.T @ x
             e = x.T @ my
+            floor = np.finfo(np.float64).eps * max(np.trace(c), TINY64)
             for k in range(d.shape[0]):
-                ckk = max(c[k, k], TINY64)
-                dk = d[k] + (e[k] - c[k] @ d) / ckk
-                d[k] = np.maximum(dk, 0)
+                if c[k, k] > floor:
+                    dk = d[k] + (e[k] - c[k] @ d) / max(c[k, k], floor)
+                    d[k] = np.maximum(dk, 0)
         else:  # kl-mu
             r = x @ d + eps
             num = (my / r) @ d.T

@@ -90,3 +90,14 @@ def test_nmf_rank_larger_than_channels():
     assert _finite(res.x, res.d)
     recon = np.asarray(res.x) @ np.asarray(res.d)
     assert rel_err(recon, y) < 0.1
+
+
+def test_hals_overcomplete_rank_stays_finite():
+    """Rank above true rank: near-dead components must not blow up
+    (the HALS denominators get a relative floor, not a tiny clamp)."""
+    y, *_ = planted_nmf(seed=57, n_samples=60, n_channels=30, rank=2)
+    res = decomp_tpu.nmf.solve(y.astype(np.float32), rank=16, tol=0.0,
+                               maxiter=3000, method="hals", random_seed=5)
+    assert _finite(res.x, res.d)
+    recon = np.asarray(res.x, np.float64) @ np.asarray(res.d, np.float64)
+    assert rel_err(recon, y) < 0.05
