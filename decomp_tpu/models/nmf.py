@@ -81,6 +81,11 @@ def solve(
         samples ``minibatch`` rows, refreshes their activations with
         ``inner_iter`` MU steps, and updates ``d`` from exponentially
         smoothed sufficient statistics (decay ``forget``).
+    inner_iter : x updates per d update. For full-batch 'mu' this is the
+        accelerated-MU scheme of Gillis & Glineur (PAPERS.md): the
+        expensive y @ d.T numerator is computed once per outer iteration
+        and reused by the extra x refinements, whose marginal cost is only
+        the O(M K^2) denominator. Ignored by the Pallas fast path.
     random_seed : seed for factor init and minibatch sampling.
     eps : additive denominator guard of the multiplicative updates.
     record_objective : record 0.5*||mask*(y - x@d)||^2 per iteration
@@ -137,6 +142,7 @@ def solve(
             jax.default_backend() == "tpu"
             and minibatch is None
             and method == "mu"
+            and inner_iter == 1
             and n_samples * n_channels >= (1 << 20)
         )
     use_pallas = bool(use_pallas)
@@ -144,6 +150,10 @@ def solve(
         raise DecompError("use_pallas=True is incompatible with minibatch")
     if use_pallas and method != "mu":
         raise DecompError("use_pallas=True currently supports method='mu'")
+    if use_pallas and int(inner_iter) != 1:
+        raise DecompError("use_pallas=True does not support inner_iter > 1 "
+                          "(the fused kernel computes one x update per "
+                          "data pass)")
     if method == "hals" and mask is not None:
         raise DecompError("method 'hals' does not support mask; use 'mu'")
     if method == "hals" and minibatch is not None:
@@ -226,7 +236,8 @@ def _solve(y, d, x, mask, seed, tol, eps, forget, *, rank, maxiter,
             # named_scope -> phases visible in jax.profiler / Perfetto
             # traces (SURVEY.md §5 'Tracing / profiling').
             with jax.named_scope("nmf_x_update"):
-                x_ = upd_x(my, x_, d_, mask, eps)
+                for _ in range(inner_iter):
+                    x_ = upd_x(my, x_, d_, mask, eps)
             with jax.named_scope("nmf_d_update"):
                 d_ = upd_d(my, x_, d_, mask, eps)
             return (x_, d_)

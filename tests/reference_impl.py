@@ -151,7 +151,7 @@ def lasso(y, a, alpha, x=None, *, tol=1e-5, maxiter=1000, method="fista",
 # ---------------------------------------------------------------------- NMF
 
 def nmf(y, x, d, *, tol=1e-4, maxiter=1000, mask=None, eps=1e-15,
-        method="mu"):
+        method="mu", inner_iter=1):
     """Mirror of decomp_tpu.nmf.solve (full-batch 'mu' L2 / 'kl-mu' KL).
 
     Returns (x, d, niter, converged, objectives list).
@@ -178,9 +178,11 @@ def nmf(y, x, d, *, tol=1e-4, maxiter=1000, mask=None, eps=1e-15,
     for it in range(1, maxiter + 1):
         d_old = d.copy()
         if method == "mu":
-            num = my @ d.T
-            den = x @ (d @ d.T) if mask is None else (mask * (x @ d)) @ d.T
-            x = x * num / (den + eps)
+            for _ in range(inner_iter):
+                num = my @ d.T
+                den = (x @ (d @ d.T) if mask is None
+                       else (mask * (x @ d)) @ d.T)
+                x = x * num / (den + eps)
             num = x.T @ my
             den = (x.T @ x) @ d if mask is None else x.T @ (mask * (x @ d))
             d = d * num / (den + eps)

@@ -200,3 +200,20 @@ def test_check_every_matches_per_iter_trajectory():
                              check_every=7)
     assert rel_err(a.d, b.d) < 1e-12
     assert int(b.niter) == 40
+
+
+def test_full_batch_inner_iter_accelerates():
+    """Accelerated MU (extra x refinements per d update, Gillis &
+    Glineur): matches the NumPy mirror and needs fewer outer iterations."""
+    y, *_ = planted_nmf(seed=36)
+    x0, d0 = _init(37, y.shape[0], y.shape[1], 5)
+    x_ref, d_ref, *_ = ref.nmf(y, x0, d0, tol=0.0, maxiter=25,
+                               inner_iter=3)
+    res = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=25,
+                               inner_iter=3)
+    assert rel_err(res.x, x_ref) < 1e-10
+    assert rel_err(res.d, d_ref) < 1e-10
+    plain = decomp_tpu.nmf.solve(y, d0, x=x0, tol=1e-5, maxiter=30000)
+    accel = decomp_tpu.nmf.solve(y, d0, x=x0, tol=1e-5, maxiter=30000,
+                                 inner_iter=3)
+    assert int(accel.niter) < int(plain.niter)
