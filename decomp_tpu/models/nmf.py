@@ -55,6 +55,7 @@ def solve(
     use_pallas="auto",
     pallas_block_rows: Optional[int] = None,
     check_every: int = 1,
+    verbose: bool = False,
     _pallas_interpret: bool = False,
 ) -> NMFResult:
     """Factorise ``y ≈ x @ d`` with nonnegative factors.
@@ -177,6 +178,7 @@ def solve(
             pallas_block_rows=pallas_block_rows,
             pallas_interpret=bool(_pallas_interpret),
             check_every=int(check_every),
+            verbose=bool(verbose),
         )
 
 
@@ -184,12 +186,12 @@ def solve(
     jax.jit,
     static_argnames=("rank", "maxiter", "method", "minibatch", "inner_iter",
                      "record_objective", "use_pallas", "pallas_block_rows",
-                     "pallas_interpret", "check_every"),
+                     "pallas_interpret", "check_every", "verbose"),
 )
 def _solve(y, d, x, mask, seed, tol, eps, forget, *, rank, maxiter,
            method="mu", minibatch, inner_iter, record_objective,
            use_pallas=False, pallas_block_rows=None, pallas_interpret=False,
-           check_every=1):
+           check_every=1, verbose=False):
     rdt = real_dtype(y.dtype)
     eps = eps.astype(rdt)
     key = jax.random.PRNGKey(seed)
@@ -284,7 +286,7 @@ def _solve(y, d, x, mask, seed, tol, eps, forget, *, rank, maxiter,
     res = run_iterations(
         step, init, tol=tol, maxiter=maxiter, diff_fn=diff_fn,
         objective_fn=objective, record_objective=record_objective,
-        check_every=check_every,
+        check_every=check_every, verbose=verbose,
     )
     x_fin, d_fin = res.state[0], res.state[1]
     return NMFResult(x=x_fin, d=d_fin, niter=res.niter,

@@ -36,6 +36,7 @@ def run_iterations(
     record_objective: bool = False,
     objective_dtype=None,
     check_every: int = 1,
+    verbose: bool = False,
 ) -> IterationResult:
     """Run ``state <- step(state, it)`` until converged or ``maxiter``.
 
@@ -54,6 +55,9 @@ def run_iterations(
                    semantics coarsen accordingly; ``niter`` stays exact.
                    Requires record_objective=False unless 1 (the objective
                    is recorded per iteration).
+    verbose:       print iteration index and convergence diff from the
+                   device at every check (jax.debug.print; the solver's
+                   async execution is unaffected).
 
     Everything here traces into one XLA while loop; no host syncs.
     """
@@ -106,6 +110,9 @@ def run_iterations(
             steps_done = n_steps
         diff = diff_fn(state, new_state)
         converged = diff < tol.astype(diff.dtype)
+        if verbose:
+            jax.debug.print("iter {it}: diff={diff}", it=it + steps_done,
+                            diff=diff, ordered=False)
         if record_objective:
             obj = obj.at[it].set(objective_fn(new_state).astype(obj_dtype))
         return (it + steps_done, converged, new_state, obj)
