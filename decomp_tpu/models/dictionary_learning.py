@@ -258,3 +258,8 @@ def _masked_grad_dict_update(my, x, d, mask, reduce_sum=None):
     resid = mask * (x @ d) - my
     grad = red(x.conj().T @ resid)
     return l2_normalize(d - grad / lip.astype(d.dtype), axis=1)
+
+
+# Out-of-core variant (host-streamed row chunks) — import at end of module
+# because dl_streaming reuses this module's dictionary update.
+from decomp_tpu.models.dl_streaming import solve_streaming  # noqa: E402,F401

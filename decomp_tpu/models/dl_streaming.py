@@ -1,0 +1,135 @@
+"""Out-of-core dictionary learning: data larger than device memory.
+
+Same pattern as ``nmf.solve_streaming``: per outer iteration, each host
+row chunk is sparse-coded on device against the current dictionary (rows
+are independent given d), the BCD sufficient statistics A += x_c^H x_c and
+B += x_c^H y_c accumulate on device, and the dictionary is updated once
+per outer iteration from the full-data statistics — exactly the
+full-batch alternation. Chunked trajectories match full-batch ones up to
+matmul reduction order when the inner lasso runs its full budget
+(lasso_tol=0); with inner early stopping the stop criterion is evaluated
+per chunk rather than globally (tested). Unmasked only (the masked dictionary
+step is gradient-based and needs the full residual; use the in-core
+solver or the minibatch variant for masked problems).
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from decomp_tpu.models import lasso as _lasso
+from decomp_tpu.models.dictionary_learning import _bcd_dict_update
+from decomp_tpu.ops.loop import run_iterations
+from decomp_tpu.utils import assertion
+from decomp_tpu.utils.dtypes import real_dtype
+from decomp_tpu.utils.exceptions import DecompError
+from decomp_tpu.utils.normalize import l2_normalize
+from decomp_tpu.utils.result import DictionaryLearningResult
+
+
+def solve_streaming(
+    y,
+    d,
+    alpha,
+    x=None,
+    *,
+    tol=1e-4,
+    maxiter: int = 100,
+    lasso_method: str = "fista",
+    lasso_iter: int = 10,
+    lasso_tol=1e-6,
+    chunk_rows: int = 65536,
+    precision: str = "highest",
+    callback=None,
+) -> DictionaryLearningResult:
+    """Out-of-core ``decomp_tpu.dictionary_learning.solve`` (unmasked).
+
+    ``y`` and ``x`` are host arrays streamed in ``chunk_rows`` blocks; the
+    returned ``x`` is a host numpy array. ``callback(it, diff)`` fires once
+    per outer iteration.
+    """
+    y = np.asarray(y)
+    assertion.assert_ndim("y", y, 2)
+    d = jnp.asarray(d)
+    assertion.assert_ndim("d", d, 2)
+    assertion.assert_axis_size("d", d, 1, y.shape[1], "n_channels")
+    assertion.assert_nonnegative("alpha", alpha)
+    if lasso_method == "cd":
+        raise DecompError("lasso_method 'cd' is not supported inside "
+                          "dictionary learning; use 'fista'/'parallel_cd'")
+    chunk_rows = int(chunk_rows)
+    if chunk_rows < 1:
+        raise DecompError("chunk_rows must be >= 1")
+    n_samples = y.shape[0]
+    n_atoms = d.shape[0]
+    dtype = np.result_type(y.dtype, np.asarray(d).dtype)
+    if x is None:
+        x = np.zeros((n_samples, n_atoms), dtype=dtype)
+    else:
+        x = np.array(x, dtype=dtype, copy=True)
+        assertion.assert_axis_size("x", x, 0, n_samples, "n_samples")
+        assertion.assert_axis_size("x", x, 1, n_atoms, "n_atoms")
+
+    rdt = real_dtype(jnp.result_type(dtype))
+    alpha_j = jnp.asarray(np.asarray(alpha).real.astype(rdt))
+    lasso_tol_j = jnp.asarray(lasso_tol, rdt)
+    d = l2_normalize(d.astype(dtype), axis=1)
+
+    niter, converged, diff = 0, False, np.inf
+    with jax.default_matmul_precision(precision):
+        for it in range(1, maxiter + 1):
+            d_old = d
+            stats_a = jnp.zeros((n_atoms, n_atoms), dtype)
+            stats_b = jnp.zeros((n_atoms, y.shape[1]), dtype)
+            for lo in range(0, n_samples, chunk_rows):
+                hi = min(lo + chunk_rows, n_samples)
+                yc = jnp.asarray(y[lo:hi])
+                xc = jnp.asarray(x[lo:hi])
+                xc, a_c, b_c = _chunk_code_and_stats(
+                    yc, d, xc, alpha_j, lasso_tol_j,
+                    lasso_method=lasso_method, lasso_iter=lasso_iter)
+                x[lo:hi] = np.asarray(xc)
+                stats_a = stats_a + a_c
+                stats_b = stats_b + b_c
+            d = _bcd_dict_update(stats_a, stats_b, d)
+            diff = float(_rel_diff(d_old, d))
+            niter = it
+            if callback is not None:
+                callback(it, diff)
+            if diff < float(tol):
+                converged = True
+                break
+
+    return DictionaryLearningResult(
+        x=x, d=d, niter=jnp.asarray(niter, jnp.int32),
+        converged=jnp.asarray(converged),
+        objective=jnp.zeros((0,), jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("lasso_method", "lasso_iter"))
+def _chunk_code_and_stats(yc, d, xc, alpha, lasso_tol, *, lasso_method,
+                          lasso_iter):
+    """Sparse-code one row chunk and return its BCD statistic partials."""
+    step, init, diff_fn, obj_fn = _lasso.build_solver(
+        yc, d, alpha, xc, None, None, method=lasso_method)
+    res = run_iterations(step, init, tol=lasso_tol, maxiter=lasso_iter,
+                         diff_fn=diff_fn, objective_fn=obj_fn,
+                         record_objective=False)
+    xc = res.state[0]
+    return xc, xc.conj().T @ xc, xc.conj().T @ yc
+
+
+@jax.jit
+def _rel_diff(d_old, d_new):
+    acc_dt = jnp.promote_types(jnp.float32, real_dtype(d_old.dtype))
+    num = jnp.linalg.norm((d_new - d_old).astype(
+        jnp.promote_types(acc_dt, d_old.dtype)))
+    den = jnp.maximum(
+        jnp.linalg.norm(d_old.astype(jnp.promote_types(acc_dt,
+                                                       d_old.dtype))),
+        jnp.asarray(jnp.finfo(acc_dt).tiny, acc_dt))
+    return jnp.real(num) / den

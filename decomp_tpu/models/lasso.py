@@ -511,3 +511,8 @@ def _solve_split(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
     )
     return (res.state[0].re, res.state[0].im, res.niter, res.converged,
             res.objective)
+
+
+# Out-of-core variant (host-streamed row chunks) — import at end of module
+# because lasso_streaming reuses this module's solver.
+from decomp_tpu.models.lasso_streaming import solve_streaming  # noqa: E402,F401

@@ -53,3 +53,45 @@ def test_streamed_validation():
         decomp_tpu.nmf.solve_streaming(y, rank=4, chunk_rows=0)
     with pytest.raises(decomp_tpu.utils.DecompError):
         decomp_tpu.nmf.solve_streaming(y, rank=4, method="nope")
+
+
+def test_streamed_lasso_matches_full_batch():
+    from problems import planted_lasso
+    y, a, _ = planted_lasso(seed=46, n_samples=37)
+    full = decomp_tpu.lasso.solve(y, a, 0.05, tol=0.0, maxiter=30)
+    stream = decomp_tpu.lasso.solve_streaming(y, a, 0.05, tol=0.0,
+                                              maxiter=30, chunk_rows=8)
+    assert isinstance(stream.x, np.ndarray)
+    assert rel_err(stream.x, full.x) < 1e-12
+
+
+def test_streamed_lasso_masked_and_complex():
+    from problems import planted_lasso
+    y, a, _ = planted_lasso(seed=47, n_samples=21, complex_=True)
+    full = decomp_tpu.lasso.solve(y, a, 0.05, tol=0.0, maxiter=25)
+    stream = decomp_tpu.lasso.solve_streaming(y, a, 0.05, tol=0.0,
+                                              maxiter=25, chunk_rows=6)
+    assert rel_err(stream.x, full.x) < 1e-10
+    yr, ar, _ = planted_lasso(seed=48, n_samples=21)
+    mask = random_mask(49, yr.shape)
+    fullm = decomp_tpu.lasso.solve(yr * mask, ar, 0.05, tol=0.0,
+                                   maxiter=25, mask=mask)
+    streamm = decomp_tpu.lasso.solve_streaming(yr * mask, ar, 0.05,
+                                               tol=0.0, maxiter=25,
+                                               mask=mask, chunk_rows=6)
+    assert rel_err(streamm.x, fullm.x) < 1e-12
+
+
+def test_streamed_dictionary_learning_matches_full_batch():
+    from problems import planted_patches
+    y, d_true, _ = planted_patches(seed=50, n_samples=90)
+    rng = np.random.default_rng(51)
+    d0 = d_true + 0.3 * rng.normal(size=d_true.shape)
+    full = decomp_tpu.dictionary_learning.solve(
+        y, d0, 0.05, tol=0.0, maxiter=10, lasso_iter=8, lasso_tol=0.0)
+    stream = decomp_tpu.dictionary_learning.solve_streaming(
+        y, d0, 0.05, tol=0.0, maxiter=10, lasso_iter=8, lasso_tol=0.0,
+        chunk_rows=17)
+    assert isinstance(stream.x, np.ndarray)
+    assert rel_err(stream.d, full.d) < 1e-10
+    assert rel_err(stream.x, full.x) < 1e-10
