@@ -59,6 +59,7 @@ def solve(
     precision: str = "highest",
     complex_split="auto",
     check_every: int = 1,
+    per_problem: bool = False,
 ) -> LassoResult:
     """Solve  min_x 0.5*||mask*(y - x@a)||^2 + alpha*||x||_1.
 
@@ -92,14 +93,25 @@ def solve(
         complex solution on the CPU device. 'auto' enables it for complex
         inputs when the default backend is TPU. Unsupported for method
         'cd' and requires concrete (non-traced) inputs.
+    per_problem : every row converges independently (SURVEY.md §7 hard
+        part 4): converged rows freeze at their own stopping iteration
+        (output rows match per-row single solves), the loop runs until all
+        rows are done or maxiter, and ``niter``/``converged`` come back as
+        per-row arrays of shape (n_samples,). Methods ista / fista /
+        acc_ista / parallel_cd. Default False = reference-parity global
+        criterion (every row runs until the slowest converges).
 
     Returns
     -------
     LassoResult(x, niter, converged, objective). ``x`` has y's leading
-    shape + (n_features,).
+    shape + (n_features,); ``niter``/``converged`` are scalars, or
+    per-row (n_samples,) arrays when ``per_problem``.
     """
     if method not in _METHODS:
         raise DecompError(f"method must be one of {_METHODS}, got {method!r}")
+    if per_problem and method == "cd":
+        raise DecompError("per_problem convergence does not support "
+                          "method 'cd'")
 
     if complex_split == "auto":
         complex_split = (_is_complex_concrete(y, a)
@@ -112,7 +124,7 @@ def solve(
             y, a, alpha, x, mask, lipschitz, tol=tol, method=method,
             maxiter=int(maxiter),
             record_objective=bool(record_objective), precision=precision,
-            check_every=int(check_every))
+            check_every=int(check_every), per_problem=bool(per_problem))
 
     y = jnp.asarray(y)
     a = jnp.asarray(a)
@@ -170,26 +182,49 @@ def solve(
             y, a, alpha, x, mask, lip, jnp.asarray(tol, rdt),
             method=method, maxiter=int(maxiter),
             record_objective=bool(record_objective),
-            check_every=int(check_every),
+            check_every=int(check_every), per_problem=bool(per_problem),
         )
     if squeeze:
         res = res._replace(x=res.x[0])
+        if per_problem:
+            res = res._replace(niter=res.niter[0],
+                               converged=res.converged[0])
     return res
 
 
 def build_solver(y, a, alpha, x, mask, lipschitz, *, method,
-                 reduce_sum=None):
+                 reduce_sum=None, per_problem=False, tol=None,
+                 vary_rows=None):
     """Construct the iteration machinery for one lasso method.
 
     Returns ``(step, init, diff_fn, obj_fn)`` for ``run_iterations``. All
-    cross-sample scalar reductions (convergence norms, objective, the
-    acc_ista restart inner product) go through ``reduce_sum``, so the same
-    machinery runs single-device (``reduce_sum=None`` -> identity) and
-    row-sharded under ``shard_map`` (``reduce_sum=partial(lax.psum,
-    axis_name=...)``; SURVEY.md §2b N5). ``y``/``x``/``mask`` are then the
-    device-local row blocks while ``a`` is replicated.
+    cross-sample scalar reductions (convergence norms, objective) go
+    through ``reduce_sum``, so the same machinery runs single-device
+    (``reduce_sum=None`` -> identity) and row-sharded under ``shard_map``
+    (``reduce_sum=partial(lax.psum, axis_name=...)``; SURVEY.md §2b N5).
+    ``y``/``x``/``mask`` are then the device-local row blocks while ``a``
+    is replicated. The acc_ista adaptive restart is ROW-LOCAL (each
+    problem restarts its own momentum; O'Donoghue & Candes restart is per
+    convex problem, and the batch rows are independent problems), so it
+    needs no cross-device reduction.
+
+    per_problem=True (methods ista/fista/acc_ista/parallel_cd; requires
+    ``tol``): every row of the batch converges independently (SURVEY.md §7
+    hard part 4). The state carries a per-row ``done`` mask and per-row
+    iteration counts; converged rows FREEZE (their x/z/t stop updating, so
+    each row's output is bit-identical to stopping that row's solve at its
+    own convergence iteration), and the while_loop exits when every row is
+    done. ``diff_fn`` then returns the (reduce_sum'd) count of unconverged
+    rows, which ``run_iterations`` compares against tol (count==0 <=>
+    converged). State layout gains ``(..., done, niter_rows)`` at the end.
+
+    vary_rows: shard_map callers must pass ``lambda v: jax.lax.pcast(v,
+    axis, to="varying")`` — the freshly created row-shaped carry inits
+    (per-row momentum t, done mask, iteration counts) are device-unvarying
+    until marked, and while_loop requires loop-invariant carry types.
     """
     red = (lambda s: s) if reduce_sum is None else reduce_sum
+    vrows = (lambda v: v) if vary_rows is None else vary_rows
     dtype = y.dtype
     rdt = real_dtype(dtype)
     ah = a.conj().T
@@ -220,65 +255,122 @@ def build_solver(y, a, alpha, x, mask, lipschitz, *, method,
         return jnp.sqrt(sumsq(x_new - x_old)) / jnp.maximum(
             jnp.sqrt(sumsq(x_new)), tiny)
 
-    if method in ("ista", "fista", "acc_ista"):
-        lip_ = spectral_norm_psd(gram) if lipschitz is None else lipschitz
-        inv_l = (1.0 / lip_).astype(rdt)
-        thresh = alpha * inv_l
+    if per_problem and method not in ("ista", "fista", "acc_ista",
+                                      "parallel_cd"):
+        raise DecompError(
+            f"per_problem convergence is not supported for method "
+            f"{method!r} (sequential 'cd' sweeps cannot freeze rows)")
+    if per_problem and tol is None:
+        raise ValueError("per_problem=True requires tol")
 
-        if method == "ista":
-            def step(state, it):
-                del it
-                (x_,) = state
-                return (soft_threshold(x_ - inv_l * grad(x_), thresh),)
-
-            init = (x,)
+    if method in ("ista", "fista", "acc_ista", "parallel_cd"):
+        if method == "parallel_cd":
+            diag = jnp.maximum(jnp.real(jnp.diagonal(gram)), tiny)
+            # theta = 1 / lambda_max(D^-1/2 gram D^-1/2): largest step for
+            # which the diagonal metric D/theta majorises the quadratic, so
+            # the simultaneous per-coordinate prox step converges.
+            scale = 1.0 / jnp.sqrt(diag)
+            ngram = (scale[:, None] * gram
+                     * scale[None, :]).astype(gram.dtype)
+            theta = (1.0 / spectral_norm_psd(ngram)).astype(rdt)
+            stepsz = (theta / diag).astype(rdt)
         else:
-            restart = method == "acc_ista"
+            lip_ = (spectral_norm_psd(gram) if lipschitz is None
+                    else lipschitz)
+            stepsz = (1.0 / lip_).astype(rdt)
+        thresh = alpha * stepsz
 
-            def step(state, it):
-                del it
-                x_, z, t = state
-                x_new = soft_threshold(z - inv_l * grad(z), thresh)
-                t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
-                z_new = x_new + ((t - 1.0) / t_new).astype(rdt) * (x_new - x_)
-                if restart:
-                    # Gradient restart (O'Donoghue & Candes 2015): if the
-                    # momentum direction opposes the last proximal step,
-                    # reset the momentum.
-                    do = red(jnp.real(jnp.vdot(z - x_new, x_new - x_))) > 0
-                    t_new = jnp.where(do, jnp.asarray(1.0, rdt), t_new)
-                    z_new = jnp.where(do, x_new, z_new)
-                return (x_new, z_new, t_new)
+        def prox(v):
+            return soft_threshold(v - stepsz * grad(v), thresh)
 
-            init = (x, x, jnp.asarray(1.0, rdt))
+        momentum = method in ("fista", "acc_ista")
+        restart = method == "acc_ista"
+        n_rows = y.shape[0]
+        ones_t = jnp.ones((n_rows,), rdt)
 
-        def diff_fn(old, new):
-            return rel_change(old[0], new[0])
+        def row_real_vdot(u, v):
+            return jnp.sum(jnp.real(jnp.conj(u) * v), axis=-1)
 
-        def obj_fn(state):
-            return objective(state[0])
+        def row_sumsq(v):
+            return jnp.sum(jnp.real(v * jnp.conj(v)), axis=-1)
 
-    elif method == "parallel_cd":
-        diag = jnp.real(jnp.diagonal(gram))
-        diag = jnp.maximum(diag, tiny)
-        # theta = 1 / lambda_max(D^-1/2 gram D^-1/2): largest step for which
-        # the diagonal metric D/theta majorises the quadratic, so the
-        # simultaneous per-coordinate prox step converges.
-        scale = 1.0 / jnp.sqrt(diag)
-        ngram = (scale[:, None] * gram * scale[None, :]).astype(gram.dtype)
-        theta = (1.0 / spectral_norm_psd(ngram)).astype(rdt)
-        inv_diag = (theta / diag).astype(rdt)
+        def momentum_step(x_, z, t):
+            """One FISTA step from extrapolation point z with per-row
+            momentum; row-local adaptive gradient restart (O'Donoghue &
+            Candes 2015) when the momentum direction opposes the last
+            proximal step of that row."""
+            x_new = prox(z)
+            t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+            z_new = x_new + (((t - 1.0) / t_new)
+                             .astype(rdt)[:, None]) * (x_new - x_)
+            if restart:
+                do = row_real_vdot(z - x_new, x_new - x_) > 0
+                t_new = jnp.where(do, ones_t, t_new)
+                z_new = jnp.where(do[:, None], x_new, z_new)
+            return x_new, z_new, t_new
 
-        def step(state, it):
-            del it
-            (x_,) = state
-            return (soft_threshold(x_ - inv_diag * grad(x_),
-                                   alpha * inv_diag),)
+        if not per_problem:
+            if momentum:
+                def step(state, it):
+                    del it
+                    return momentum_step(*state)
 
-        init = (x,)
+                init = (x, x, vrows(ones_t))
+            else:
+                def step(state, it):
+                    del it
+                    return (prox(state[0]),)
 
-        def diff_fn(old, new):
-            return rel_change(old[0], new[0])
+                init = (x,)
+
+            def diff_fn(old, new):
+                return rel_change(old[0], new[0])
+
+        else:
+            tol_r = jnp.asarray(tol).astype(rdt)
+            done0 = jnp.zeros((n_rows,), bool)
+            nit0 = jnp.zeros((n_rows,), jnp.int32)
+
+            def row_done(x_old, x_cand):
+                # Per-row mirror of rel_change(...) < tol: the row freezes
+                # at exactly the iteration its own single-problem solve
+                # would stop at.
+                num = jnp.sqrt(row_sumsq(x_cand - x_old))
+                den = jnp.maximum(jnp.sqrt(row_sumsq(x_cand)), tiny)
+                return num < tol_r * den
+
+            if momentum:
+                def step(state, it):
+                    del it
+                    x_, z, t, done, nit = state
+                    x_cand, z_cand, t_cand = momentum_step(x_, z, t)
+                    keep = done[:, None]
+                    x_new = jnp.where(keep, x_, x_cand)
+                    z_new = jnp.where(keep, z, z_cand)
+                    t_new = jnp.where(done, t, t_cand)
+                    done_new = jnp.logical_or(done, row_done(x_, x_cand))
+                    nit_new = nit + jnp.logical_not(done).astype(jnp.int32)
+                    return (x_new, z_new, t_new, done_new, nit_new)
+
+                init = (x, x, vrows(ones_t), vrows(done0), vrows(nit0))
+            else:
+                def step(state, it):
+                    del it
+                    x_, done, nit = state
+                    x_cand = prox(x_)
+                    x_new = jnp.where(done[:, None], x_, x_cand)
+                    done_new = jnp.logical_or(done, row_done(x_, x_cand))
+                    nit_new = nit + jnp.logical_not(done).astype(jnp.int32)
+                    return (x_new, done_new, nit_new)
+
+                init = (x, vrows(done0), vrows(nit0))
+
+            def diff_fn(old, new):
+                del old
+                # Count of rows still iterating, reduced across the mesh in
+                # the sharded path; the loop stops when it reaches 0
+                # (count < tol for any tol > 0).
+                return red(jnp.sum(jnp.logical_not(new[-2]).astype(rdt)))
 
         def obj_fn(state):
             return objective(state[0])
@@ -321,17 +413,21 @@ def build_solver(y, a, alpha, x, mask, lipschitz, *, method,
 
 @functools.partial(
     jax.jit, static_argnames=("method", "maxiter", "record_objective",
-                              "check_every")
+                              "check_every", "per_problem")
 )
 def _solve(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
-           record_objective, check_every=1):
+           record_objective, check_every=1, per_problem=False):
     step, init, diff_fn, obj_fn = build_solver(
-        y, a, alpha, x, mask, lipschitz, method=method)
+        y, a, alpha, x, mask, lipschitz, method=method,
+        per_problem=per_problem, tol=tol)
     res = run_iterations(
         step, init, tol=tol, maxiter=maxiter, diff_fn=diff_fn,
         objective_fn=obj_fn, record_objective=record_objective,
         check_every=check_every,
     )
+    if per_problem:
+        return LassoResult(x=res.state[0], niter=res.state[-1],
+                           converged=res.state[-2], objective=res.objective)
     return LassoResult(x=res.state[0], niter=res.niter,
                        converged=res.converged, objective=res.objective)
 
@@ -351,7 +447,7 @@ def _is_complex_concrete(y, a) -> bool:
 
 def _solve_complex_split(y, a, alpha, x, mask, lipschitz, *, tol, method,
                          maxiter, record_objective, precision,
-                         check_every=1):
+                         check_every=1, per_problem=False):
     """Host-level driver of the split-complex path: decompose on the host,
     solve over (re, im) real pairs on the accelerator, reassemble the
     complex solution on the CPU device (complex arrays never touch the
@@ -393,12 +489,16 @@ def _solve_complex_split(y, a, alpha, x, mask, lipschitz, *, tol, method,
         xr, xi, niter, converged, objective = _solve_split(
             ys, a_s, alpha, xs, mask, lip, jnp.asarray(tol, rdt),
             method=method, maxiter=maxiter,
-            record_objective=record_objective, check_every=check_every)
+            record_objective=record_objective, check_every=check_every,
+            per_problem=per_problem)
 
     x_c = np.asarray(xr).astype(rdt) + 1j * np.asarray(xi).astype(rdt)
     x_c = x_c.astype(cdtype)
     if squeeze:
         x_c = x_c[0]
+        if per_problem:
+            niter = niter[0]
+            converged = converged[0]
     cpu = jax.devices("cpu")[0]
     return LassoResult(x=jax.device_put(x_c, cpu), niter=niter,
                        converged=converged, objective=objective)
@@ -406,10 +506,10 @@ def _solve_complex_split(y, a, alpha, x, mask, lipschitz, *, tol, method,
 
 @functools.partial(
     jax.jit, static_argnames=("method", "maxiter", "record_objective",
-                              "check_every")
+                              "check_every", "per_problem")
 )
 def _solve_split(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
-                 record_objective, check_every=1):
+                 record_objective, check_every=1, per_problem=False):
     """Split-complex mirror of ``build_solver`` + ``run_iterations`` for
     methods ista / fista / acc_ista / parallel_cd."""
     from decomp_tpu.ops import complex_split as cs
@@ -444,71 +544,117 @@ def _solve_split(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
         num = jnp.sqrt(cs.sum_abs2(cs.sub(x_new, x_old)))
         return num / jnp.maximum(jnp.sqrt(cs.sum_abs2(x_new)), tiny)
 
-    def select(do, a_, b_):
-        return cs.SplitComplex(jnp.where(do, a_.re, b_.re),
-                               jnp.where(do, a_.im, b_.im))
+    def select_rows(do, a_, b_):
+        m = do[:, None]
+        return cs.SplitComplex(jnp.where(m, a_.re, b_.re),
+                               jnp.where(m, a_.im, b_.im))
 
-    if method in ("ista", "fista", "acc_ista"):
-        lip_ = (cs.spectral_norm_hermitian(gram) if lipschitz is None
-                else lipschitz)
-        inv_l = (1.0 / lip_).astype(rdt)
-        thresh = alpha * inv_l
-
-        if method == "ista":
-            def step(state, it):
-                del it
-                (x_,) = state
-                return (cs.soft_threshold(
-                    cs.sub(x_, cs.scale(grad(x_), inv_l)), thresh),)
-
-            init = (x,)
+    if method in ("ista", "fista", "acc_ista", "parallel_cd"):
+        if method == "parallel_cd":
+            diag = jnp.maximum(jnp.diagonal(gram.re), tiny)
+            scale_v = 1.0 / jnp.sqrt(diag)
+            ngram = cs.SplitComplex(
+                scale_v[:, None] * gram.re * scale_v[None, :],
+                scale_v[:, None] * gram.im * scale_v[None, :])
+            theta = (1.0 / cs.spectral_norm_hermitian(ngram)).astype(rdt)
+            stepsz = (theta / diag).astype(rdt)
         else:
-            restart = method == "acc_ista"
+            lip_ = (cs.spectral_norm_hermitian(gram) if lipschitz is None
+                    else lipschitz)
+            stepsz = (1.0 / lip_).astype(rdt)
+        thresh = alpha * stepsz
 
-            def step(state, it):
-                del it
-                x_, z, t = state
-                x_new = cs.soft_threshold(
-                    cs.sub(z, cs.scale(grad(z), inv_l)), thresh)
-                t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
-                z_new = cs.add(x_new, cs.scale(
-                    cs.sub(x_new, x_), ((t - 1.0) / t_new).astype(rdt)))
-                if restart:
-                    do = cs.real_vdot(cs.sub(z, x_new),
+        def prox(v):
+            return cs.soft_threshold(
+                cs.sub(v, cs.scale(grad(v), stepsz)), thresh)
+
+        momentum = method in ("fista", "acc_ista")
+        restart = method == "acc_ista"
+        n_rows = y.re.shape[0]
+        ones_t = jnp.ones((n_rows,), rdt)
+
+        def momentum_step(x_, z, t):
+            # Row-local adaptive restart — mirrors the real-dtype
+            # build_solver (each batch row is an independent problem).
+            x_new = prox(z)
+            t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+            z_new = cs.add(x_new, cs.scale(
+                cs.sub(x_new, x_),
+                ((t - 1.0) / t_new).astype(rdt)[:, None]))
+            if restart:
+                do = cs.row_real_vdot(cs.sub(z, x_new),
                                       cs.sub(x_new, x_)) > 0
-                    t_new = jnp.where(do, jnp.asarray(1.0, rdt), t_new)
-                    z_new = select(do, x_new, z_new)
-                return (x_new, z_new, t_new)
+                t_new = jnp.where(do, ones_t, t_new)
+                z_new = select_rows(do, x_new, z_new)
+            return x_new, z_new, t_new
 
-            init = (x, x, jnp.asarray(1.0, rdt))
-    elif method == "parallel_cd":
-        diag = jnp.maximum(jnp.diagonal(gram.re), tiny)
-        scale_v = 1.0 / jnp.sqrt(diag)
-        ngram = cs.SplitComplex(
-            scale_v[:, None] * gram.re * scale_v[None, :],
-            scale_v[:, None] * gram.im * scale_v[None, :])
-        theta = (1.0 / cs.spectral_norm_hermitian(ngram)).astype(rdt)
-        inv_diag = (theta / diag).astype(rdt)
+        if not per_problem:
+            if momentum:
+                def step(state, it):
+                    del it
+                    return momentum_step(*state)
 
-        def step(state, it):
-            del it
-            (x_,) = state
-            return (cs.soft_threshold(
-                cs.sub(x_, cs.scale(grad(x_), inv_diag)),
-                alpha * inv_diag),)
+                init = (x, x, ones_t)
+            else:
+                def step(state, it):
+                    del it
+                    return (prox(state[0]),)
 
-        init = (x,)
+                init = (x,)
+
+            def diff_fn(old, new):
+                return rel_change(old[0], new[0])
+
+        else:
+            tol_r = jnp.asarray(tol).astype(rdt)
+            done0 = jnp.zeros((n_rows,), bool)
+            nit0 = jnp.zeros((n_rows,), jnp.int32)
+
+            def row_done(x_old, x_cand):
+                num = jnp.sqrt(cs.row_sum_abs2(cs.sub(x_cand, x_old)))
+                den = jnp.maximum(jnp.sqrt(cs.row_sum_abs2(x_cand)), tiny)
+                return num < tol_r * den
+
+            if momentum:
+                def step(state, it):
+                    del it
+                    x_, z, t, done, nit = state
+                    x_cand, z_cand, t_cand = momentum_step(x_, z, t)
+                    x_new = select_rows(done, x_, x_cand)
+                    z_new = select_rows(done, z, z_cand)
+                    t_new = jnp.where(done, t, t_cand)
+                    done_new = jnp.logical_or(done, row_done(x_, x_cand))
+                    nit_new = nit + jnp.logical_not(done).astype(jnp.int32)
+                    return (x_new, z_new, t_new, done_new, nit_new)
+
+                init = (x, x, ones_t, done0, nit0)
+            else:
+                def step(state, it):
+                    del it
+                    x_, done, nit = state
+                    x_cand = prox(x_)
+                    x_new = select_rows(done, x_, x_cand)
+                    done_new = jnp.logical_or(done, row_done(x_, x_cand))
+                    nit_new = nit + jnp.logical_not(done).astype(jnp.int32)
+                    return (x_new, done_new, nit_new)
+
+                init = (x, done0, nit0)
     else:  # pragma: no cover - guarded in solve()
         raise AssertionError(method)
 
-    def diff_fn(old, new):
-        return rel_change(old[0], new[0])
+    if per_problem:
+        def diff_fn(old, new):  # noqa: F811 - per-problem replaces rel diff
+            del old
+            return jnp.sum(jnp.logical_not(new[-2]).astype(rdt))
 
     res = run_iterations(
         step, init, tol=tol, maxiter=maxiter, diff_fn=diff_fn,
         objective_fn=lambda s: objective(s[0]),
         record_objective=record_objective, check_every=check_every,
     )
+    if per_problem:
+        return (res.state[0].re, res.state[0].im, res.state[-1],
+                res.state[-2], res.objective)
     return (res.state[0].re, res.state[0].im, res.niter, res.converged,
             res.objective)
 

@@ -89,6 +89,15 @@ def real_vdot(a: SplitComplex, b: SplitComplex):
     return jnp.sum(a.re * b.re + a.im * b.im)
 
 
+def row_real_vdot(a: SplitComplex, b: SplitComplex):
+    """Re(<a_row, b_row>) per leading-axis row."""
+    return jnp.sum(a.re * b.re + a.im * b.im, axis=-1)
+
+
+def row_sum_abs2(a: SplitComplex):
+    return jnp.sum(abs2(a), axis=-1)
+
+
 def soft_threshold(z: SplitComplex, thresh) -> SplitComplex:
     """Magnitude shrinkage keeping phase (mirrors
     decomp_tpu.ops.soft_threshold for complex inputs)."""

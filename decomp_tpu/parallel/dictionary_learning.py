@@ -110,7 +110,8 @@ def _solve_sharded(y, d, x, mask, alpha, tol, lasso_tol, *, maxiter,
         def sparse_code(d_, x_):
             step, init, diff_fn, obj_fn = _lasso.build_solver(
                 y_l, d_, alpha_, x_, mask_l, None, method=lasso_method,
-                reduce_sum=psum)
+                reduce_sum=psum,
+                vary_rows=lambda v: jax.lax.pcast(v, axis, to="varying"))
             res = run_iterations(
                 step, init, tol=lasso_tol_, maxiter=lasso_iter,
                 diff_fn=diff_fn, objective_fn=obj_fn,

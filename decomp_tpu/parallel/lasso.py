@@ -3,9 +3,9 @@
 Each row of ``y`` is an independent problem sharing the dictionary ``a``
 (SURVEY.md §2a row 2), so the sample axis shards embarrassingly: ``a`` and
 its Gram matrix are replicated, every device iterates on its own row block,
-and the ONLY cross-device traffic is the allreduced scalars of the global
-convergence criterion (and the acc_ista restart inner product) — a few
-bytes per iteration over ICI. Reuses the exact single-device method
+and the ONLY cross-device traffic is the allreduced scalar of the global
+stopping decision (the acc_ista restart is row-local, hence device-local) —
+a few bytes per iteration over ICI. Reuses the exact single-device method
 machinery via ``decomp_tpu.models.lasso.build_solver``.
 """
 
@@ -38,6 +38,7 @@ def solve(
     lipschitz=None,
     record_objective: bool = False,
     precision: str = "highest",
+    per_problem: bool = False,
 ) -> LassoResult:
     """Row-sharded ``decomp_tpu.lasso.solve`` over ``mesh[axis]``.
 
@@ -45,6 +46,11 @@ def solve(
     ``mask``/``x``) shard on the sample axis, which must divide the mesh
     axis size. Results are numerically identical to the single-device
     solver up to matmul reduction order.
+
+    per_problem: as in the single-device solver — rows converge and freeze
+    independently (device-locally); only the all-rows-done stopping
+    decision is allreduced. ``niter``/``converged`` come back as global
+    (n_samples,) row-sharded arrays.
     """
     y = jnp.asarray(y)
     a = jnp.asarray(a)
@@ -56,6 +62,13 @@ def solve(
             f"method must be one of {_lasso._METHODS}, got {method!r}")
     if method == "cd" and mask is not None:
         raise DecompError("method 'cd' does not support mask")
+    if method == "cd" and jnp.asarray(alpha).ndim != 0:
+        # Mirror the single-device guard: a per-feature alpha would
+        # silently broadcast into wrong per-coordinate thresholds.
+        raise DecompError("method 'cd' requires a scalar alpha")
+    if per_problem and method == "cd":
+        raise DecompError("per_problem convergence does not support "
+                          "method 'cd'")
     if axis not in mesh.axis_names:
         raise DecompError(f"axis {axis!r} not in mesh axes {mesh.axis_names}")
     n_dev = mesh.shape[axis]
@@ -85,16 +98,17 @@ def solve(
             y, a, alpha, x, mask, lip, jnp.asarray(tol, rdt),
             method=method, maxiter=int(maxiter), mesh=mesh, axis=axis,
             record_objective=bool(record_objective),
+            per_problem=bool(per_problem),
         )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("method", "maxiter", "mesh", "axis",
-                     "record_objective"),
+                     "record_objective", "per_problem"),
 )
 def _solve_sharded(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
-                   mesh, axis, record_objective):
+                   mesh, axis, record_objective, per_problem=False):
     row_spec = P(axis, None)
     # alpha may be scalar, per-feature (n_feat,) -> replicated, or
     # per-sample 2D -> row-sharded alongside x.
@@ -114,11 +128,16 @@ def _solve_sharded(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
         step, init, diff_fn, obj_fn = _lasso.build_solver(
             y_l, a_r, alpha_, x_l, mask_l, lip_, method=method,
             reduce_sum=functools.partial(jax.lax.psum, axis_name=axis),
+            per_problem=per_problem, tol=tol_,
+            vary_rows=lambda v: jax.lax.pcast(v, axis, to="varying"),
         )
         res = run_iterations(
             step, init, tol=tol_, maxiter=maxiter, diff_fn=diff_fn,
             objective_fn=obj_fn, record_objective=record_objective,
         )
+        if per_problem:
+            # Per-row niter/converged are device-local row blocks.
+            return res.state[0], res.state[-1], res.state[-2], res.objective
         return res.state[0], res.niter, res.converged, res.objective
 
     in_specs = (row_spec, P(None, None), alpha_spec,
@@ -126,7 +145,8 @@ def _solve_sharded(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
                 None if mask is None else row_spec,
                 None if lipschitz is None else P(),
                 P())
-    out_specs = (row_spec, P(), P(), P())
+    counts_spec = P(axis) if per_problem else P()
+    out_specs = (row_spec, counts_spec, counts_spec, P())
     x_g, niter, converged, objective = jax.shard_map(
         body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
     )(y, a, alpha, x, mask, lipschitz, tol)

@@ -16,8 +16,10 @@ class LassoResult(NamedTuple):
     """Result of ``decomp_tpu.lasso.solve``."""
 
     x: jax.Array          # sparse codes, shape (..., n_features)
-    niter: jax.Array      # int32 scalar: iterations actually run
-    converged: jax.Array  # bool scalar: tol reached before maxiter
+    niter: jax.Array      # int32: iterations actually run — scalar, or
+                          # per-row (n_samples,) with per_problem=True
+    converged: jax.Array  # bool: tol reached before maxiter — scalar, or
+                          # per-row (n_samples,) with per_problem=True
     objective: jax.Array  # per-iteration objective, shape (maxiter,) if
                           # record_objective else (0,); padded with NaN
 

@@ -87,7 +87,10 @@ def lasso(y, a, alpha, x=None, *, tol=1e-5, maxiter=1000, method="fista",
         lip = spectral_norm_psd(gram) if lipschitz is None else lipschitz
         inv_l = 1.0 / lip
         thresh = alpha * inv_l
-        z, t = x.copy(), 1.0
+        # Per-row momentum scalar; the acc_ista adaptive restart is
+        # ROW-LOCAL (each batch row is an independent problem), mirroring
+        # decomp_tpu.models.lasso.build_solver.
+        z, t = x.copy(), np.ones(y.shape[0])
         converged, it = False, 0
         for it in range(1, maxiter + 1):
             if method == "ista":
@@ -95,10 +98,12 @@ def lasso(y, a, alpha, x=None, *, tol=1e-5, maxiter=1000, method="fista",
             else:
                 x_new = soft_threshold(z - inv_l * grad(z), thresh)
                 t_new = 0.5 * (1.0 + np.sqrt(1.0 + 4.0 * t * t))
-                z_new = x_new + ((t - 1.0) / t_new) * (x_new - x)
-                if method == "acc_ista" and np.real(
-                        np.vdot(z - x_new, x_new - x)) > 0:
-                    t_new, z_new = 1.0, x_new
+                z_new = x_new + ((t - 1.0) / t_new)[:, None] * (x_new - x)
+                if method == "acc_ista":
+                    do = np.real(np.sum(np.conj(z - x_new) * (x_new - x),
+                                        axis=1)) > 0
+                    t_new = np.where(do, 1.0, t_new)
+                    z_new = np.where(do[:, None], x_new, z_new)
                 z, t = z_new, t_new
             diff = rel_change(x, x_new)
             x = x_new

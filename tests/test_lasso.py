@@ -183,6 +183,84 @@ def test_zero_solution_for_huge_alpha():
     assert np.allclose(np.asarray(res.x), 0.0)
 
 
+@pytest.mark.parametrize("method", ["ista", "fista", "acc_ista",
+                                    "parallel_cd"])
+def test_per_problem_matches_single_solves(method):
+    """SURVEY.md §7 hard part 4: with per_problem=True a mixed-difficulty
+    batch stops every row at its own iteration, frozen rows keep their
+    stopping-point value, and each row matches an independent single-row
+    solve (x, niter, converged)."""
+    rng = np.random.default_rng(21)
+    a = rng.normal(size=(24, 96))
+    # Mixed difficulty: rows scaled over 3 orders of magnitude converge at
+    # very different iterations under the relative-change criterion.
+    y = rng.normal(size=(6, 96)) * (10.0 ** rng.uniform(-2, 1, size=(6, 1)))
+    res = decomp_tpu.lasso.solve(y, a, ALPHA, tol=1e-6, maxiter=5000,
+                                 method=method, per_problem=True)
+    niter = np.asarray(res.niter)
+    conv = np.asarray(res.converged)
+    assert niter.shape == (6,) and conv.shape == (6,)
+    assert conv.all()
+    assert len(set(niter.tolist())) > 1, "rows should stop at different its"
+    for i in range(y.shape[0]):
+        ri = decomp_tpu.lasso.solve(y[i], a, ALPHA, tol=1e-6, maxiter=5000,
+                                    method=method)
+        assert int(ri.niter) == niter[i], i
+        assert bool(ri.converged) == bool(conv[i])
+        np.testing.assert_allclose(np.asarray(res.x[i]), np.asarray(ri.x),
+                                   rtol=0, atol=1e-12)
+
+
+def test_per_problem_masked():
+    y, a, _ = planted_lasso(seed=22)
+    mask = random_mask(23, y.shape)
+    res = decomp_tpu.lasso.solve(y * mask, a, ALPHA, tol=1e-6, maxiter=5000,
+                                 method="fista", mask=mask,
+                                 per_problem=True)
+    assert np.asarray(res.converged).all()
+    for i in range(y.shape[0]):
+        ri = decomp_tpu.lasso.solve(y[i] * mask[i], a, ALPHA, tol=1e-6,
+                                    maxiter=5000, method="fista",
+                                    mask=mask[i])
+        assert int(ri.niter) == int(np.asarray(res.niter)[i])
+        np.testing.assert_allclose(np.asarray(res.x[i]), np.asarray(ri.x),
+                                   rtol=0, atol=1e-12)
+
+
+@pytest.mark.parametrize("method", ["fista", "acc_ista"])
+def test_per_problem_complex_split_matches_native(method):
+    y, a, _ = planted_lasso(seed=24, complex_=True)
+    native = decomp_tpu.lasso.solve(y, a, ALPHA, tol=1e-6, maxiter=5000,
+                                    method=method, per_problem=True,
+                                    complex_split=False)
+    split = decomp_tpu.lasso.solve(y, a, ALPHA, tol=1e-6, maxiter=5000,
+                                   method=method, per_problem=True,
+                                   complex_split=True)
+    np.testing.assert_array_equal(np.asarray(native.niter),
+                                  np.asarray(split.niter))
+    np.testing.assert_array_equal(np.asarray(native.converged),
+                                  np.asarray(split.converged))
+    assert rel_err(split.x, native.x) < 1e-10
+
+
+def test_per_problem_runs_to_maxiter_at_tol_zero():
+    y, a, _ = planted_lasso(seed=25)
+    res = decomp_tpu.lasso.solve(y, a, ALPHA, tol=0.0, maxiter=17,
+                                 method="fista", per_problem=True)
+    np.testing.assert_array_equal(np.asarray(res.niter), 17)
+    assert not np.asarray(res.converged).any()
+    base = decomp_tpu.lasso.solve(y, a, ALPHA, tol=0.0, maxiter=17,
+                                  method="fista")
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(base.x),
+                               rtol=0, atol=0)
+
+
+def test_per_problem_rejects_cd():
+    y, a, _ = planted_lasso(seed=26)
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.lasso.solve(y, a, ALPHA, method="cd", per_problem=True)
+
+
 def test_validation_errors():
     y, a, _ = planted_lasso(seed=15)
     with pytest.raises(decomp_tpu.utils.DecompError):

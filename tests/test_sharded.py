@@ -111,6 +111,29 @@ def test_sharded_lasso_matches_single_device(mesh8, method):
     assert rel_err(res.x, ref.x) < 1e-12
 
 
+@pytest.mark.parametrize("method", ["fista", "acc_ista"])
+def test_sharded_lasso_per_problem_matches_single_device(mesh8, method):
+    """Per-row convergence under shard_map: rows freeze device-locally at
+    different iterations, only the all-done stopping decision crosses the
+    mesh, and the global per-row niter/converged/x match the single-device
+    per_problem solve exactly."""
+    rng = np.random.default_rng(31)
+    a = rng.normal(size=(24, 96))
+    y = rng.normal(size=(16, 96)) * (10.0 ** rng.uniform(-2, 1,
+                                                         size=(16, 1)))
+    ref = decomp_tpu.lasso.solve(y, a, 0.05, tol=1e-6, maxiter=5000,
+                                 method=method, per_problem=True)
+    res = parallel.lasso.solve(y, a, 0.05, tol=1e-6, maxiter=5000,
+                               method=method, mesh=mesh8, per_problem=True)
+    assert np.asarray(res.niter).shape == (16,)
+    np.testing.assert_array_equal(np.asarray(res.niter),
+                                  np.asarray(ref.niter))
+    np.testing.assert_array_equal(np.asarray(res.converged),
+                                  np.asarray(ref.converged))
+    assert len(set(np.asarray(res.niter).tolist())) > 1
+    assert rel_err(res.x, ref.x) < 1e-12
+
+
 def test_sharded_lasso_masked_and_early_stop(mesh8):
     y, a, _ = planted_lasso(seed=14, n_samples=16)
     mask = random_mask(15, y.shape)
