@@ -50,6 +50,9 @@ def solve(
     random_seed: int = 0,
     record_objective: bool = False,
     precision: str = "highest",
+    use_pallas="auto",
+    pallas_block_rows=None,
+    _pallas_interpret: bool = False,
 ) -> DictionaryLearningResult:
     """Learn a unit-atom dictionary ``d`` and sparse codes ``x`` for ``y``.
 
@@ -72,6 +75,13 @@ def solve(
         random row batch and updates ``d`` from exponentially smoothed
         sufficient statistics (decay ``forget``).
     record_objective : record the full-data objective each outer iteration.
+    use_pallas : True / False / 'auto'. MASKED full-batch problems only:
+        both the inner sparse-coding gradient and the projected-gradient
+        dictionary step run fused Pallas masked-matmul kernels that keep
+        the M x N reconstruction VMEM-resident (BASELINE.json:5). Inputs
+        are zero-padded once to the kernels' 128-alignment (a fixed point
+        of both updates) and the factors sliced back. 'auto' enables it
+        on TPU for large real masked problems.
 
     Returns
     -------
@@ -108,10 +118,62 @@ def solve(
     assertion.assert_nonnegative("alpha", alpha)
 
     rdt = real_dtype(dtype)
+
+    from decomp_tpu.ops import pallas_lasso
+
+    is_complex = jnp.issubdtype(dtype, jnp.complexfloating)
+    if use_pallas == "auto":
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and mask is not None
+            and minibatch is None
+            and not is_complex
+            and lasso_method != "cd"
+            and y.shape[0] * y.shape[1] >= (1 << 20)
+            and pallas_lasso.fits_vmem(-(-y.shape[1] // 128) * 128,
+                                       -(-n_atoms // 128) * 128,
+                                       dtype.itemsize)
+        )
+    use_pallas = bool(use_pallas)
+    if use_pallas:
+        if mask is None:
+            raise DecompError("use_pallas=True applies to masked problems "
+                              "only")
+        if minibatch is not None:
+            raise DecompError("use_pallas=True is incompatible with "
+                              "minibatch")
+        if is_complex:
+            raise DecompError("use_pallas=True does not support complex "
+                              "dtypes")
+
+    orig_m, orig_k, orig_n = n_samples, n_atoms, y.shape[1]
+    if use_pallas:
+        # Zero-pad once (see pallas_lasso module docstring): padded rows /
+        # atoms / channels have zero data and zero mask, stay zero through
+        # both the sparse-coding and dictionary updates, and are sliced
+        # off the returned factors.
+        n_pad = -(-orig_n // 128) * 128
+        k_pad = -(-orig_k // 128) * 128
+        br = pallas_block_rows or pallas_lasso.default_block_rows(
+            n_pad, k_pad, dtype.itemsize)
+        br = min(br, -(-orig_m // 8) * 8)
+        m_pad = -(-orig_m // br) * br
+        pallas_block_rows = br
+
+        def pad2(arr, rows, cols):
+            return jnp.pad(arr, ((0, rows - arr.shape[0]),
+                                 (0, cols - arr.shape[1])))
+
+        y = pad2(y, m_pad, n_pad)
+        mask = pad2(mask, m_pad, n_pad)
+        d = pad2(d, k_pad, n_pad)
+        if x is not None:
+            x = pad2(x, m_pad, k_pad)
+
     # 'highest' matmul precision: TPU's default bf16 MXU passes put a ~1e-3
     # noise floor under iterative convergence (see nmf.solve for details).
     with jax.default_matmul_precision(precision):
-        return _solve(
+        res = _solve(
             y, d, x, mask,
             jnp.asarray(alpha, rdt), jnp.asarray(tol, rdt),
             jnp.asarray(lasso_tol, rdt), jnp.asarray(forget, rdt),
@@ -119,16 +181,26 @@ def solve(
             maxiter=int(maxiter), lasso_method=lasso_method,
             lasso_iter=int(lasso_iter), minibatch=minibatch,
             record_objective=bool(record_objective),
+            use_pallas=use_pallas,
+            pallas_block_rows=pallas_block_rows if use_pallas else None,
+            pallas_interpret=bool(_pallas_interpret),
         )
+    if use_pallas:  # slice the alignment padding back off
+        res = res._replace(x=res.x[:orig_m, :orig_k],
+                           d=res.d[:orig_k, :orig_n])
+    return res
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("maxiter", "lasso_method", "lasso_iter", "minibatch",
-                     "record_objective"),
+                     "record_objective", "use_pallas", "pallas_block_rows",
+                     "pallas_interpret"),
 )
 def _solve(y, d, x, mask, alpha, tol, lasso_tol, forget, seed, *, maxiter,
-           lasso_method, lasso_iter, minibatch, record_objective):
+           lasso_method, lasso_iter, minibatch, record_objective,
+           use_pallas=False, pallas_block_rows=None,
+           pallas_interpret=False):
     dtype = y.dtype
     rdt = real_dtype(dtype)
     tiny = jnp.asarray(jnp.finfo(rdt).tiny, rdt)
@@ -141,6 +213,8 @@ def _solve(y, d, x, mask, alpha, tol, lasso_tol, forget, seed, *, maxiter,
         res = _lasso._solve(
             y_, d_, alpha, x_, mask_, None, lasso_tol,
             method=lasso_method, maxiter=lasso_iter, record_objective=False,
+            use_pallas=use_pallas, pallas_block_rows=pallas_block_rows,
+            pallas_interpret=pallas_interpret,
         )
         return res.x
 
@@ -162,7 +236,10 @@ def _solve(y, d, x, mask, alpha, tol, lasso_tol, forget, seed, *, maxiter,
                 return _bcd_dict_update(stats_a, stats_b, d_)
         else:
             def update_d(x_, d_, _y_sel, _mask_sel):
-                return _masked_grad_dict_update(my, x_, d_, mask)
+                return _masked_grad_dict_update(
+                    my, x_, d_, mask, use_pallas=use_pallas,
+                    pallas_block_rows=pallas_block_rows,
+                    pallas_interpret=pallas_interpret)
 
         def step(state, it):
             del it
@@ -242,21 +319,32 @@ def _bcd_dict_update(stats_a, stats_b, d):
     return jax.lax.fori_loop(0, n_atoms, one_atom, d)
 
 
-def _masked_grad_dict_update(my, x, d, mask, reduce_sum=None):
+def _masked_grad_dict_update(my, x, d, mask, reduce_sum=None,
+                             use_pallas=False, pallas_block_rows=None,
+                             pallas_interpret=False, pallas_vma=None):
     """Projected-gradient dictionary step for the masked loss, followed by
     unit-norm renormalisation. Step size 1/lambda_max(x^H x) (a Lipschitz
     bound that remains valid under masking, which only shrinks curvature).
 
     ``reduce_sum`` allreduces the row-sharded Gram and gradient partials
-    under shard_map (identity on a single device).
+    under shard_map (identity on a single device). With ``use_pallas`` the
+    gradient x^H (mask*(x@d) - my) runs the fused kernel (reconstruction
+    VMEM-resident; pre-padded shapes required — see ops.pallas_lasso).
     """
     red = (lambda s: s) if reduce_sum is None else reduce_sum
     rdt = real_dtype(d.dtype)
     gram = red(x.conj().T @ x)
     lip = jnp.maximum(spectral_norm_psd(gram),
                       jnp.asarray(jnp.finfo(rdt).tiny, rdt))
-    resid = mask * (x @ d) - my
-    grad = red(x.conj().T @ resid)
+    if use_pallas:
+        from decomp_tpu.ops import pallas_lasso
+
+        grad = red(pallas_lasso.masked_grad_dict(
+            my, mask, x, d, block_rows=pallas_block_rows,
+            interpret=pallas_interpret, vma=pallas_vma)).astype(d.dtype)
+    else:
+        resid = mask * (x @ d) - my
+        grad = red(x.conj().T @ resid)
     return l2_normalize(d - grad / lip.astype(d.dtype), axis=1)
 
 

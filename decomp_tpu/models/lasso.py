@@ -60,6 +60,11 @@ def solve(
     complex_split="auto",
     check_every: int = 1,
     per_problem: bool = False,
+    use_pallas="auto",
+    pallas_block_rows=None,
+    _pallas_interpret: bool = False,
+    return_state: bool = False,
+    momentum_state=None,
 ) -> LassoResult:
     """Solve  min_x 0.5*||mask*(y - x@a)||^2 + alpha*||x||_1.
 
@@ -100,6 +105,21 @@ def solve(
         per-row arrays of shape (n_samples,). Methods ista / fista /
         acc_ista / parallel_cd. Default False = reference-parity global
         criterion (every row runs until the slowest converges).
+    use_pallas : True / False / 'auto'. MASKED problems only: compute the
+        gradient (mask*(x@a) - my) @ a^T with a fused Pallas kernel that
+        keeps the M x N masked reconstruction VMEM-resident instead of
+        materialising it in HBM each iteration (BASELINE.json:5). Inputs
+        are zero-padded once to the kernel's 128-alignment (a fixed point
+        of the iteration) and the solution sliced back. 'auto' enables it
+        on TPU for large real masked problems with gradient methods.
+    return_state : momentum methods (fista / acc_ista) additionally return
+        ``aux={"z": ..., "t": ...}`` — the Nesterov extrapolation point and
+        per-row momentum scalars. Passing these back via ``momentum_state=
+        (z, t)`` together with ``x=`` resumes the EXACT trajectory, so a
+        chunked run (utils.checkpoint.checkpointed_solve) reproduces the
+        uninterrupted one bit-for-bit.
+    momentum_state : optional (z, t) from a previous result's ``aux``;
+        requires a warm start ``x`` and a momentum method.
 
     Returns
     -------
@@ -112,6 +132,18 @@ def solve(
     if per_problem and method == "cd":
         raise DecompError("per_problem convergence does not support "
                           "method 'cd'")
+    if momentum_state is not None:
+        if method not in ("fista", "acc_ista"):
+            raise DecompError("momentum_state applies to momentum methods "
+                              "(fista / acc_ista) only")
+        if x is None:
+            raise DecompError("momentum_state requires the warm start x "
+                              "(the FISTA state is (x, z, t))")
+        if per_problem:
+            raise DecompError("momentum_state + per_problem resume is not "
+                              "supported")
+    if return_state and per_problem:
+        raise DecompError("return_state + per_problem is not supported")
 
     if complex_split == "auto":
         complex_split = (_is_complex_concrete(y, a)
@@ -124,7 +156,8 @@ def solve(
             y, a, alpha, x, mask, lipschitz, tol=tol, method=method,
             maxiter=int(maxiter),
             record_objective=bool(record_objective), precision=precision,
-            check_every=int(check_every), per_problem=bool(per_problem))
+            check_every=int(check_every), per_problem=bool(per_problem),
+            return_state=bool(return_state), momentum_state=momentum_state)
 
     y = jnp.asarray(y)
     a = jnp.asarray(a)
@@ -164,6 +197,81 @@ def solve(
         raise DecompError("method 'cd' requires a scalar alpha")
     lip = None if lipschitz is None else jnp.asarray(lipschitz, rdt)
 
+    mstate = None
+    if momentum_state is not None:
+        z0 = jnp.asarray(momentum_state[0], dtype)
+        if squeeze and z0.ndim == 1:
+            z0 = z0[None, :]
+        assertion.assert_ndim("momentum_state z", z0, 2)
+        assertion.assert_axis_size("momentum_state z", z0, 0, y.shape[0],
+                                   "n_samples")
+        assertion.assert_axis_size("momentum_state z", z0, 1, n_features,
+                                   "n_features")
+        t0 = jnp.broadcast_to(jnp.asarray(momentum_state[1], rdt),
+                              (y.shape[0],))
+        mstate = (z0, t0)
+
+    from decomp_tpu.ops import pallas_lasso
+
+    grad_methods = ("ista", "fista", "acc_ista", "parallel_cd")
+    is_complex = jnp.issubdtype(dtype, jnp.complexfloating)
+    if use_pallas == "auto":
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and mask is not None
+            and method in grad_methods
+            and not is_complex
+            and y.shape[0] * y.shape[1] >= (1 << 20)
+            and pallas_lasso.fits_vmem(-(-y.shape[1] // 128) * 128,
+                                       -(-n_features // 128) * 128,
+                                       dtype.itemsize)
+        )
+    use_pallas = bool(use_pallas)
+    if use_pallas:
+        if mask is None:
+            raise DecompError(
+                "use_pallas=True applies to masked problems only (the "
+                "unmasked gradient is already a single Gram matmul)")
+        if method not in grad_methods:
+            raise DecompError(
+                "use_pallas=True requires a gradient method "
+                f"{grad_methods}, got {method!r}")
+        if is_complex:
+            raise DecompError("use_pallas=True does not support complex "
+                              "dtypes (use complex_split)")
+
+    orig_m, orig_f = y.shape[0], n_features
+    if use_pallas:
+        # Zero-pad once to the kernel's alignment; zero rows/features/
+        # channels are a fixed point of the proximal iteration (zero
+        # gradient, zero threshold result), so trajectories on the real
+        # coordinates are unchanged and we slice the padding back off.
+        n_pad = -(-y.shape[1] // 128) * 128
+        f_pad = -(-n_features // 128) * 128
+        br = pallas_block_rows or pallas_lasso.default_block_rows(
+            n_pad, f_pad, dtype.itemsize)
+        br = min(br, -(-orig_m // 8) * 8)
+        m_pad = -(-orig_m // br) * br
+        pallas_block_rows = br
+
+        def pad2(arr, rows, cols):
+            return jnp.pad(arr, ((0, rows - arr.shape[0]),
+                                 (0, cols - arr.shape[1])))
+
+        y = pad2(y, m_pad, n_pad)
+        mask = pad2(mask, m_pad, n_pad)
+        a = pad2(a, f_pad, n_pad)
+        if x is not None:
+            x = pad2(x, m_pad, f_pad)
+        if alpha.ndim == 1:
+            alpha = jnp.pad(alpha, (0, f_pad - alpha.shape[0]))
+        elif alpha.ndim == 2:
+            alpha = pad2(alpha, m_pad, f_pad)
+        if mstate is not None:
+            mstate = (pad2(mstate[0], m_pad, f_pad),
+                      jnp.pad(mstate[1], (0, m_pad - orig_m),
+                              constant_values=1.0))
+
     # 'highest' matmul precision: TPU's default bf16 MXU passes put a ~1e-3
     # noise floor under iterative convergence (see nmf.solve for details).
     if (precision == "default" and jax.default_backend() == "tpu"
@@ -183,18 +291,35 @@ def solve(
             method=method, maxiter=int(maxiter),
             record_objective=bool(record_objective),
             check_every=int(check_every), per_problem=bool(per_problem),
+            use_pallas=use_pallas,
+            pallas_block_rows=pallas_block_rows if use_pallas else None,
+            pallas_interpret=bool(_pallas_interpret),
+            return_state=bool(return_state), momentum_state=mstate,
         )
+    if use_pallas:  # slice the alignment padding back off
+        res = res._replace(x=res.x[:orig_m, :orig_f])
+        if per_problem:
+            res = res._replace(niter=res.niter[:orig_m],
+                               converged=res.converged[:orig_m])
+        if res.aux is not None:
+            res = res._replace(aux={"z": res.aux["z"][:orig_m, :orig_f],
+                                    "t": res.aux["t"][:orig_m]})
     if squeeze:
         res = res._replace(x=res.x[0])
         if per_problem:
             res = res._replace(niter=res.niter[0],
                                converged=res.converged[0])
+        if res.aux is not None:
+            res = res._replace(aux={"z": res.aux["z"][0],
+                                    "t": res.aux["t"][0]})
     return res
 
 
 def build_solver(y, a, alpha, x, mask, lipschitz, *, method,
                  reduce_sum=None, per_problem=False, tol=None,
-                 vary_rows=None):
+                 vary_rows=None, use_pallas=False, pallas_block_rows=None,
+                 pallas_interpret=False, pallas_vma=None,
+                 momentum_init=None):
     """Construct the iteration machinery for one lasso method.
 
     Returns ``(step, init, diff_fn, obj_fn)`` for ``run_iterations``. All
@@ -238,6 +363,15 @@ def build_solver(y, a, alpha, x, mask, lipschitz, *, method,
     if mask is None:
         def grad(x_):
             return x_ @ gram - yah
+    elif use_pallas:
+        # Fused masked gradient: the M x N reconstruction stays in VMEM
+        # (BASELINE.json:5). Caller pre-pads to the kernel alignment.
+        from decomp_tpu.ops import pallas_lasso
+
+        def grad(x_):
+            return pallas_lasso.masked_grad_rows(
+                my, mask, x_, a, block_rows=pallas_block_rows,
+                interpret=pallas_interpret, vma=pallas_vma)
     else:
         def grad(x_):
             return (mask * (x_ @ a) - my) @ ah
@@ -315,7 +449,12 @@ def build_solver(y, a, alpha, x, mask, lipschitz, *, method,
                     del it
                     return momentum_step(*state)
 
-                init = (x, x, vrows(ones_t))
+                if momentum_init is not None:
+                    # Exact chunked resume: (z, t) from a previous run's
+                    # aux continue the trajectory bit-for-bit.
+                    init = (x, momentum_init[0], momentum_init[1])
+                else:
+                    init = (x, x, vrows(ones_t))
             else:
                 def step(state, it):
                     del it
@@ -413,23 +552,34 @@ def build_solver(y, a, alpha, x, mask, lipschitz, *, method,
 
 @functools.partial(
     jax.jit, static_argnames=("method", "maxiter", "record_objective",
-                              "check_every", "per_problem")
+                              "check_every", "per_problem", "use_pallas",
+                              "pallas_block_rows", "pallas_interpret",
+                              "return_state")
 )
 def _solve(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
-           record_objective, check_every=1, per_problem=False):
+           record_objective, check_every=1, per_problem=False,
+           use_pallas=False, pallas_block_rows=None,
+           pallas_interpret=False, return_state=False,
+           momentum_state=None):
     step, init, diff_fn, obj_fn = build_solver(
         y, a, alpha, x, mask, lipschitz, method=method,
-        per_problem=per_problem, tol=tol)
+        per_problem=per_problem, tol=tol, use_pallas=use_pallas,
+        pallas_block_rows=pallas_block_rows,
+        pallas_interpret=pallas_interpret, momentum_init=momentum_state)
     res = run_iterations(
         step, init, tol=tol, maxiter=maxiter, diff_fn=diff_fn,
         objective_fn=obj_fn, record_objective=record_objective,
         check_every=check_every,
     )
+    aux = None
+    if return_state and method in ("fista", "acc_ista"):
+        aux = {"z": res.state[1], "t": res.state[2]}
     if per_problem:
         return LassoResult(x=res.state[0], niter=res.state[-1],
                            converged=res.state[-2], objective=res.objective)
     return LassoResult(x=res.state[0], niter=res.niter,
-                       converged=res.converged, objective=res.objective)
+                       converged=res.converged, objective=res.objective,
+                       aux=aux)
 
 
 def _is_complex_concrete(y, a) -> bool:
@@ -447,7 +597,8 @@ def _is_complex_concrete(y, a) -> bool:
 
 def _solve_complex_split(y, a, alpha, x, mask, lipschitz, *, tol, method,
                          maxiter, record_objective, precision,
-                         check_every=1, per_problem=False):
+                         check_every=1, per_problem=False,
+                         return_state=False, momentum_state=None):
     """Host-level driver of the split-complex path: decompose on the host,
     solve over (re, im) real pairs on the accelerator, reassemble the
     complex solution on the CPU device (complex arrays never touch the
@@ -485,31 +636,52 @@ def _solve_complex_split(y, a, alpha, x, mask, lipschitz, *, tol, method,
     alpha = jnp.asarray(np.asarray(alpha).real.astype(rdt))
     lip = None if lipschitz is None else jnp.asarray(lipschitz, rdt)
 
+    mstate = None
+    if momentum_state is not None:
+        z_np = np.asarray(momentum_state[0])
+        if squeeze and z_np.ndim == 1:
+            z_np = z_np[None, :]
+        assertion.assert_axis_size("momentum_state z", z_np, 0,
+                                   y_np.shape[0], "n_samples")
+        t_np = np.broadcast_to(np.asarray(momentum_state[1]).real,
+                               (y_np.shape[0],)).astype(rdt)
+        mstate = (cs.from_numpy(z_np.astype(cdtype)), jnp.asarray(t_np))
+
     with jax.default_matmul_precision(precision):
-        xr, xi, niter, converged, objective = _solve_split(
+        xr, xi, niter, converged, objective, aux_split = _solve_split(
             ys, a_s, alpha, xs, mask, lip, jnp.asarray(tol, rdt),
             method=method, maxiter=maxiter,
             record_objective=record_objective, check_every=check_every,
-            per_problem=per_problem)
+            per_problem=per_problem, return_state=return_state,
+            momentum_state=mstate)
 
     x_c = np.asarray(xr).astype(rdt) + 1j * np.asarray(xi).astype(rdt)
     x_c = x_c.astype(cdtype)
+    aux = None
+    if aux_split is not None:
+        z_c = (np.asarray(aux_split["z"].re).astype(rdt)
+               + 1j * np.asarray(aux_split["z"].im).astype(rdt)
+               ).astype(cdtype)
+        aux = {"z": z_c, "t": np.asarray(aux_split["t"])}
     if squeeze:
         x_c = x_c[0]
         if per_problem:
             niter = niter[0]
             converged = converged[0]
+        if aux is not None:
+            aux = {"z": aux["z"][0], "t": aux["t"][0]}
     cpu = jax.devices("cpu")[0]
     return LassoResult(x=jax.device_put(x_c, cpu), niter=niter,
-                       converged=converged, objective=objective)
+                       converged=converged, objective=objective, aux=aux)
 
 
 @functools.partial(
     jax.jit, static_argnames=("method", "maxiter", "record_objective",
-                              "check_every", "per_problem")
+                              "check_every", "per_problem", "return_state")
 )
 def _solve_split(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
-                 record_objective, check_every=1, per_problem=False):
+                 record_objective, check_every=1, per_problem=False,
+                 return_state=False, momentum_state=None):
     """Split-complex mirror of ``build_solver`` + ``run_iterations`` for
     methods ista / fista / acc_ista / parallel_cd."""
     from decomp_tpu.ops import complex_split as cs
@@ -594,7 +766,10 @@ def _solve_split(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
                     del it
                     return momentum_step(*state)
 
-                init = (x, x, ones_t)
+                if momentum_state is not None:
+                    init = (x, momentum_state[0], momentum_state[1])
+                else:
+                    init = (x, x, ones_t)
             else:
                 def step(state, it):
                     del it
@@ -652,11 +827,14 @@ def _solve_split(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
         objective_fn=lambda s: objective(s[0]),
         record_objective=record_objective, check_every=check_every,
     )
+    aux = None
+    if return_state and method in ("fista", "acc_ista") and not per_problem:
+        aux = {"z": res.state[1], "t": res.state[2]}
     if per_problem:
         return (res.state[0].re, res.state[0].im, res.state[-1],
-                res.state[-2], res.objective)
+                res.state[-2], res.objective, aux)
     return (res.state[0].re, res.state[0].im, res.niter, res.converged,
-            res.objective)
+            res.objective, aux)
 
 
 # Out-of-core variant (host-streamed row chunks) — import at end of module

@@ -60,6 +60,17 @@ def solve_streaming(
     chunk_rows = int(chunk_rows)
     if chunk_rows < 1:
         raise DecompError("chunk_rows must be >= 1")
+    # Per-sample (2-D) alpha weights are row-shaped like y/x/mask and must
+    # be sliced per chunk; scalar / per-feature alpha is shared.
+    alpha_np = np.asarray(alpha)
+    if alpha_np.ndim == 2:
+        if alpha_np.shape[0] != y.shape[0]:
+            raise DecompError(
+                f"2-D alpha must have n_samples={y.shape[0]} rows, got "
+                f"{alpha_np.shape}")
+        alpha_rows = alpha_np
+    else:
+        alpha_rows = None
 
     # One Lipschitz estimate for every chunk: identical iterations to the
     # full-batch solver (which also computes it from `a` alone).
@@ -75,7 +86,8 @@ def solve_streaming(
     for lo in range(0, n, chunk_rows):
         hi = min(lo + chunk_rows, n)
         res = _lasso.solve(
-            y[lo:hi], a_np, alpha,
+            y[lo:hi], a_np,
+            alpha if alpha_rows is None else alpha_rows[lo:hi],
             None if x is None else x[lo:hi],
             tol=tol, maxiter=maxiter, method=method,
             mask=None if mask is None else mask[lo:hi],

@@ -205,7 +205,7 @@ def _solve(y, d, x, mask, seed, tol, eps, forget, *, rank, maxiter,
             my, d, x, mask, tol, eps, maxiter=maxiter,
             record_objective=record_objective,
             block_rows=pallas_block_rows, interpret=pallas_interpret,
-            check_every=check_every,
+            check_every=check_every, verbose=verbose,
         )
 
     if method in ("mu", "hals"):
@@ -298,7 +298,7 @@ def _identity(v):
 
 
 def _solve_pallas(my, d, x, mask, tol, eps, *, maxiter, record_objective,
-                  block_rows, interpret, check_every=1):
+                  block_rows, interpret, check_every=1, verbose=False):
     """Full-batch MU loop driven by the fused Pallas kernels.
 
     Pads (M, N, K) once, outside the loop, to the kernels' alignment
@@ -353,7 +353,7 @@ def _solve_pallas(my, d, x, mask, tol, eps, *, maxiter, record_objective,
     res = run_iterations(
         step, (x_p, d_p), tol=tol, maxiter=maxiter, diff_fn=diff_fn,
         objective_fn=objective, record_objective=record_objective,
-        check_every=check_every,
+        check_every=check_every, verbose=verbose,
     )
     return NMFResult(
         x=res.state[0][:m, :k], d=res.state[1][:k, :n],

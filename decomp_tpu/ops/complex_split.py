@@ -127,5 +127,14 @@ def spectral_norm_hermitian(g: SplitComplex, *, iters: int = 60,
         return SplitComplex(w.re / nrm, w.im / nrm)
 
     v = jax.lax.fori_loop(0, iters, body, v0)
-    lam = real_vdot(v, matvec(g, v)) / jnp.maximum(sum_abs2(v), tiny)
-    return lam * safety
+    # Mirrors ops.spectral.spectral_norm_psd: matvec lower bound capped by
+    # the certified Hermitian inf-norm upper bound, with the upper bound as
+    # fallback when the power iteration visibly has not converged.
+    w = matvec(g, v)
+    vv = jnp.maximum(sum_abs2(v), tiny)
+    rayleigh = real_vdot(v, w) / vv
+    mv = jnp.sqrt(sum_abs2(w)) / jnp.sqrt(vv)
+    ub = jnp.maximum(jnp.max(jnp.sum(jnp.sqrt(abs2(g)), axis=-1)), tiny)
+    not_converged = (mv - rayleigh) > 0.01 * jnp.maximum(rayleigh, tiny)
+    lam = jnp.where(not_converged, ub, jnp.minimum(mv * safety, ub))
+    return jnp.maximum(lam, tiny)

@@ -57,7 +57,10 @@ def run_iterations(
                    is recorded per iteration).
     verbose:       print iteration index and convergence diff from the
                    device at every check (jax.debug.print; the solver's
-                   async execution is unaffected).
+                   async execution is unaffected). Requires a runtime with
+                   host-callback support — some experimental TPU runtimes
+                   (e.g. the 'axon' tunnel) reject all host callbacks
+                   with UNIMPLEMENTED; use record_objective there instead.
 
     Everything here traces into one XLA while loop; no host syncs.
     """

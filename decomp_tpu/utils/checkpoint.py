@@ -8,6 +8,7 @@ decomp_tpu solver in fixed-iteration chunks, snapshotting the warm-start
 fields between chunks so an interrupted run resumes where it stopped.
 """
 
+import inspect
 import os
 import tempfile
 from typing import Callable, Dict, Sequence, Tuple
@@ -15,6 +16,7 @@ from typing import Callable, Dict, Sequence, Tuple
 import numpy as np
 
 _STEP_KEY = "__decomp_tpu_step__"
+_AUX_PREFIX = "__decomp_tpu_aux_"
 
 
 class CheckpointManager:
@@ -71,8 +73,13 @@ def checkpointed_solve(
 
     Chunking is exact for solvers whose state is exactly the warm-start
     fields (MU-NMF, ISTA, coordinate descent). Momentum methods (FISTA /
-    acc_ista) restart their acceleration at each chunk boundary — still
-    convergent, marginally slower than an uninterrupted run.
+    acc_ista) are ALSO exact when ``solve_fn`` supports the
+    ``return_state``/``momentum_state`` contract (``decomp_tpu.lasso``):
+    the (z, t) acceleration state is checkpointed alongside the factors
+    and threaded between chunks, so the chunked run reproduces the
+    uninterrupted trajectory bit-for-bit. Solvers without that contract
+    restart their acceleration at each chunk boundary — still convergent,
+    marginally slower.
 
     Returns (last_result, total_iterations_run_across_all_sessions).
     """
@@ -80,19 +87,38 @@ def checkpointed_solve(
         raise ValueError("chunk_iters must be >= 1")
     total = 0
     warm: Dict[str, np.ndarray] = {}
+    aux: Dict[str, np.ndarray] = {}
     if manager.exists():
-        total, warm = manager.load()
+        total, state = manager.load()
+        warm = {k: v for k, v in state.items()
+                if not k.startswith(_AUX_PREFIX)}
+        aux = {k[len(_AUX_PREFIX):]: v for k, v in state.items()
+               if k.startswith(_AUX_PREFIX)}
+
+    try:
+        params = inspect.signature(solve_fn).parameters
+        supports_state = "return_state" in params
+    except (TypeError, ValueError):  # pragma: no cover - exotic callables
+        supports_state = False
 
     result = None
     while total < maxiter:
         it = min(chunk_iters, maxiter - total)
         call_kwargs = dict(kwargs)
         call_kwargs.update(warm)
+        if supports_state:
+            call_kwargs["return_state"] = True
+            if aux and "x" in warm:
+                call_kwargs["momentum_state"] = (aux["z"], aux["t"])
         result = solve_fn(*args, maxiter=it, **call_kwargs)
         total += int(result.niter)
         warm = {f: np.asarray(getattr(result, f)) for f in warm_fields}
-        manager.save(total, warm)
-        if bool(result.converged):
+        res_aux = getattr(result, "aux", None)
+        aux = ({k: np.asarray(v) for k, v in res_aux.items()}
+               if res_aux is not None else {})
+        manager.save(total, {**warm,
+                             **{_AUX_PREFIX + k: v for k, v in aux.items()}})
+        if bool(np.all(np.asarray(result.converged))):
             break
     if result is None:
         raise RuntimeError(

@@ -7,7 +7,7 @@ NamedTuples are native JAX pytrees, so results flow through jit / vmap /
 shard_map unchanged.
 """
 
-from typing import NamedTuple
+from typing import Any, NamedTuple, Optional
 
 import jax
 
@@ -22,6 +22,10 @@ class LassoResult(NamedTuple):
                           # per-row (n_samples,) with per_problem=True
     objective: jax.Array  # per-iteration objective, shape (maxiter,) if
                           # record_objective else (0,); padded with NaN
+    aux: Optional[Any] = None  # with return_state=True on momentum
+                          # methods: {"z": extrapolation point, "t":
+                          # per-row momentum scalars} — pass back via
+                          # momentum_state= for exact chunked resume
 
 
 class NMFResult(NamedTuple):

@@ -27,7 +27,9 @@ def soft_threshold(x, t):
 
 
 def spectral_norm_psd(gram, iters=60, safety=1.02):
-    """Mirror of decomp_tpu.ops.spectral.spectral_norm_psd (power method)."""
+    """Mirror of decomp_tpu.ops.spectral.spectral_norm_psd (power method
+    with matvec lower bound, certified inf-norm cap, and non-convergence
+    fallback)."""
     n = gram.shape[-1]
     rdt = np.float64
     ramp = np.linspace(1.0, 2.0, n).astype(rdt)
@@ -35,8 +37,16 @@ def spectral_norm_psd(gram, iters=60, safety=1.02):
     for _ in range(iters):
         w = gram @ v
         v = w / max(np.linalg.norm(w), TINY64)
-    lam = np.real(np.vdot(v, gram @ v)) / np.real(np.vdot(v, v))
-    return lam * safety
+    w = gram @ v
+    vv = max(np.real(np.vdot(v, v)), TINY64)
+    rayleigh = np.real(np.vdot(v, w)) / vv
+    mv = np.linalg.norm(w) / np.sqrt(vv)
+    ub = max(np.max(np.sum(np.abs(gram), axis=-1)).real, TINY64)
+    if (mv - rayleigh) > 0.01 * max(rayleigh, TINY64):
+        lam = ub
+    else:
+        lam = min(mv * safety, ub)
+    return max(lam, TINY64)
 
 
 def l2_norm(x):

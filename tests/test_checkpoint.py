@@ -73,6 +73,80 @@ def test_lasso_checkpointing(tmp_path):
     assert rel_err(res.x, straight.x) < 1e-12
 
 
+@pytest.mark.parametrize("method", ["fista", "acc_ista"])
+def test_momentum_state_exact_resume(method):
+    """Direct API: (z, t) from aux continues the exact trajectory."""
+    rng = np.random.default_rng(33)
+    a = rng.normal(size=(16, 24))
+    y = rng.normal(size=(8, 24))
+    straight = decomp_tpu.lasso.solve(y, a, 0.05, tol=0.0, maxiter=40,
+                                      method=method)
+    r1 = decomp_tpu.lasso.solve(y, a, 0.05, tol=0.0, maxiter=20,
+                                method=method, return_state=True)
+    r2 = decomp_tpu.lasso.solve(y, a, 0.05, x=r1.x, tol=0.0, maxiter=20,
+                                method=method,
+                                momentum_state=(r1.aux["z"], r1.aux["t"]))
+    np.testing.assert_array_equal(np.asarray(r2.x), np.asarray(straight.x))
+
+
+def test_momentum_state_exact_resume_complex_split():
+    rng = np.random.default_rng(34)
+    a = (rng.normal(size=(12, 20)) + 1j * rng.normal(size=(12, 20)))
+    y = (rng.normal(size=(6, 20)) + 1j * rng.normal(size=(6, 20)))
+    straight = decomp_tpu.lasso.solve(y, a, 0.05, tol=0.0, maxiter=30,
+                                      method="fista", complex_split=True)
+    r1 = decomp_tpu.lasso.solve(y, a, 0.05, tol=0.0, maxiter=15,
+                                method="fista", complex_split=True,
+                                return_state=True)
+    r2 = decomp_tpu.lasso.solve(y, a, 0.05, x=r1.x, tol=0.0, maxiter=15,
+                                method="fista", complex_split=True,
+                                momentum_state=(r1.aux["z"], r1.aux["t"]))
+    np.testing.assert_array_equal(np.asarray(r2.x), np.asarray(straight.x))
+
+
+@pytest.mark.parametrize("method", ["fista", "acc_ista"])
+def test_chunked_fista_matches_straight_exactly(tmp_path, method):
+    """checkpointed_solve threads (z, t) between chunks: chunked momentum
+    runs reproduce the uninterrupted trajectory bit-for-bit (VERDICT.md
+    round-1 Weak #3)."""
+    rng = np.random.default_rng(35)
+    a = rng.normal(size=(16, 24))
+    y = rng.normal(size=(8, 24))
+    mgr = CheckpointManager(str(tmp_path / "fista"))
+    res, total = checkpointed_solve(
+        decomp_tpu.lasso.solve, y, a, 0.05, manager=mgr, chunk_iters=10,
+        maxiter=40, tol=0.0, method=method, warm_fields=("x",))
+    straight = decomp_tpu.lasso.solve(y, a, 0.05, tol=0.0, maxiter=40,
+                                      method=method)
+    assert total == 40
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(straight.x))
+    # interruption: a fresh session resumes from the .npz (z, t) included
+    mgr2 = CheckpointManager(str(tmp_path / "fista2"))
+    checkpointed_solve(decomp_tpu.lasso.solve, y, a, 0.05, manager=mgr2,
+                       chunk_iters=10, maxiter=20, tol=0.0, method=method,
+                       warm_fields=("x",))
+    res2, total2 = checkpointed_solve(
+        decomp_tpu.lasso.solve, y, a, 0.05, manager=mgr2, chunk_iters=10,
+        maxiter=40, tol=0.0, method=method, warm_fields=("x",))
+    assert total2 == 40
+    np.testing.assert_array_equal(np.asarray(res2.x),
+                                  np.asarray(straight.x))
+
+
+def test_momentum_state_validation():
+    rng = np.random.default_rng(36)
+    a = rng.normal(size=(8, 12))
+    y = rng.normal(size=(4, 12))
+    z = np.zeros((4, 8))
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.lasso.solve(y, a, 0.05, method="ista",
+                               momentum_state=(z, 1.0))
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        # momentum_state without the warm start x
+        decomp_tpu.lasso.solve(y, a, 0.05, method="fista",
+                               momentum_state=(z, 1.0))
+
+
 def test_exhausted_budget_raises(tmp_path):
     y, x0, d0 = _problem()
     mgr = CheckpointManager(str(tmp_path / "ckpt"))

@@ -48,6 +48,38 @@ def test_spectral_norm_complex():
     assert exact <= est <= 1.05 * exact
 
 
+def test_spectral_norm_never_exceeds_certified_bound():
+    """The safety-scaled estimate is capped by the Hermitian inf-norm upper
+    bound, and stays a valid upper bound on lambda_max across a sweep of
+    random PSD shapes (step-size validity: ADVICE round 1)."""
+    rng = np.random.default_rng(2)
+    for n_feat, n_ch in [(5, 8), (64, 32), (128, 200)]:
+        a = rng.normal(size=(n_feat, n_ch))
+        gram = a @ a.T
+        exact = np.linalg.eigvalsh(gram)[-1]
+        ub = np.max(np.sum(np.abs(gram), axis=-1))
+        est = float(spectral_norm_psd(jnp.asarray(gram)))
+        assert exact * (1 - 1e-10) <= est <= ub * (1 + 1e-10)
+
+
+def test_spectral_norm_slow_convergence_falls_back_to_certificate():
+    """A huge ill-conditioned cluster that the 60-step power iteration
+    cannot settle must not silently undershoot: the Rayleigh/matvec gap
+    triggers the certified upper bound."""
+    from decomp_tpu.ops.spectral import spectral_norm_psd as sn
+
+    # Two eigenvalues 1.0005 apart with eigenvectors mixing the ramp start
+    # equally: after `iters` steps the iterate is still a strong mix.
+    n = 64
+    q, _ = np.linalg.qr(np.random.default_rng(3).normal(size=(n, n)))
+    evals = np.full(n, 1e-3)
+    evals[0], evals[1] = 100.0, 99.95
+    gram = (q * evals) @ q.T
+    exact = np.linalg.eigvalsh(gram)[-1]
+    est = float(sn(jnp.asarray(gram), iters=3))  # deliberately undercooked
+    assert est >= exact * (1 - 1e-10)
+
+
 def test_run_iterations_converges_and_counts():
     # x <- x/2 from 1.0: rel change is |x/2 - x| / (x/2) = 1 ... never
     # converges by rel change; use absolute-style diff instead.

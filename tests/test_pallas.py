@@ -78,6 +78,134 @@ def test_solve_pallas_path_matches_jnp_path(masked):
     assert rel_err(res.d, ref.d) < 1e-4
 
 
+@pytest.mark.parametrize("block_rows", [32, 128])
+def test_masked_grad_rows_matches_oracle(block_rows):
+    from decomp_tpu.ops import pallas_lasso
+
+    rng = np.random.default_rng(10)
+    m, n, f = 256, 384, 128
+    my0 = jnp.asarray(rng.normal(size=(m, n)), jnp.float32)
+    mask = jnp.asarray(rng.random((m, n)) > 0.3, jnp.float32)
+    my = mask * my0
+    x = jnp.asarray(rng.normal(size=(m, f)), jnp.float32)
+    a = jnp.asarray(rng.normal(size=(f, n)), jnp.float32)
+    g = pallas_lasso.masked_grad_rows(my, mask, x, a,
+                                      block_rows=block_rows,
+                                      interpret=True)
+    g_ref = (mask * (x @ a) - my) @ a.T
+    assert g.shape == (m, f) and g.dtype == x.dtype
+    assert rel_err(g, g_ref) < 1e-5
+
+
+def test_masked_grad_dict_matches_oracle():
+    from decomp_tpu.ops import pallas_lasso
+
+    rng = np.random.default_rng(11)
+    m, n, k = 160, 256, 128
+    my0 = jnp.asarray(rng.normal(size=(m, n)), jnp.float32)
+    mask = jnp.asarray(rng.random((m, n)) > 0.3, jnp.float32)
+    my = mask * my0
+    x = jnp.asarray(rng.normal(size=(m, k)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(k, n)), jnp.float32)
+    g = pallas_lasso.masked_grad_dict(my, mask, x, d, block_rows=32,
+                                      interpret=True)
+    g_ref = x.T @ (mask * (x @ d) - my)
+    assert g.shape == (k, n)
+    assert rel_err(g, g_ref) < 1e-5
+
+
+def test_masked_grad_alignment_contract():
+    from decomp_tpu.ops import pallas_lasso
+
+    rng = np.random.default_rng(12)
+    bad = jnp.asarray(rng.normal(size=(250, 256)), jnp.float32)
+    mask = jnp.ones_like(bad)
+    x = jnp.zeros((250, 128), jnp.float32)
+    a = jnp.zeros((128, 256), jnp.float32)
+    with pytest.raises(ValueError):
+        pallas_lasso.masked_grad_rows(bad, mask, x, a, block_rows=128,
+                                      interpret=True)
+
+
+@pytest.mark.parametrize("method", ["fista", "acc_ista"])
+def test_lasso_pallas_path_matches_jnp_path(method):
+    """End-to-end masked lasso: use_pallas=True (interpret mode, ragged
+    shapes exercising the zero-padding fixed point) tracks the dense jnp
+    path trajectory-for-trajectory (lipschitz pinned: the padded power
+    iteration would otherwise start from a different ramp vector)."""
+    rng = np.random.default_rng(13)
+    m, n, f = 70, 90, 50
+    a = rng.normal(size=(f, n)).astype(np.float32)
+    y = rng.normal(size=(m, n)).astype(np.float32)
+    mask = (rng.random((m, n)) > 0.3).astype(np.float32)
+    lip = float(np.linalg.eigvalsh(a @ a.T).max() * 1.05)
+    ref = decomp_tpu.lasso.solve(y * mask, a, 0.05, mask=mask, tol=0.0,
+                                 maxiter=25, method=method, lipschitz=lip,
+                                 use_pallas=False)
+    res = decomp_tpu.lasso.solve(y * mask, a, 0.05, mask=mask, tol=0.0,
+                                 maxiter=25, method=method, lipschitz=lip,
+                                 use_pallas=True, pallas_block_rows=16,
+                                 _pallas_interpret=True)
+    assert res.x.shape == ref.x.shape
+    assert rel_err(res.x, ref.x) < 1e-4
+
+
+def test_lasso_pallas_per_problem_slices_rows():
+    rng = np.random.default_rng(14)
+    m, n, f = 30, 70, 40
+    a = rng.normal(size=(f, n)).astype(np.float32)
+    y = rng.normal(size=(m, n)).astype(np.float32)
+    mask = (rng.random((m, n)) > 0.3).astype(np.float32)
+    res = decomp_tpu.lasso.solve(y * mask, a, 0.05, mask=mask, tol=1e-4,
+                                 maxiter=2000, method="fista",
+                                 per_problem=True, use_pallas=True,
+                                 pallas_block_rows=16,
+                                 _pallas_interpret=True)
+    assert np.asarray(res.niter).shape == (m,)
+    assert np.asarray(res.converged).all()
+    ref = decomp_tpu.lasso.solve(y * mask, a, 0.05, mask=mask, tol=1e-4,
+                                 maxiter=2000, method="fista",
+                                 per_problem=True, use_pallas=False)
+    # Padded power iteration gives a slightly different L: compare
+    # solutions, not iteration counts.
+    assert rel_err(res.x, ref.x) < 1e-3
+
+
+def test_dl_pallas_path_matches_jnp_path():
+    """End-to-end masked dictionary learning through both fused kernels."""
+    rng = np.random.default_rng(15)
+    m, n, k = 60, 70, 40
+    y = rng.normal(size=(m, n)).astype(np.float32)
+    mask = (rng.random((m, n)) > 0.3).astype(np.float32)
+    d0 = rng.normal(size=(k, n)).astype(np.float32)
+    ref = decomp_tpu.dictionary_learning.solve(
+        y * mask, d0, 0.05, mask=mask, tol=0.0, maxiter=8, lasso_iter=5,
+        use_pallas=False, record_objective=True)
+    res = decomp_tpu.dictionary_learning.solve(
+        y * mask, d0, 0.05, mask=mask, tol=0.0, maxiter=8, lasso_iter=5,
+        use_pallas=True, pallas_block_rows=16, _pallas_interpret=True,
+        record_objective=True)
+    assert res.x.shape == ref.x.shape and res.d.shape == ref.d.shape
+    # The padded inner power iterations start from longer ramp vectors, so
+    # step sizes differ slightly: compare objectives, not trajectories.
+    ro = np.asarray(ref.objective)
+    po = np.asarray(res.objective)
+    np.testing.assert_allclose(po, ro, rtol=2e-2)
+    norms = np.linalg.norm(np.asarray(res.d), axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_lasso_pallas_rejects_unmasked_and_complex():
+    rng = np.random.default_rng(16)
+    y = rng.normal(size=(8, 16)).astype(np.float32)
+    a = rng.normal(size=(4, 16)).astype(np.float32)
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.lasso.solve(y, a, 0.1, use_pallas=True)
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.lasso.solve(y, a, 0.1, mask=np.ones_like(y),
+                               method="cd", use_pallas=True)
+
+
 def test_auto_is_off_on_cpu():
     """'auto' must not enable Pallas on the CPU backend (no TPU kernels)."""
     y, *_ = planted_nmf(seed=8, n_samples=1100, n_channels=1000, rank=3)
