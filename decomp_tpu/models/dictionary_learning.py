@@ -53,16 +53,16 @@ def solve(
     use_pallas="auto",
     pallas_block_rows=None,
     _pallas_interpret: bool = False,
+    complex_split="auto",
 ) -> DictionaryLearningResult:
     """Learn a unit-atom dictionary ``d`` and sparse codes ``x`` for ``y``.
 
     Parameters
     ----------
-    y : (n_samples, n_channels), real or complex. NOTE: complex dictionary
-        learning requires a backend with complex-dtype support (CPU, GPU,
-        standard TPU runtimes with complex lowering); on TPU backends
-        without it, only the lasso family offers a split-(re,im) execution
-        path (``decomp_tpu.lasso.solve(complex_split=...)``).
+    y : (n_samples, n_channels), real or complex. Complex problems run
+        either natively (backends with complex support: CPU, GPU, standard
+        TPU runtimes) or via the split-(re,im) path (``complex_split``,
+        below) on TPU backends without complex lowering.
     d : (n_atoms, n_channels) initial dictionary (required; rows are
         renormalised to unit L2 norm before iterating).
     alpha : nonnegative sparse-coding weight (scalar).
@@ -82,11 +82,38 @@ def solve(
         are zero-padded once to the kernels' 128-alignment (a fixed point
         of both updates) and the factors sliced back. 'auto' enables it
         on TPU for large real masked problems.
+    complex_split : True / False / 'auto'. Runs complex problems as
+        (re, im) real pairs end-to-end — the inner sparse coding reuses
+        the lasso split path, the BCD and masked projected-gradient
+        dictionary updates run in split arithmetic, and the complex
+        factors are reassembled on the CPU device (complex arrays never
+        touch the accelerator; SURVEY.md §7 hard part 5). 'auto' enables
+        it for complex inputs when the default backend is TPU. Full-batch
+        only (no minibatch).
 
     Returns
     -------
     DictionaryLearningResult(x, d, niter, converged, objective)
     """
+    if complex_split == "auto":
+        complex_split = (_lasso._is_complex_concrete(y, d)
+                         and jax.default_backend() == "tpu")
+    if complex_split and _lasso._is_complex_concrete(y, d):
+        # Split path: never materialise a complex array on the device.
+        if minibatch is not None:
+            raise DecompError("complex_split does not support minibatch; "
+                              "run the native complex path on a backend "
+                              "with complex support")
+        if lasso_method == "cd":
+            raise DecompError("lasso_method 'cd' is not supported inside "
+                              "dictionary learning; use "
+                              "'fista'/'parallel_cd'")
+        return _solve_complex_split_dl(
+            y, d, alpha, x, mask, tol=tol, maxiter=int(maxiter),
+            lasso_method=lasso_method, lasso_iter=int(lasso_iter),
+            lasso_tol=lasso_tol, record_objective=bool(record_objective),
+            precision=precision)
+
     y = jnp.asarray(y)
     assertion.assert_inexact("y", y)
     assertion.assert_ndim("y", y, 2)
@@ -130,7 +157,7 @@ def solve(
             and not is_complex
             and lasso_method != "cd"
             and y.shape[0] * y.shape[1] >= (1 << 20)
-            and pallas_lasso.fits_vmem(-(-y.shape[1] // 128) * 128,
+            and pallas_lasso.auto_wins(-(-y.shape[1] // 128) * 128,
                                        -(-n_atoms // 128) * 128,
                                        dtype.itemsize)
         )
@@ -346,6 +373,171 @@ def _masked_grad_dict_update(my, x, d, mask, reduce_sum=None,
         resid = mask * (x @ d) - my
         grad = red(x.conj().T @ resid)
     return l2_normalize(d - grad / lip.astype(d.dtype), axis=1)
+
+
+def _solve_complex_split_dl(y, d, alpha, x, mask, *, tol, maxiter,
+                            lasso_method, lasso_iter, lasso_tol,
+                            record_objective, precision):
+    """Host driver of the split-complex dictionary learning path: decompose
+    on the host, alternate split sparse coding (reusing the lasso split
+    machinery) with split BCD / masked projected-gradient dictionary
+    updates on the accelerator, reassemble the complex factors on the CPU
+    device (complex arrays never touch the accelerator)."""
+    import numpy as np
+
+    from decomp_tpu.ops import complex_split as cs
+
+    y_np = np.asarray(y)
+    d_np = np.asarray(d)
+    assertion.assert_ndim("y", y_np, 2)
+    assertion.assert_ndim("d", d_np, 2)
+    assertion.assert_axis_size("d", d_np, 1, y_np.shape[1], "n_channels")
+    cdtype = np.result_type(y_np.dtype, d_np.dtype, np.complex64)
+    rdt = np.finfo(cdtype).dtype
+    ys = cs.from_numpy(y_np.astype(cdtype))
+    ds = cs.from_numpy(d_np.astype(cdtype))
+    xs = None
+    if x is not None:
+        x_np = np.asarray(x)
+        assertion.assert_axis_size("x", x_np, 0, y_np.shape[0], "n_samples")
+        assertion.assert_axis_size("x", x_np, 1, d_np.shape[0], "n_atoms")
+        xs = cs.from_numpy(x_np.astype(cdtype))
+    if mask is not None:
+        mask_np = np.asarray(mask)
+        assertion.assert_same_shape("mask", mask_np, "y", y_np)
+        mask = jnp.asarray(mask_np.real.astype(rdt))
+    assertion.assert_nonnegative("alpha", alpha)
+    alpha = jnp.asarray(np.asarray(alpha).real.astype(rdt))
+
+    with jax.default_matmul_precision(precision):
+        xr, xi, dr, di, niter, converged, objective = _solve_split_dl(
+            ys, ds, xs, mask, alpha, jnp.asarray(tol, rdt),
+            jnp.asarray(lasso_tol, rdt), maxiter=maxiter,
+            lasso_method=lasso_method, lasso_iter=lasso_iter,
+            record_objective=record_objective)
+
+    x_c = (np.asarray(xr).astype(rdt)
+           + 1j * np.asarray(xi).astype(rdt)).astype(cdtype)
+    d_c = (np.asarray(dr).astype(rdt)
+           + 1j * np.asarray(di).astype(rdt)).astype(cdtype)
+    cpu = jax.devices("cpu")[0]
+    return DictionaryLearningResult(
+        x=jax.device_put(x_c, cpu), d=jax.device_put(d_c, cpu),
+        niter=niter, converged=converged, objective=objective)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("maxiter", "lasso_method", "lasso_iter",
+                     "record_objective"),
+)
+def _solve_split_dl(y, d, x, mask, alpha, tol, lasso_tol, *, maxiter,
+                    lasso_method, lasso_iter, record_objective):
+    """Split-complex mirror of ``_solve`` (full-batch alternation)."""
+    from decomp_tpu.ops import complex_split as cs
+
+    rdt = y.re.dtype
+    tiny = jnp.asarray(jnp.finfo(rdt).tiny, rdt)
+    d = cs.l2_normalize_rows(d, tiny)
+    if x is None:
+        zeros = jnp.zeros((y.re.shape[0], d.re.shape[0]), rdt)
+        x = cs.SplitComplex(zeros, zeros)
+    my = y if mask is None else cs.scale(y, mask)
+
+    def sparse_code(d_, x_):
+        xr, xi, _, _, _, _ = _lasso._solve_split(
+            y, d_, alpha, x_, mask, None, lasso_tol, method=lasso_method,
+            maxiter=lasso_iter, record_objective=False)
+        return cs.SplitComplex(xr, xi)
+
+    def objective(x_, d_):
+        recon = cs.matmul(x_, d_)
+        resid = (cs.sub(my, recon) if mask is None
+                 else cs.sub(my, cs.scale(recon, mask)))
+        return (0.5 * cs.sum_abs2(resid)
+                + jnp.sum(alpha * jnp.sqrt(cs.abs2(x_))))
+
+    def diff_fn(old, new):
+        num = jnp.sqrt(cs.sum_abs2(cs.sub(new[1], old[1])))
+        den = jnp.maximum(jnp.sqrt(cs.sum_abs2(old[1])), tiny)
+        return num / den
+
+    if mask is None:
+        def update_d(x_, d_):
+            stats_a = cs.matmul(cs.conj_t(x_), x_)
+            stats_b = cs.matmul(cs.conj_t(x_), my)
+            return _bcd_dict_update_split(stats_a, stats_b, d_)
+    else:
+        def update_d(x_, d_):
+            return _masked_grad_dict_update_split(my, x_, d_, mask)
+
+    def step(state, it):
+        del it
+        x_, d_ = state
+        with jax.named_scope("dl_sparse_code"):
+            x_ = sparse_code(d_, x_)
+        with jax.named_scope("dl_dict_update"):
+            d_ = update_d(x_, d_)
+        return (x_, d_)
+
+    res = run_iterations(
+        step, (x, d), tol=tol, maxiter=maxiter, diff_fn=diff_fn,
+        objective_fn=lambda s: objective(s[0], s[1]),
+        record_objective=record_objective,
+    )
+    x_out, d_out = res.state
+    return (x_out.re, x_out.im, d_out.re, d_out.im, res.niter,
+            res.converged, res.objective)
+
+
+def _bcd_dict_update_split(stats_a, stats_b, d):
+    """Split-complex mirror of ``_bcd_dict_update``: one BCD pass over
+    atoms from A = x^H x, B = x^H my, with exact unit-norm projection.
+    A's diagonal is real (Hermitian), so a_kk comes from the re part."""
+    from decomp_tpu.ops import complex_split as cs
+
+    rdt = d.re.dtype
+    tiny = jnp.asarray(jnp.finfo(rdt).tiny, rdt)
+    n_atoms = d.re.shape[0]
+
+    def row(m, k):
+        return cs.SplitComplex(
+            jax.lax.dynamic_slice_in_dim(m.re, k, 1, axis=0)[0],
+            jax.lax.dynamic_slice_in_dim(m.im, k, 1, axis=0)[0])
+
+    def one_atom(k, d_):
+        a_row = row(stats_a, k)
+        b_row = row(stats_b, k)
+        d_k = row(d_, k)
+        a_kk = a_row.re[k]
+        # u = b_k - a_row @ d + a_kk * d_k  (complex row-vector matmul)
+        ad = cs.SplitComplex(a_row.re @ d_.re - a_row.im @ d_.im,
+                             a_row.re @ d_.im + a_row.im @ d_.re)
+        u = cs.add(cs.sub(b_row, ad), cs.scale(d_k, a_kk))
+        norm = jnp.sqrt(cs.sum_abs2(u))
+        inv = 1.0 / jnp.maximum(norm, tiny)
+        new_re = jnp.where(norm > tiny, u.re * inv, d_k.re)
+        new_im = jnp.where(norm > tiny, u.im * inv, d_k.im)
+        return cs.SplitComplex(
+            jax.lax.dynamic_update_slice_in_dim(d_.re, new_re[None, :], k,
+                                                axis=0),
+            jax.lax.dynamic_update_slice_in_dim(d_.im, new_im[None, :], k,
+                                                axis=0))
+
+    return jax.lax.fori_loop(0, n_atoms, one_atom, d)
+
+
+def _masked_grad_dict_update_split(my, x, d, mask):
+    """Split-complex mirror of ``_masked_grad_dict_update``."""
+    from decomp_tpu.ops import complex_split as cs
+
+    rdt = d.re.dtype
+    tiny = jnp.asarray(jnp.finfo(rdt).tiny, rdt)
+    gram = cs.matmul(cs.conj_t(x), x)
+    lip = jnp.maximum(cs.spectral_norm_hermitian(gram), tiny)
+    resid = cs.sub(cs.scale(cs.matmul(x, d), mask), my)
+    grad = cs.matmul(cs.conj_t(x), resid)
+    return cs.l2_normalize_rows(cs.sub(d, cs.scale(grad, 1.0 / lip)), tiny)
 
 
 # Out-of-core variant (host-streamed row chunks) — import at end of module

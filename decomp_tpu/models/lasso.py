@@ -222,7 +222,7 @@ def solve(
             and method in grad_methods
             and not is_complex
             and y.shape[0] * y.shape[1] >= (1 << 20)
-            and pallas_lasso.fits_vmem(-(-y.shape[1] // 128) * 128,
+            and pallas_lasso.auto_wins(-(-y.shape[1] // 128) * 128,
                                        -(-n_features // 128) * 128,
                                        dtype.itemsize)
         )

@@ -98,6 +98,17 @@ def row_sum_abs2(a: SplitComplex):
     return jnp.sum(abs2(a), axis=-1)
 
 
+def l2_normalize_rows(a: SplitComplex, tiny=None) -> SplitComplex:
+    """Unit-L2 rows (complex magnitude); zero rows stay zero (mirrors
+    utils.normalize.l2_normalize semantics for dictionary atoms)."""
+    rdt = a.re.dtype
+    if tiny is None:
+        tiny = jnp.asarray(jnp.finfo(rdt).tiny, rdt)
+    norms = jnp.sqrt(jnp.sum(abs2(a), axis=1, keepdims=True))
+    inv = 1.0 / jnp.maximum(norms, tiny)
+    return SplitComplex(a.re * inv, a.im * inv)
+
+
 def soft_threshold(z: SplitComplex, thresh) -> SplitComplex:
     """Magnitude shrinkage keeping phase (mirrors
     decomp_tpu.ops.soft_threshold for complex inputs)."""

@@ -46,19 +46,13 @@ from jax.experimental.pallas import tpu as pltpu
 from decomp_tpu.ops.pallas_mu import _dot_precision, _VMEM_BUDGET
 
 
-# The gradient kernels' VMEM envelope was measured, not guessed: at
-# 100k x 1k F=256 f32, 512-row stripes hit Mosaic's 16M scoped-vmem limit
-# (19.98M requested) while F=128 fits; the usage model below reproduces
-# both data points with a 15M budget.
-_GRAD_VMEM_BUDGET = 15 * 1024 * 1024
-
-
-def _vmem_usage(block, n, f, itemsize):
-    # my+mask double-buffered stripes, f32 recon+resid intermediates,
-    # x/g stripes double-buffered, resident dictionary.
-    return (block * n * (4 * itemsize + 8)
-            + 4 * block * f * itemsize
-            + f * n * itemsize)
+# VMEM envelope measured on v5e Mosaic (scoped-vmem limit 16M), 100k x 1k
+# f32: (block=512, F=128) fits and is fastest; (512, F=256) requests
+# 19.98M and (256, F=512) requests 16.11M — both OOM. The observed usage
+# is NOT linear in block x F (Mosaic's scheduling differs per shape), so
+# the defaults below encode the measured-safe frontier directly rather
+# than a fitted model.
+_GRAD_VMEM_BUDGET = 13 * 1024 * 1024
 
 
 def default_block_rows(n: int, f: int, itemsize: int) -> int:
@@ -68,10 +62,11 @@ def default_block_rows(n: int, f: int, itemsize: int) -> int:
     these kernels do tiny per-stripe work at rank-scale F, so the fixed
     per-stripe dispatch overhead dominates with 128-row stripes: measured
     at 100k x 1k F=128 f32 on v5e, 512-row stripes run 3.30 ms/iter vs
-    4.04 ms/iter at 128 (jnp dense path: 4.55). Use the largest stripe the
-    VMEM envelope allows, capped at 512."""
-    block = 512
-    while block > 8 and _vmem_usage(block, n, f, itemsize) > _GRAD_VMEM_BUDGET:
+    4.04 ms/iter at 128 (jnp dense path: 4.55). 512-row stripes are only
+    VMEM-safe up to F=128 (see envelope note above); wider dictionaries
+    fall back to 128 rows, halving further for very wide N."""
+    block = 512 if f <= 128 else 128
+    while block > 8 and block * n * (4 * itemsize + 8) > _GRAD_VMEM_BUDGET:
         block //= 2
     return block
 
@@ -80,6 +75,20 @@ def fits_vmem(n: int, f: int, itemsize: int) -> bool:
     """Gate for use_pallas='auto': the resident dictionary (F x N) and one
     stripe must fit comfortably in VMEM."""
     return f * n * itemsize * 2 < _VMEM_BUDGET
+
+
+def auto_wins(n: int, f: int, itemsize: int) -> bool:
+    """Gate for use_pallas='auto': the regimes where the fused kernel
+    measurably beats the XLA dense composition on v5e (100k x 1k sweep).
+
+    f32, F<=128 (rank-scale dictionaries): kernel 3.30 ms/iter vs jnp
+    4.55 (HBM-bound regime — the M x N round trip dominates). At F>=256
+    with f32-'highest' the problem is compute-bound and XLA already runs
+    at the f32 matmul speed-of-light (measured 25.6 TF/s ~ peak/8), so
+    the kernel only adds stripe-dispatch overhead (F=512: 10.8 vs 8.2
+    ms/iter); in bf16 XLA's single-pass matmuls win at every F measured
+    (F=128: 1.83 vs 1.95 ms/iter). Explicit use_pallas=True overrides."""
+    return itemsize == 4 and f <= 128 and fits_vmem(n, f, itemsize)
 
 
 def _check_aligned(m, n, f, block_rows):

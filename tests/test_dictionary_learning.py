@@ -34,6 +34,53 @@ def test_trajectory_parity(complex_):
     assert rel_err(res.x, x_ref) < 1e-8
 
 
+@pytest.mark.parametrize("masked", [False, True])
+def test_complex_split_matches_native(masked):
+    """Split-(re,im) dictionary learning (for TPU backends without complex
+    support) matches the native complex path trajectory-for-trajectory:
+    inner split lasso + split BCD / masked projected-gradient dict updates
+    (VERDICT.md round-1 Missing #4)."""
+    y, d_true, _ = planted_patches(seed=20, complex_=True)
+    mask = random_mask(21, y.shape) if masked else None
+    if mask is not None:
+        y = y * mask
+    d0 = _perturbed_init(d_true, 22)
+    native = decomp_tpu.dictionary_learning.solve(
+        y, d0, ALPHA, tol=0.0, maxiter=12, lasso_iter=8, mask=mask,
+        complex_split=False, record_objective=True)
+    split = decomp_tpu.dictionary_learning.solve(
+        y, d0, ALPHA, tol=0.0, maxiter=12, lasso_iter=8, mask=mask,
+        complex_split=True, record_objective=True)
+    assert split.d.dtype == native.d.dtype
+    assert rel_err(split.d, native.d) < 1e-10
+    assert rel_err(split.x, native.x) < 1e-10
+    np.testing.assert_allclose(np.asarray(split.objective),
+                               np.asarray(native.objective), rtol=1e-9)
+    norms = np.sqrt(np.sum(np.abs(np.asarray(split.d)) ** 2, axis=1))
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-10)
+
+
+def test_complex_split_warm_start_and_early_stop():
+    y, d_true, _ = planted_patches(seed=23, complex_=True)
+    d0 = _perturbed_init(d_true, 24)
+    full = decomp_tpu.dictionary_learning.solve(
+        y, d0, ALPHA, tol=1e-8, maxiter=200, lasso_iter=10,
+        complex_split=True)
+    resumed = decomp_tpu.dictionary_learning.solve(
+        y, np.asarray(full.d), ALPHA, x=np.asarray(full.x), tol=1e-4,
+        maxiter=50, lasso_iter=10, complex_split=True)
+    assert bool(resumed.converged)
+    assert int(resumed.niter) <= 3
+
+
+def test_complex_split_rejects_minibatch():
+    y, d_true, _ = planted_patches(seed=25, complex_=True)
+    d0 = _perturbed_init(d_true, 26)
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.dictionary_learning.solve(
+            y, d0, ALPHA, minibatch=8, complex_split=True)
+
+
 def test_masked_trajectory_parity():
     y, d_true, _ = planted_patches(seed=3)
     mask = random_mask(4, y.shape)
