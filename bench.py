@@ -39,8 +39,29 @@ def _enable_compile_cache():
     except Exception:
         pass  # older jax or read-only fs: cache is an optimisation only
 
-# v5e peak bf16 matmul throughput (public spec: 197 TFLOP/s bf16).
-PEAK_FLOPS = {"tpu": 197e12, "axon": 197e12}
+# Peak bf16 matmul throughput per chip by TPU generation (public specs).
+# Matched against jax Device.device_kind substrings, most specific first —
+# a hardware-pinned constant would silently lie on other generations.
+PEAK_BF16_BY_KIND = (
+    ("v6 lite", 918e12), ("v6e", 918e12),
+    ("v5 lite", 197e12), ("v5e", 197e12),
+    ("v5p", 459e12), ("v5", 459e12),
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 46e12),
+)
+
+
+def peak_flops(device):
+    """(peak bf16 FLOP/s, label) for ``device``, or (None, kind) when the
+    generation is unrecognised (then %-of-peak is not reported rather than
+    reported wrongly)."""
+    kind = getattr(device, "device_kind", "") or ""
+    kl = kind.lower()
+    for sub, peak in PEAK_BF16_BY_KIND:
+        if sub in kl:
+            return peak, f"{kind} ({peak/1e12:.0f} TFLOP/s bf16)"
+    return None, kind
 
 
 def flops_per_iter(m: int, n: int, k: int) -> float:
@@ -64,7 +85,11 @@ def main() -> int:
 
     dev = jax.devices()[0]
     platform = dev.platform.lower()
-    on_tpu = platform in PEAK_FLOPS
+    on_tpu = platform in ("tpu", "axon")
+    peak, peak_label = peak_flops(dev)
+    if on_tpu and peak is None:
+        print(f"WARNING: unrecognised TPU generation {dev.device_kind!r}; "
+              "no %-of-peak will be reported", file=sys.stderr)
 
     if args.small or not on_tpu:
         m, n, k = 2048, 1024, 128
@@ -112,8 +137,7 @@ def main() -> int:
     best = min(timed() for _ in range(args.repeats))
     iters_per_sec = args.iters / best
     flops = flops_per_iter(m, n, k) * iters_per_sec
-    peak = PEAK_FLOPS.get(platform)
-    frac_peak = (flops / peak) if peak else None
+    frac_peak = (flops / peak) if (on_tpu and peak) else None
     vs_baseline = (frac_peak / 0.5) if frac_peak is not None else None
 
     result = {
@@ -124,6 +148,7 @@ def main() -> int:
         "vs_baseline": round(vs_baseline, 4) if vs_baseline else None,
         "matmul_tflops": round(flops / 1e12, 2),
         "frac_of_peak": round(frac_peak, 4) if frac_peak else None,
+        "peak_basis": peak_label if on_tpu else None,
         "wall_s_per_iter": round(best / args.iters, 6),
     }
     print(json.dumps(result))

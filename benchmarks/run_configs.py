@@ -32,8 +32,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import decomp_tpu  # noqa: E402
 from decomp_tpu import parallel  # noqa: E402
+from bench import peak_flops  # noqa: E402
 
 OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "out")
+
+
+def _roofline(total_flops, wall_s):
+    """(achieved TFLOP/s, fraction of the generation's bf16 peak). The
+    bf16 peak is the BASELINE.json denominator for every config; records
+    carry the precision so readers can also judge against the
+    precision-adjusted ceiling (f32 'highest' ~ peak/8 on v5e measured,
+    'high' bf16x3 ~ peak/3)."""
+    peak, label = peak_flops(jax.devices()[0])
+    tflops = total_flops / wall_s / 1e12
+    frac = (total_flops / wall_s / peak) if peak else None
+    return {
+        "matmul_tflops": round(tflops, 2),
+        "frac_of_peak": round(frac, 4) if frac is not None else None,
+        "peak_basis": label,
+    }
 
 def _enable_compile_cache():
     """Persistent XLA compilation cache: verified to work with this
@@ -148,7 +165,7 @@ def config2_batch_fista(small):
     return _emit("c2_batch_fista_10k_512", curve_res.objective, t, res,
                  {"time_to_tol_s": round(t, 4), "tol": 1e-4,
                   "precision": "high",
-                  "matmul_gflops": round(flops / t / 1e9, 1)})
+                  **_roofline(flops, t)})
 
 
 def config3_dictionary_learning(small):
@@ -171,7 +188,18 @@ def config3_dictionary_learning(small):
     curve_res = run(record_objective=True)
     _force(curve_res)
     res, t = _best_of(run)
-    return _emit("c3_dictlearn_8x8_256atoms", curve_res.objective, t, res)
+    # Per outer iteration (default 'highest' f32): lasso_iter inner FISTA
+    # steps at one (M, A) x (A, A) grad matmul each, plus the sparse-code
+    # statistics A = x^H x (2 M A^2), B = x^H y (2 M A N) and the O(A^2 N)
+    # BCD sweep.
+    niter = int(res.niter)
+    per_outer = (kw["lasso_iter"] * 2.0 * n_samp * n_atoms * n_atoms
+                 + 2.0 * n_samp * n_atoms * n_atoms
+                 + 2.0 * n_samp * n_atoms * n_ch
+                 + 2.0 * n_atoms * n_atoms * n_ch)
+    return _emit("c3_dictlearn_8x8_256atoms", curve_res.objective, t, res,
+                 {"precision": "highest",
+                  **_roofline(per_outer * niter, t)})
 
 
 def config4_masked_nmf(small):
@@ -196,8 +224,21 @@ def config4_masked_nmf(small):
     ynp = np.asarray(y, np.float64)
     heldout = float(np.linalg.norm(recon[miss] - ynp[miss])
                     / np.linalg.norm(ynp[miss]))
+    # Masked MU has no Gram shortcut: 6 M x N x K matmuls per iteration
+    # (x num/den incl. the VMEM-resident reconstruction, d num/den) =
+    # 12 M N K flops. 'useful' counts the algorithmic rank k; 'padded'
+    # counts the K->128 MXU alignment the kernel physically executes —
+    # the honest utilisation of the fused kernel at its own target shape.
+    niter = int(res.niter)
+    useful = 12.0 * m * n * k * niter
+    k_pad = -(-k // 128) * 128
+    extra = {"heldout_rel_err": round(heldout, 6),
+             "precision": "highest",
+             **_roofline(useful, t)}
+    padded = _roofline(12.0 * m * n * k_pad * niter, t)
+    extra["frac_of_peak_padded_rank"] = padded["frac_of_peak"]
     return _emit("c4_masked_nmf_100kx1k_r50", curve_res.objective, t, res,
-                 {"heldout_rel_err": round(heldout, 6)})
+                 extra)
 
 
 def config5_sharded_nmf(small):
@@ -225,7 +266,8 @@ def config5_sharded_nmf(small):
     flops = (4.0 * m * n * k + 4.0 * m * k * k) * niter
     return _emit("c5_sharded_nmf", None, t, res,
                  {"devices": n_dev, "shape": [m, n, k],
-                  "matmul_tflops": round(flops / t / 1e12, 2)})
+                  "precision": kw["precision"],
+                  **_roofline(flops, t)})
 
 
 CONFIGS = {

@@ -138,13 +138,20 @@ def solve(
 
     if use_pallas == "auto":
         # Fused kernels pay off once the data matrix dominates HBM traffic;
-        # tiny problems lose more to padding than they gain.
+        # tiny problems lose more to padding than they gain — and the
+        # kernel's k x n residents must fit Mosaic's scoped VMEM (f32 at
+        # headline width n~10k does NOT; measured envelope in pallas_mu).
+        from decomp_tpu.ops import pallas_mu as _pmu
+
         use_pallas = (
             jax.default_backend() == "tpu"
             and minibatch is None
             and method == "mu"
             and inner_iter == 1
             and n_samples * n_channels >= (1 << 20)
+            and _pmu.fits_vmem(-(-n_channels // 128) * 128,
+                               -(-rank // 128) * 128,
+                               y.dtype.itemsize, mask is not None)
         )
     use_pallas = bool(use_pallas)
     if use_pallas and minibatch is not None:
@@ -208,6 +215,14 @@ def _solve(y, d, x, mask, seed, tol, eps, forget, *, rank, maxiter,
             check_every=check_every, verbose=verbose,
         )
 
+    # Convergence norms and objectives accumulate at >= f32: summing bf16
+    # residuals over the 4e9 entries of a headline-scale matrix is pure
+    # rounding noise (8-bit mantissa), and the rel-change stop would fire
+    # on that noise instead of the trajectory. Exact no-op for f32/f64
+    # data (promote_types keeps them); the cast fuses into the reduction,
+    # so no M x N buffer materialises.
+    acc_dt = jnp.promote_types(jnp.float32, rdt)
+
     if method in ("mu", "hals"):
         if method == "mu":
             upd_x, upd_d = _update_x, _update_d
@@ -216,8 +231,10 @@ def _solve(y, d, x, mask, seed, tol, eps, forget, *, rank, maxiter,
 
         def objective(state):
             x_, d_ = state[0], state[1]
-            recon = x_ @ d_
-            resid = (my - recon) if mask is None else (my - mask * recon)
+            recon = (x_ @ d_).astype(acc_dt)
+            my_a = my.astype(acc_dt)
+            resid = (my_a - recon) if mask is None else (
+                my_a - mask.astype(acc_dt) * recon)
             return 0.5 * jnp.sum(resid * resid)
     else:  # kl-mu
         upd_x, upd_d = _update_x_kl, _update_d_kl
@@ -226,9 +243,11 @@ def _solve(y, d, x, mask, seed, tol, eps, forget, *, rank, maxiter,
             return _kl_objective(my, state[0], state[1], mask, eps)
 
     def diff_fn(old, new):
-        d_old, d_new = old[1], new[1]
+        d_old = old[1].astype(acc_dt)
+        d_new = new[1].astype(acc_dt)
         num = l2_norm(d_new - d_old)
-        den = jnp.maximum(l2_norm(d_old), jnp.asarray(jnp.finfo(rdt).tiny, rdt))
+        den = jnp.maximum(l2_norm(d_old),
+                          jnp.asarray(jnp.finfo(acc_dt).tiny, acc_dt))
         return num / den
 
     if minibatch is None:
@@ -338,16 +357,22 @@ def _solve_pallas(my, d, x, mask, tol, eps, *, maxiter, record_objective,
                 my_p, mask_p, state[0], state[1], eps,
                 block_rows=block_rows, interpret=interpret)
 
-    tiny = jnp.asarray(jnp.finfo(rdt).tiny, rdt)
+    # >= f32 accumulation for norms/objective (see _solve: bf16 sums over
+    # headline-scale matrices are rounding noise).
+    acc_dt = jnp.promote_types(jnp.float32, rdt)
+    tiny = jnp.asarray(jnp.finfo(acc_dt).tiny, acc_dt)
 
     def diff_fn(old, new):
-        num = l2_norm(new[1] - old[1])
-        return num / jnp.maximum(l2_norm(old[1]), tiny)
+        d_old = old[1].astype(acc_dt)
+        d_new = new[1].astype(acc_dt)
+        num = l2_norm(d_new - d_old)
+        return num / jnp.maximum(l2_norm(d_old), tiny)
 
     def objective(state):
-        recon = state[0] @ state[1]
-        resid = (my_p - recon) if mask_p is None else (
-            my_p - mask_p * recon)
+        recon = (state[0] @ state[1]).astype(acc_dt)
+        my_a = my_p.astype(acc_dt)
+        resid = (my_a - recon) if mask_p is None else (
+            my_a - mask_p.astype(acc_dt) * recon)
         return 0.5 * jnp.sum(resid * resid)
 
     res = run_iterations(

@@ -57,6 +57,22 @@ def _dot_precision(dtype):
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 
+def fits_vmem(n_pad: int, k_pad: int, itemsize: int, masked: bool,
+              block_rows: int = 128) -> bool:
+    """Whether the MU kernel's VMEM envelope fits Mosaic's scoped limit.
+
+    Calibrated against measured compiles on v5e (16M scoped vmem):
+    dense bf16 (k=128, n=10112, br=128) fits at ~15.5M; dense f32 at the
+    same shape is rejected at 19.94M. Per-column residents: the k x n
+    dictionary (itemsize) + f32 accumulator scratch and f32 stat output
+    (8 bytes; masked keeps TWO k x n stats -> 16) + the streamed stripe.
+    """
+    streams = 2 if masked else 1
+    per_col = (k_pad * (itemsize + (16 if masked else 8))
+               + block_rows * itemsize * streams)
+    return per_col * n_pad <= int(15.7 * 1024 * 1024)
+
+
 def default_block_rows(n: int, k: int, itemsize: int,
                        masked: bool) -> int:
     """Stripe height: 128 (one full MXU tile in the row dimension) whenever

@@ -131,6 +131,9 @@ def solve(
             and method == "mu"
             and col_axis is None
             and (n_samples // n_rows) * n_channels >= (1 << 20)
+            and pallas_mu.fits_vmem(-(-n_channels // 128) * 128,
+                                    -(-rank // 128) * 128,
+                                    y.dtype.itemsize, mask is not None)
         )
     use_pallas = bool(use_pallas)
     if use_pallas and (method != "mu" or col_axis is not None):
@@ -248,22 +251,28 @@ def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter,
                 d_ = upd_d(my_l, x_, d_, mask_l, eps, psum_r)
                 return (x_, d_)
 
-        tiny = jnp.asarray(jnp.finfo(rdt).tiny, rdt)
+        # >= f32 accumulation for norms/objective (see models.nmf._solve:
+        # bf16 sums over headline-scale matrices are rounding noise).
+        acc_dt = jnp.promote_types(jnp.float32, rdt)
+        tiny = jnp.asarray(jnp.finfo(acc_dt).tiny, acc_dt)
 
         def diff_fn(old, new):
             # d is replicated over row_axis, sharded over col_axis: the
             # global norm needs a column-axis allreduce only.
-            num = jnp.sqrt(psum_c(jnp.sum((new[1] - old[1]) ** 2)))
-            den = jnp.sqrt(psum_c(jnp.sum(old[1] ** 2)))
+            d_old = old[1].astype(acc_dt)
+            d_new = new[1].astype(acc_dt)
+            num = jnp.sqrt(psum_c(jnp.sum((d_new - d_old) ** 2)))
+            den = jnp.sqrt(psum_c(jnp.sum(d_old ** 2)))
             return num / jnp.maximum(den, tiny)
 
         def objective(state):
             if method == "kl-mu":
                 return psum_all(
                     _kl_objective(my_l, state[0], state[1], mask_l, eps))
-            recon = state[0] @ state[1]
-            resid = (my_l - recon) if mask_l is None else (
-                my_l - mask_l * recon)
+            recon = (state[0] @ state[1]).astype(acc_dt)
+            my_a = my_l.astype(acc_dt)
+            resid = (my_a - recon) if mask_l is None else (
+                my_a - mask_l.astype(acc_dt) * recon)
             return 0.5 * psum_all(jnp.sum(resid * resid))
 
         res = run_iterations(

@@ -1,0 +1,123 @@
+"""Compiled-mode (Mosaic) oracle tests for every Pallas kernel.
+
+The interpret-mode tier in tests/test_pallas.py pins the kernels' math;
+this tier pins their Mosaic COMPILATION on real TPU hardware: layout
+choices, scoped-VMEM fit, and MXU lowering, for both block sizes of each
+kernel. Tolerances are f32-kernel vs f32-'highest' jnp oracle.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+requires_tpu = pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="compiled Pallas tier needs a TPU backend")
+
+EPS = 1e-6
+
+
+def _rel(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-300)
+
+
+def _arrs(seed, m, n, k):
+    rng = np.random.default_rng(seed)
+    return (jnp.asarray(rng.uniform(0.1, 1, (m, n)), jnp.float32),
+            jnp.asarray(rng.uniform(0.1, 1, (m, k)), jnp.float32),
+            jnp.asarray(rng.uniform(0.1, 1, (k, n)), jnp.float32))
+
+
+@requires_tpu
+@pytest.mark.parametrize("block_rows", [32, 128])
+def test_mu_dense_compiled(block_rows):
+    from decomp_tpu.models.nmf import _update_d, _update_x
+    from decomp_tpu.ops import pallas_mu
+
+    y, x, d = _arrs(0, 256, 256, 128)
+    xn, dn = pallas_mu.mu_update_dense(y, x, d, EPS, block_rows=block_rows)
+    with jax.default_matmul_precision("highest"):
+        x_ref = _update_x(y, x, d, None, EPS)
+        d_ref = _update_d(y, x_ref, d, None, EPS)
+    assert _rel(xn, x_ref) < 1e-5
+    assert _rel(dn, d_ref) < 1e-5
+
+
+@requires_tpu
+@pytest.mark.parametrize("block_rows", [32, 128])
+def test_mu_masked_compiled(block_rows):
+    from decomp_tpu.models.nmf import _update_d, _update_x
+    from decomp_tpu.ops import pallas_mu
+
+    y, x, d = _arrs(1, 128, 384, 128)
+    rng = np.random.default_rng(2)
+    mask = jnp.asarray(rng.random((128, 384)) > 0.3, jnp.float32)
+    my = mask * y
+    xn, dn = pallas_mu.mu_update_masked(my, mask, x, d, EPS,
+                                        block_rows=block_rows)
+    with jax.default_matmul_precision("highest"):
+        x_ref = _update_x(my, x, d, mask, EPS)
+        d_ref = _update_d(my, x_ref, d, mask, EPS)
+    assert _rel(xn, x_ref) < 1e-5
+    assert _rel(dn, d_ref) < 1e-5
+
+
+@requires_tpu
+@pytest.mark.parametrize("block_rows", [128, 512])
+def test_masked_grad_rows_compiled(block_rows):
+    from decomp_tpu.ops import pallas_lasso
+
+    rng = np.random.default_rng(3)
+    m, n, f = 1024, 256, 128
+    mask = jnp.asarray(rng.random((m, n)) > 0.3, jnp.float32)
+    my = mask * jnp.asarray(rng.normal(size=(m, n)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(m, f)), jnp.float32)
+    a = jnp.asarray(rng.normal(size=(f, n)), jnp.float32)
+    g = pallas_lasso.masked_grad_rows(my, mask, x, a,
+                                      block_rows=block_rows)
+    with jax.default_matmul_precision("highest"):
+        g_ref = (mask * (x @ a) - my) @ a.T
+    assert _rel(g, g_ref) < 1e-5
+
+
+@requires_tpu
+@pytest.mark.parametrize("block_rows", [128, 512])
+def test_masked_grad_dict_compiled(block_rows):
+    from decomp_tpu.ops import pallas_lasso
+
+    rng = np.random.default_rng(4)
+    m, n, k = 1024, 256, 128
+    mask = jnp.asarray(rng.random((m, n)) > 0.3, jnp.float32)
+    my = mask * jnp.asarray(rng.normal(size=(m, n)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(m, k)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(k, n)), jnp.float32)
+    g = pallas_lasso.masked_grad_dict(my, mask, x, d,
+                                      block_rows=block_rows)
+    with jax.default_matmul_precision("highest"):
+        g_ref = x.T @ (mask * (x @ d) - my)
+    assert _rel(g, g_ref) < 1e-5
+
+
+@requires_tpu
+def test_masked_lasso_solve_pallas_compiled():
+    """End-to-end compiled masked FISTA through the fused gradient kernel
+    matches the jnp path (lipschitz pinned so padding does not perturb the
+    power-iteration start vector)."""
+    import decomp_tpu
+
+    rng = np.random.default_rng(5)
+    m, n, f = 600, 200, 100  # ragged: exercises the padding fixed point
+    a = rng.normal(size=(f, n)).astype(np.float32)
+    y = rng.normal(size=(m, n)).astype(np.float32)
+    mask = (rng.random((m, n)) > 0.3).astype(np.float32)
+    lip = float(np.linalg.eigvalsh(a @ a.T).max() * 1.05)
+    ref = decomp_tpu.lasso.solve(y * mask, a, 0.05, mask=mask, tol=0.0,
+                                 maxiter=20, method="fista", lipschitz=lip,
+                                 use_pallas=False)
+    res = decomp_tpu.lasso.solve(y * mask, a, 0.05, mask=mask, tol=0.0,
+                                 maxiter=20, method="fista", lipschitz=lip,
+                                 use_pallas=True)
+    assert _rel(res.x, ref.x) < 1e-4
