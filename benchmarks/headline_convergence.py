@@ -5,18 +5,20 @@ The round-1 headline number ran tol=0 with 50 fixed iterations — fast,
 but not evidence of CONVERGING at that throughput. This script produces
 that evidence for the bf16/'default' operating point of bench.py:
 
-1. Objective curve at a quarter slice (100k x 10112 r128; the f32
+1. Objective curves at a quarter slice (100k x 10112 r128; the f32
    comparison needs y + the recorded reconstruction co-resident in HBM),
-   planted rank-128 data, shared init: bf16/'default' vs f32/'highest'.
-   Monotonicity and per-iteration agreement of the two curves show the
-   bf16 run computes the same descent, not noise.
-2. Plateau analysis of the bf16 curve: first iteration within 1% of the
-   final objective.
-3. Timed bf16 run at the FULL 400k x 10112 slice over exactly that
-   plateau span -> iters/sec and fraction of peak achieved by an
-   iteration count the curve shows converging.
-4. The measured bf16 rel-change(d) criterion floor (what tol= the
-   on-device stop can actually reach at this scale).
+   planted rank-128 data, shared init, three operating points:
+   bf16-stored factors (negative control — measured FROZEN: per-step
+   relative changes fall below bf16 resolution), the MIXED point
+   (bf16 data / f32 factors / bf16 MXU, = bench.py's operating point),
+   and f32/'highest' (exact reference). The mixed curve tracking
+   f32/'highest' is the convergence evidence for the headline number.
+2. Plateau analysis of the mixed curve: first iteration within 1% of
+   the final objective.
+3. Timed MIXED run at the FULL 400k x 10112 slice -> iters/sec and
+   fraction of peak at the converging operating point.
+4. The measured rel-change(d) criterion floor of the mixed point (what
+   tol= the on-device stop can actually reach: 1e-3 yes, 1e-4 no).
 5. f32/'highest' timed point at the quarter slice (its fraction of the
    bf16 peak — the f32 jnp path; the fused kernel's k x n residents
    exceed scoped VMEM at f32 x n=10112, see pallas_mu.fits_vmem).
@@ -78,12 +80,15 @@ def main():
     float(jnp.asarray(y32[:1, :1], jnp.float32).sum())
 
     curves = {}
-    for label, dt, prec in (("bf16_default", jnp.bfloat16, "default"),
-                            ("f32_highest", jnp.float32, "highest")):
+    for label, dt, prec, fdt in (
+            ("bf16_stored", jnp.bfloat16, "default", None),
+            ("mixed_f32_factors", jnp.bfloat16, "default", jnp.float32),
+            ("f32_highest", jnp.float32, "highest", None)):
         res = decomp_tpu.nmf.solve(
-            y32.astype(dt), d0.astype(dt), x=x0.astype(dt), tol=0.0,
+            y32.astype(dt), d0.astype(dt if fdt is None else fdt),
+            x=x0.astype(dt if fdt is None else fdt), tol=0.0,
             maxiter=CURVE_ITERS, eps=1e-9, precision=prec,
-            record_objective=True)
+            factor_dtype=fdt, record_objective=True)
         _force(res)
         curve = np.asarray(res.objective, np.float64)[:int(res.niter)]
         np.save(os.path.join(OUT_DIR, f"headline_{label}_curve.npy"), curve)
@@ -99,17 +104,18 @@ def main():
                 os.path.join(OUT_DIR, f"headline_{label}_curve.npy")),
         }))
 
-    agree = np.abs(curves["bf16_default"] / curves["f32_highest"] - 1.0)
-    print(json.dumps({
-        "stage": "bf16_vs_f32_curve_agreement",
-        "max_rel_diff": float(agree.max()),
-        "final_rel_diff": float(agree[-1]),
-    }))
+    for label in ("bf16_stored", "mixed_f32_factors"):
+        agree = np.abs(curves[label] / curves["f32_highest"] - 1.0)
+        print(json.dumps({
+            "stage": f"{label}_vs_f32_curve_agreement",
+            "max_rel_diff": float(agree.max()),
+            "final_rel_diff": float(agree[-1]),
+        }))
 
-    # ---- 2. plateau of the bf16 curve
-    c = curves["bf16_default"]
+    # ---- 2. plateau of the MIXED curve (the bench operating point)
+    c = curves["mixed_f32_factors"]
     plateau = int(np.argmax(c <= 1.01 * c[-1])) + 1
-    print(json.dumps({"stage": "bf16_plateau",
+    print(json.dumps({"stage": "mixed_plateau",
                       "iters_to_within_1pct_of_final": plateau,
                       "of_total_curve_iters": len(c)}))
 
@@ -121,35 +127,37 @@ def main():
     def run(seed):
         return decomp_tpu.nmf.solve(y, rank=K, tol=0.0, maxiter=plateau,
                                     eps=1e-6, random_seed=seed,
-                                    precision="default")
+                                    precision="default",
+                                    factor_dtype=jnp.float32)
 
     _force(run(3))
     best = min(_timeit(run, s) for s in (4, 5, 6))
     ips = plateau / best
     flops = flops_per_iter(M_FULL, N, K) * ips
     print(json.dumps({
-        "stage": "timed_bf16_full_plateau_span",
+        "stage": "timed_mixed_full_plateau_span",
         "shape": [M_FULL, N, K], "iters": plateau,
         "wall_s": round(best, 3),
         "iters_per_sec": round(ips, 2),
         "matmul_tflops": round(flops / 1e12, 2),
         "frac_of_peak": round(flops / peak, 4) if peak else None,
         "peak_basis": peak_label,
-        "evidence": "objective curve (stage 1) reaches within 1% of its "
+        "evidence": "the mixed curve (stage 1) reaches within 1% of its "
                     "final value inside this iteration span, "
-                    "monotonically, in agreement with f32/'highest'",
+                    "monotonically, tracking f32/'highest'",
     }))
 
-    # ---- 4. bf16 rel-change(d) criterion floor at the quarter slice
+    # ---- 4. mixed rel-change(d) criterion floor at the quarter slice
     del y
     y16 = _planted(jax.random.PRNGKey(0), M_QUARTER, jnp.bfloat16)
     float(jnp.asarray(y16[:1, :1], jnp.float32).sum())
-    for tol in (1e-4, 1e-3, 3e-3):
+    for tol in (1e-4, 1e-3):
         r = decomp_tpu.nmf.solve(y16, rank=K, tol=tol, maxiter=1000,
                                  eps=1e-6, random_seed=1,
-                                 precision="default")
+                                 precision="default",
+                                 factor_dtype=jnp.float32)
         _force(r)
-        print(json.dumps({"stage": "bf16_reldiff_floor", "tol": tol,
+        print(json.dumps({"stage": "mixed_reldiff_floor", "tol": tol,
                           "niter": int(r.niter),
                           "converged": bool(r.converged)}))
 

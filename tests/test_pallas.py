@@ -79,6 +79,57 @@ def test_solve_pallas_path_matches_jnp_path(masked):
 
 
 @pytest.mark.parametrize("block_rows", [32, 128])
+def test_kl_dense_kernel_matches_oracle(block_rows):
+    from decomp_tpu.models.nmf import _update_d_kl, _update_x_kl
+
+    y, x, d = _arrs(20, 256, 256, 128)
+    xn, dn = pallas_mu.kl_update_dense(y, x, d, EPS,
+                                       block_rows=block_rows,
+                                       interpret=True)
+    x_ref = _update_x_kl(y, x, d, None, EPS)
+    d_ref = _update_d_kl(y, x_ref, d, None, EPS)
+    assert rel_err(xn, x_ref) < 1e-5
+    assert rel_err(dn, d_ref) < 1e-5
+
+
+def test_kl_masked_kernel_matches_oracle():
+    from decomp_tpu.models.nmf import _update_d_kl, _update_x_kl
+
+    y, x, d = _arrs(21, 128, 384, 128)
+    rng = np.random.default_rng(22)
+    mask = jnp.asarray(rng.random((128, 384)) > 0.3, jnp.float32)
+    my = mask * y
+    xn, dn = pallas_mu.kl_update_masked(my, mask, x, d, EPS,
+                                        block_rows=32, interpret=True)
+    x_ref = _update_x_kl(my, x, d, mask, EPS)
+    d_ref = _update_d_kl(my, x_ref, d, mask, EPS)
+    assert rel_err(xn, x_ref) < 1e-5
+    assert rel_err(dn, d_ref) < 1e-5
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_kl_solve_pallas_path_matches_jnp_path(masked):
+    """End-to-end KL through the fused kernels (interpret, ragged shapes
+    exercising the padding fixed point) tracks the jnp path."""
+    y, *_ = planted_nmf(seed=23, n_samples=70, n_channels=50, rank=4)
+    y = y.astype(np.float32)
+    mask = random_mask(24, y.shape).astype(np.float32) if masked else None
+    rng = np.random.default_rng(25)
+    x0 = rng.uniform(0.1, 1.0, (70, 4)).astype(np.float32)
+    d0 = rng.uniform(0.1, 1.0, (4, 50)).astype(np.float32)
+    ref = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=15, mask=mask,
+                               method="kl-mu", record_objective=True)
+    res = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=15, mask=mask,
+                               method="kl-mu", use_pallas=True,
+                               pallas_block_rows=16, _pallas_interpret=True,
+                               record_objective=True)
+    assert rel_err(res.x, ref.x) < 1e-4
+    assert rel_err(res.d, ref.d) < 1e-4
+    np.testing.assert_allclose(np.asarray(res.objective),
+                               np.asarray(ref.objective), rtol=1e-3)
+
+
+@pytest.mark.parametrize("block_rows", [32, 128])
 def test_masked_grad_rows_matches_oracle(block_rows):
     from decomp_tpu.ops import pallas_lasso
 

@@ -100,6 +100,29 @@ def test_2d_sharded_kl_nmf_matches_single_device(mesh4x2, masked):
     assert rel_err(res.d, ref.d) < 1e-12
 
 
+@pytest.mark.parametrize("masked", [False, True])
+def test_sharded_mixed_precision_matches_single_device(mesh8, masked):
+    """factor_dtype=f32 over bf16 data under shard_map == single device."""
+    import jax.numpy as jnp
+
+    y, *_ = planted_nmf(seed=61, n_samples=64, n_channels=40, rank=4)
+    y = y.astype(jnp.bfloat16)
+    mask = (random_mask(62, (64, 40)).astype(jnp.bfloat16) if masked
+            else None)
+    rng = np.random.default_rng(63)
+    x0 = rng.uniform(0.1, 1.0, (64, 4)).astype(np.float32)
+    d0 = rng.uniform(0.1, 1.0, (4, 40)).astype(np.float32)
+    ref = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=25, mask=mask,
+                               factor_dtype=jnp.float32,
+                               precision="default")
+    res = parallel.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=25, mask=mask,
+                             factor_dtype=jnp.float32, precision="default",
+                             mesh=mesh8, use_pallas=False)
+    assert res.x.dtype == jnp.float32 and res.d.dtype == jnp.float32
+    assert rel_err(res.x, ref.x) < 1e-5
+    assert rel_err(res.d, ref.d) < 1e-5
+
+
 @pytest.mark.parametrize("method", ["ista", "fista", "acc_ista",
                                     "parallel_cd", "cd"])
 def test_sharded_lasso_matches_single_device(mesh8, method):

@@ -66,6 +66,57 @@ def test_mu_masked_compiled(block_rows):
 
 
 @requires_tpu
+@pytest.mark.parametrize("block_rows", [32, 128])
+def test_kl_dense_compiled(block_rows):
+    from decomp_tpu.models.nmf import _update_d_kl, _update_x_kl
+    from decomp_tpu.ops import pallas_mu
+
+    y, x, d = _arrs(20, 256, 256, 128)
+    xn, dn = pallas_mu.kl_update_dense(y, x, d, EPS, block_rows=block_rows)
+    with jax.default_matmul_precision("highest"):
+        x_ref = _update_x_kl(y, x, d, None, EPS)
+        d_ref = _update_d_kl(y, x_ref, d, None, EPS)
+    assert _rel(xn, x_ref) < 1e-5
+    assert _rel(dn, d_ref) < 1e-5
+
+
+@requires_tpu
+def test_kl_masked_compiled():
+    from decomp_tpu.models.nmf import _update_d_kl, _update_x_kl
+    from decomp_tpu.ops import pallas_mu
+
+    y, x, d = _arrs(21, 128, 384, 128)
+    rng = np.random.default_rng(22)
+    mask = jnp.asarray(rng.random((128, 384)) > 0.3, jnp.float32)
+    my = mask * y
+    xn, dn = pallas_mu.kl_update_masked(my, mask, x, d, EPS, block_rows=32)
+    with jax.default_matmul_precision("highest"):
+        x_ref = _update_x_kl(my, x, d, mask, EPS)
+        d_ref = _update_d_kl(my, x_ref, d, mask, EPS)
+    assert _rel(xn, x_ref) < 1e-5
+    assert _rel(dn, d_ref) < 1e-5
+
+
+@requires_tpu
+def test_mixed_precision_mu_compiled():
+    """Mixed mode (bf16 data / f32 factors) through the compiled dense
+    kernel: dtype contract + agreement with the jnp mixed path."""
+    import decomp_tpu
+
+    rng = np.random.default_rng(23)
+    y = jnp.asarray(rng.uniform(0.1, 1, (512, 256)), jnp.bfloat16)
+    x0 = rng.uniform(0.1, 1.0, (512, 128)).astype(np.float32)
+    d0 = rng.uniform(0.1, 1.0, (128, 256)).astype(np.float32)
+    kw = dict(x=x0, tol=0.0, maxiter=10, factor_dtype=jnp.float32,
+              precision="default")
+    ref = decomp_tpu.nmf.solve(y, d0, use_pallas=False, **kw)
+    res = decomp_tpu.nmf.solve(y, d0, use_pallas=True, **kw)
+    assert res.x.dtype == jnp.float32 and res.d.dtype == jnp.float32
+    assert _rel(res.x, ref.x) < 2e-2
+    assert _rel(res.d, ref.d) < 2e-2
+
+
+@requires_tpu
 @pytest.mark.parametrize("block_rows", [128, 512])
 def test_masked_grad_rows_compiled(block_rows):
     from decomp_tpu.ops import pallas_lasso
