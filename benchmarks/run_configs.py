@@ -259,8 +259,11 @@ def config5_sharded_nmf(small):
     key = jax.random.PRNGKey(5)
     y = jax.random.uniform(key, (m, n), dtype=dtype)
     y = parallel.shard_rows(y, mesh)
+    # bf16 data + f32 factors: the converging operating point (see
+    # benchmarks/headline_convergence.py and BASELINE.md).
     kw = dict(rank=k, mesh=mesh, tol=0.0, maxiter=30, random_seed=6,
-              precision="default" if dtype == jnp.bfloat16 else "highest")
+              precision="default" if dtype == jnp.bfloat16 else "highest",
+              factor_dtype=jnp.float32 if dtype == jnp.bfloat16 else None)
     res, t = _best_of(lambda: parallel.nmf.solve(y, **kw))
     niter = int(res.niter)
     flops = (4.0 * m * n * k + 4.0 * m * k * k) * niter

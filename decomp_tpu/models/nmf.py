@@ -517,13 +517,18 @@ def _update_x_mixed(my, x, d, mask, eps, psum_cols=_identity):
 
 
 def _update_d_mixed(my, x, d, mask, eps, psum_rows=_identity):
-    """Mixed-precision MU d update; see _update_x_mixed."""
+    """Mixed-precision MU d update; see _update_x_mixed. The K x K @ K x N
+    epilogue runs exact f32 (negligible FLOPs; matches the Pallas
+    kernel's epilogue and the streaming path's f32 statistics)."""
     cdt = my.dtype
     xb = x.astype(cdt)
     num = psum_rows(_mixed_dot(xb, my, ((0,), (0,))))
     if mask is None:
         gram = psum_rows(_mixed_dot(xb, xb, ((0,), (0,))))
-        den = _mixed_dot(gram.astype(cdt), d.astype(cdt), ((1,), (0,)))
+        den = jax.lax.dot_general(
+            gram, d.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
     else:
         recon = _mixed_dot(xb, d.astype(cdt), ((1,), (0,)))
         recon_m = (mask.astype(jnp.float32) * recon).astype(cdt)

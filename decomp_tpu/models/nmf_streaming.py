@@ -24,6 +24,7 @@ import numpy as np
 from decomp_tpu.models.nmf import (
     _update_x,
     _update_x_kl,
+    _update_x_mixed,
 )
 from decomp_tpu.utils import assertion
 from decomp_tpu.utils.exceptions import DecompError
@@ -44,6 +45,7 @@ def solve_streaming(
     random_seed: int = 0,
     eps: float = 1e-15,
     precision: str = "highest",
+    factor_dtype=None,
     callback: Optional[Callable] = None,
 ) -> NMFResult:
     """Out-of-core ``y ≈ x @ d`` with nonnegative factors.
@@ -56,6 +58,9 @@ def solve_streaming(
         host (numpy) array.
     chunk_rows : rows per device pass. Pick so that
         chunk_rows * n_channels * itemsize fits comfortably in HBM.
+    factor_dtype : as in ``nmf.solve`` — keep the x/d iterates in this
+        wider dtype (e.g. f32 over streamed bf16 chunks) while the MXU
+        contracts in y's dtype; method='mu' only.
     callback : optional ``callback(it, diff)`` called once per outer
         iteration (host-side observability hook; replaces
         record_objective, which would need a second data pass).
@@ -71,6 +76,18 @@ def solve_streaming(
         from decomp_tpu.utils.exceptions import DtypeError
         raise DtypeError("y must be real-valued for NMF")
     n_samples, n_channels = y.shape
+    if factor_dtype is not None:
+        factor_dtype = jnp.dtype(factor_dtype)
+        if factor_dtype == y.dtype:
+            factor_dtype = None
+    if factor_dtype is not None:
+        if method != "mu":
+            raise DecompError("factor_dtype currently supports "
+                              "method='mu' only")
+        if jnp.finfo(factor_dtype).bits < jnp.finfo(jnp.dtype(y.dtype)).bits:
+            raise DecompError("factor_dtype must be at least as wide as "
+                              "y's dtype")
+    fdt = y.dtype if factor_dtype is None else factor_dtype
     if d is None and rank is None:
         raise DecompError("provide an initial dictionary `d` or a `rank`")
     rng = np.random.default_rng(random_seed)
@@ -90,14 +107,14 @@ def solve_streaming(
 
     if d is None:
         scale = _init_scale(rank)
-        d = (scale * rng.uniform(size=(rank, n_channels))).astype(y.dtype)
-    d = jnp.asarray(d)
+        d = (scale * rng.uniform(size=(rank, n_channels))).astype(fdt)
+    d = jnp.asarray(d, fdt)
     rank = d.shape[0]
     if x is None:
         scale = _init_scale(rank)
-        x = (scale * rng.uniform(size=(n_samples, rank))).astype(y.dtype)
+        x = (scale * rng.uniform(size=(n_samples, rank))).astype(fdt)
     else:
-        x = np.array(x, dtype=y.dtype, copy=True)
+        x = np.array(x, dtype=fdt, copy=True)
         assertion.assert_axis_size("x", x, 0, n_samples, "n_samples")
         assertion.assert_axis_size("x", x, 1, rank, "rank")
     if mask is not None:
@@ -131,12 +148,14 @@ def solve_streaming(
                 xc = jnp.asarray(x[lo:hi])
                 xc, num_c, den_c = _chunk_step(
                     yc, xc, d, mc, eps_f, method=method,
-                    masked=mask is not None)
+                    masked=mask is not None,
+                    mixed=factor_dtype is not None)
                 x[lo:hi] = np.asarray(xc)
                 num = num + num_c
                 den = den + den_c
             d = _d_from_stats(d, num, den, eps_f, method=method,
-                              masked=mask is not None)
+                              masked=mask is not None,
+                              mixed=factor_dtype is not None)
             # One scalar sync per outer iteration (not per chunk).
             diff = float(_rel_diff(d_old, d))
             niter = it
@@ -153,8 +172,9 @@ def solve_streaming(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("method", "masked"))
-def _chunk_step(yc, xc, d, mc, eps, *, method, masked):
+@functools.partial(jax.jit,
+                   static_argnames=("method", "masked", "mixed"))
+def _chunk_step(yc, xc, d, mc, eps, *, method, masked, mixed=False):
     """x update for one row chunk + its d-update statistic contributions.
 
     For 'mu':    num += x_new.T @ (mask*y);
@@ -162,21 +182,31 @@ def _chunk_step(yc, xc, d, mc, eps, *, method, masked):
                      or x_new.T @ (mask*(x_new @ d)) (masked, K x N)
     For 'kl-mu': num += x_new.T @ (mask*y / (x_new @ d + eps));
                  den += column-sum/mask statistics (K x N broadcastable)
+    mixed: factor iterates are wider than the data — MXU operands cast to
+    the data's dtype (see models.nmf._update_x_mixed).
     """
-    eps = jnp.asarray(eps, yc.dtype)
     acc_dt = jnp.promote_types(jnp.float32, yc.dtype)
+    eps = jnp.asarray(eps, acc_dt if mixed else yc.dtype)
     myc = yc if mc is None else mc * yc
-    upd = _update_x if method == "mu" else _update_x_kl
+    if mixed:
+        upd = _update_x_mixed
+    else:
+        upd = _update_x if method == "mu" else _update_x_kl
     xc = upd(myc, xc, d, mc, eps)
+    cdt = yc.dtype
+    xc_c = xc.astype(cdt)
     if method == "mu":
-        num = jax.lax.dot_general(xc, myc, (((0,), (0,)), ((), ())),
+        num = jax.lax.dot_general(xc_c, myc, (((0,), (0,)), ((), ())),
                                   preferred_element_type=acc_dt)
         if not masked:
-            den = jax.lax.dot_general(xc, xc, (((0,), (0,)), ((), ())),
+            den = jax.lax.dot_general(xc_c, xc_c, (((0,), (0,)), ((), ())),
                                       preferred_element_type=acc_dt)
         else:
-            recon = mc * (xc @ d)
-            den = jax.lax.dot_general(xc, recon, (((0,), (0,)), ((), ())),
+            recon = (mc.astype(acc_dt)
+                     * jax.lax.dot_general(
+                         xc_c, d.astype(cdt), (((1,), (0,)), ((), ())),
+                         preferred_element_type=acc_dt)).astype(cdt)
+            den = jax.lax.dot_general(xc_c, recon, (((0,), (0,)), ((), ())),
                                       preferred_element_type=acc_dt)
     else:
         r = xc @ d + eps
@@ -192,13 +222,20 @@ def _chunk_step(yc, xc, d, mc, eps, *, method, masked):
     return xc, num, den
 
 
-@functools.partial(jax.jit, static_argnames=("method", "masked"))
-def _d_from_stats(d, num, den, eps, *, method, masked):
+@functools.partial(jax.jit, static_argnames=("method", "masked", "mixed"))
+def _d_from_stats(d, num, den, eps, *, method, masked, mixed=False):
     acc_dt = num.dtype
     eps = jnp.asarray(eps, acc_dt)
     d_acc = d.astype(acc_dt)
     if method == "mu" and not masked:
-        den_full = den @ d_acc        # (K,K) Gram @ d
+        if mixed:
+            # exact-f32 epilogue, matching _update_d_mixed / the kernels
+            den_full = jax.lax.dot_general(
+                den, d_acc, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=acc_dt)
+        else:
+            den_full = den @ d_acc    # (K,K) Gram @ d, ambient precision
     else:
         den_full = den
     return (d_acc * num / (den_full + eps)).astype(d.dtype)

@@ -39,6 +39,9 @@ def solve(
     record_objective: bool = False,
     precision: str = "highest",
     per_problem: bool = False,
+    use_pallas="auto",
+    pallas_block_rows=None,
+    _pallas_interpret: bool = False,
 ) -> LassoResult:
     """Row-sharded ``decomp_tpu.lasso.solve`` over ``mesh[axis]``.
 
@@ -51,6 +54,12 @@ def solve(
     independently (device-locally); only the all-rows-done stopping
     decision is allreduced. ``niter``/``converged`` come back as global
     (n_samples,) row-sharded arrays.
+
+    use_pallas: as in the single-device solver (MASKED problems, gradient
+    methods) — each device runs the fused masked-gradient kernel on its
+    local row block; the iteration is fully row-local so nothing about
+    the collective structure changes. Local blocks are zero-padded to the
+    kernel alignment inside the shard_map body and sliced back.
     """
     y = jnp.asarray(y)
     a = jnp.asarray(a)
@@ -93,22 +102,55 @@ def solve(
         mask = jnp.asarray(mask, rdt)
     lip = None if lipschitz is None else jnp.asarray(lipschitz, rdt)
 
+    from decomp_tpu.ops import pallas_lasso
+
+    grad_methods = ("ista", "fista", "acc_ista", "parallel_cd")
+    is_complex = jnp.issubdtype(dtype, jnp.complexfloating)
+    n_dev_rows = mesh.shape[axis]
+    if use_pallas == "auto":
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and mask is not None
+            and method in grad_methods
+            and not is_complex
+            and (y.shape[0] // n_dev_rows) * y.shape[1] >= (1 << 20)
+            and pallas_lasso.auto_wins(-(-y.shape[1] // 128) * 128,
+                                       -(-a.shape[0] // 128) * 128,
+                                       dtype.itemsize)
+        )
+    use_pallas = bool(use_pallas)
+    if use_pallas:
+        if mask is None:
+            raise DecompError("use_pallas=True applies to masked problems "
+                              "only")
+        if method not in grad_methods:
+            raise DecompError("use_pallas=True requires a gradient method "
+                              f"{grad_methods}, got {method!r}")
+        if is_complex:
+            raise DecompError("use_pallas=True does not support complex "
+                              "dtypes")
+
     with jax.default_matmul_precision(precision):
         return _solve_sharded(
             y, a, alpha, x, mask, lip, jnp.asarray(tol, rdt),
             method=method, maxiter=int(maxiter), mesh=mesh, axis=axis,
             record_objective=bool(record_objective),
-            per_problem=bool(per_problem),
+            per_problem=bool(per_problem), use_pallas=use_pallas,
+            pallas_block_rows=pallas_block_rows,
+            pallas_interpret=bool(_pallas_interpret),
         )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("method", "maxiter", "mesh", "axis",
-                     "record_objective", "per_problem"),
+                     "record_objective", "per_problem", "use_pallas",
+                     "pallas_block_rows", "pallas_interpret"),
 )
 def _solve_sharded(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
-                   mesh, axis, record_objective, per_problem=False):
+                   mesh, axis, record_objective, per_problem=False,
+                   use_pallas=False, pallas_block_rows=None,
+                   pallas_interpret=False):
     row_spec = P(axis, None)
     # alpha may be scalar, per-feature (n_feat,) -> replicated, or
     # per-sample 2D -> row-sharded alongside x.
@@ -116,29 +158,66 @@ def _solve_sharded(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
                   else P(None) if alpha.ndim == 1 else P())
 
     def body(y_l, a_r, alpha_, x_l, mask_l, lip_, tol_):
+        dtype = jnp.result_type(y_l, a_r)
+        m_l, n_l = y_l.shape
+        f_l = a_r.shape[0]
+        br = None
+        if use_pallas:
+            # Per-device padding to the kernel alignment (zero padding is
+            # a fixed point of the iteration; see models.lasso).
+            from decomp_tpu.ops import pallas_lasso as _pl
+
+            n_pad = -(-n_l // 128) * 128
+            f_pad = -(-f_l // 128) * 128
+            br = pallas_block_rows or _pl.default_block_rows(
+                n_pad, f_pad, dtype.itemsize)
+            br = min(br, -(-m_l // 8) * 8)
+            m_pad = -(-m_l // br) * br
+
+            def pad2(arr, rows, cols):
+                return jnp.pad(arr, ((0, rows - arr.shape[0]),
+                                     (0, cols - arr.shape[1])))
+
+            y_l = pad2(y_l, m_pad, n_pad)
+            mask_l = pad2(mask_l, m_pad, n_pad)
+            a_r = pad2(a_r, f_pad, n_pad)
+            if x_l is not None:
+                x_l = pad2(x_l, m_pad, f_pad)
+            if alpha_.ndim == 1:
+                alpha_ = jnp.pad(alpha_, (0, f_pad - alpha_.shape[0]))
+            elif alpha_.ndim == 2:
+                alpha_ = pad2(alpha_, m_pad, f_pad)
         if x_l is None:
             # A plain zeros init would be device-UNvarying, but the
             # while_loop carry becomes row-varying after one step and
             # shard_map requires carry types to be loop-invariant: mark the
             # init as varying over the row axis up front.
             x_l = jax.lax.pcast(
-                jnp.zeros((y_l.shape[0], a_r.shape[0]),
-                          jnp.result_type(y_l, a_r)),
+                jnp.zeros((y_l.shape[0], a_r.shape[0]), dtype),
                 axis, to="varying")
         step, init, diff_fn, obj_fn = _lasso.build_solver(
             y_l, a_r, alpha_, x_l, mask_l, lip_, method=method,
             reduce_sum=functools.partial(jax.lax.psum, axis_name=axis),
             per_problem=per_problem, tol=tol_,
             vary_rows=lambda v: jax.lax.pcast(v, axis, to="varying"),
+            use_pallas=use_pallas, pallas_block_rows=br,
+            pallas_interpret=pallas_interpret,
+            pallas_vma=frozenset({axis}) if use_pallas else None,
         )
         res = run_iterations(
             step, init, tol=tol_, maxiter=maxiter, diff_fn=diff_fn,
             objective_fn=obj_fn, record_objective=record_objective,
         )
+        x_out = res.state[0]
+        if use_pallas:  # slice the alignment padding back off
+            x_out = x_out[:m_l, :f_l]
         if per_problem:
             # Per-row niter/converged are device-local row blocks.
-            return res.state[0], res.state[-1], res.state[-2], res.objective
-        return res.state[0], res.niter, res.converged, res.objective
+            nit, conv = res.state[-1], res.state[-2]
+            if use_pallas:
+                nit, conv = nit[:m_l], conv[:m_l]
+            return x_out, nit, conv, res.objective
+        return x_out, res.niter, res.converged, res.objective
 
     in_specs = (row_spec, P(None, None), alpha_spec,
                 None if x is None else row_spec,
@@ -147,8 +226,11 @@ def _solve_sharded(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
                 P())
     counts_spec = P(axis) if per_problem else P()
     out_specs = (row_spec, counts_spec, counts_spec, P())
+    # check_vma off for the Pallas branch: the varying-manual-axes checker
+    # cannot propagate vma through pallas_call internals (see parallel.nmf).
     x_g, niter, converged, objective = jax.shard_map(
         body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=not use_pallas,
     )(y, a, alpha, x, mask, lipschitz, tol)
     return LassoResult(x=x_g, niter=niter, converged=converged,
                        objective=objective)

@@ -31,6 +31,37 @@ def test_streamed_matches_full_batch(method, masked):
     assert isinstance(stream.x, np.ndarray)  # host-side factor
 
 
+@pytest.mark.parametrize("masked", [False, True])
+def test_streamed_mixed_precision_matches_in_core(masked):
+    """factor_dtype=f32 over streamed bf16 chunks == the in-core mixed
+    solve (chunking stays exact in mixed mode: the x update is row-local
+    and the f32 statistics accumulate identically)."""
+    import jax.numpy as jnp
+
+    y, *_ = planted_nmf(seed=50, n_samples=83, n_channels=30, rank=4)
+    y16 = np.asarray(y, np.float32).astype(jnp.bfloat16)
+    mask = (random_mask(51, y.shape).astype(jnp.bfloat16) if masked
+            else None)
+    x0, d0 = _init(52, 83, 30, 4)
+    x0, d0 = x0.astype(np.float32), d0.astype(np.float32)
+    full = decomp_tpu.nmf.solve(y16, d0, x=x0, tol=0.0, maxiter=25,
+                                mask=mask, factor_dtype=jnp.float32,
+                                precision="default")
+    stream = decomp_tpu.nmf.solve_streaming(
+        np.asarray(y16), d0, x=x0, tol=0.0, maxiter=25,
+        mask=None if mask is None else np.asarray(mask),
+        factor_dtype=jnp.float32, precision="default", chunk_rows=17)
+    assert stream.x.dtype == np.float32
+    assert stream.d.dtype == jnp.float32
+    # Chunked f32 statistic sums differ from the in-core dot by reduction
+    # order (~1e-7/iter); in mixed mode that noise crosses bf16 rounding
+    # boundaries on the quantised operands and amplifies — measured ~1e-3
+    # after 25 iterations. Both are equally valid quantised trajectories;
+    # single-iteration agreement is at reduction-order level (~1e-7).
+    assert rel_err(stream.d, full.d) < 5e-3
+    assert rel_err(stream.x, full.x) < 5e-3
+
+
 def test_streamed_convergence_and_callback():
     y, *_ = planted_nmf(seed=43, n_samples=64, n_channels=40, rank=4)
     x0, d0 = _init(44, 64, 40, 4)

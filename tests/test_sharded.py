@@ -157,6 +157,30 @@ def test_sharded_lasso_per_problem_matches_single_device(mesh8, method):
     assert rel_err(res.x, ref.x) < 1e-12
 
 
+@pytest.mark.parametrize("per_problem", [False, True])
+def test_sharded_masked_lasso_pallas_matches_jnp(mesh8, per_problem):
+    """The fused masked-gradient kernel under shard_map (interpret mode,
+    ragged local shapes exercising per-device padding) tracks the sharded
+    jnp path."""
+    rng = np.random.default_rng(71)
+    m, n, f = 48, 72, 40
+    a = rng.normal(size=(f, n)).astype(np.float32)
+    y = rng.normal(size=(m, n)).astype(np.float32)
+    mask = (rng.random((m, n)) > 0.3).astype(np.float32)
+    lip = float(np.linalg.eigvalsh(a @ a.T).max() * 1.05)
+    kw = dict(mask=mask, tol=1e-5, maxiter=2000, method="fista",
+              lipschitz=lip, mesh=mesh8, per_problem=per_problem)
+    ref = parallel.lasso.solve(y * mask, a, 0.05, use_pallas=False, **kw)
+    res = parallel.lasso.solve(y * mask, a, 0.05, use_pallas=True,
+                               pallas_block_rows=8, _pallas_interpret=True,
+                               **kw)
+    assert rel_err(res.x, ref.x) < 1e-5
+    if per_problem:
+        assert np.asarray(res.niter).shape == (m,)
+        np.testing.assert_array_equal(np.asarray(res.niter),
+                                      np.asarray(ref.niter))
+
+
 def test_sharded_lasso_masked_and_early_stop(mesh8):
     y, a, _ = planted_lasso(seed=14, n_samples=16)
     mask = random_mask(15, y.shape)
