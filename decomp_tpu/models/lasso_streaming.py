@@ -36,6 +36,7 @@ def solve_streaming(
     mask=None,
     chunk_rows: int = 65536,
     precision: str = "highest",
+    per_problem: bool = False,
 ) -> LassoResult:
     """Out-of-core ``decomp_tpu.lasso.solve`` over host-resident ``y``.
 
@@ -43,7 +44,11 @@ def solve_streaming(
     arrays (ndarray/memmap) streamed in ``chunk_rows`` row blocks; the
     returned ``x`` is a host numpy array. ``niter`` is the maximum chunk
     iteration count; ``converged`` is True only if every chunk converged.
-    Complex inputs follow lasso.solve's complex_split handling per chunk.
+    With ``per_problem=True`` each chunk solves per-row and the returned
+    ``niter``/``converged`` are host arrays of shape (n_samples,) —
+    identical to the in-core per-problem semantics, since rows are
+    independent. Complex inputs follow lasso.solve's complex_split
+    handling per chunk.
     """
     y = np.asarray(y)
     a_np = np.asarray(a)
@@ -83,6 +88,9 @@ def solve_streaming(
     out = np.empty((n, a_np.shape[0]),
                    dtype=np.result_type(y.dtype, a_np.dtype))
     niter_max, all_converged = 0, True
+    if per_problem:
+        niter_rows = np.zeros((n,), np.int32)
+        conv_rows = np.zeros((n,), bool)
     for lo in range(0, n, chunk_rows):
         hi = min(lo + chunk_rows, n)
         res = _lasso.solve(
@@ -91,11 +99,18 @@ def solve_streaming(
             None if x is None else x[lo:hi],
             tol=tol, maxiter=maxiter, method=method,
             mask=None if mask is None else mask[lo:hi],
-            lipschitz=lip, precision=precision)
+            lipschitz=lip, precision=precision, per_problem=per_problem)
         out[lo:hi] = np.asarray(res.x)
-        niter_max = max(niter_max, int(res.niter))
-        all_converged = all_converged and bool(res.converged)
+        if per_problem:
+            niter_rows[lo:hi] = np.asarray(res.niter)
+            conv_rows[lo:hi] = np.asarray(res.converged)
+        else:
+            niter_max = max(niter_max, int(res.niter))
+            all_converged = all_converged and bool(res.converged)
 
+    if per_problem:
+        return LassoResult(x=out, niter=niter_rows, converged=conv_rows,
+                           objective=jnp.zeros((0,), jnp.float32))
     return LassoResult(
         x=out, niter=jnp.asarray(niter_max, jnp.int32),
         converged=jnp.asarray(all_converged),

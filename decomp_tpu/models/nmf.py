@@ -173,9 +173,14 @@ def solve(
         # headline width n~10k does NOT; measured envelope in pallas_mu).
         from decomp_tpu.ops import pallas_mu as _pmu
 
-        # KL keeps TWO k x n f32 residents even when dense (numerator
-        # accumulator + output), like the masked MU kernel.
-        kl_like = method == "kl-mu" or mask is not None
+        # KL and HALS keep TWO k x n f32 residents even when dense (stat
+        # accumulator + output), like the masked MU kernel. HALS is NOT
+        # auto-enabled: its sequential component loop must address columns
+        # with one-hot masks inside Mosaic (no dynamic_slice on values),
+        # and that VPU cost measurably loses to XLA's composition (22.2 vs
+        # 6.9 ms/iter at 100k x 1k r128 f32) — explicit use_pallas=True
+        # still opts in.
+        kl_like = method in ("kl-mu", "hals") or mask is not None
         use_pallas = (
             jax.default_backend() == "tpu"
             and minibatch is None
@@ -190,11 +195,12 @@ def solve(
     use_pallas = bool(use_pallas)
     if use_pallas and minibatch is not None:
         raise DecompError("use_pallas=True is incompatible with minibatch")
-    if use_pallas and method not in ("mu", "kl-mu"):
-        raise DecompError("use_pallas=True supports methods 'mu'/'kl-mu'")
-    if use_pallas and method == "kl-mu" and factor_dtype is not None:
-        raise DecompError("use_pallas=True with method='kl-mu' does not "
-                          "support factor_dtype")
+    if use_pallas and method not in ("mu", "kl-mu", "hals"):
+        raise DecompError("use_pallas=True supports methods "
+                          "'mu'/'kl-mu'/'hals'")
+    if use_pallas and method != "mu" and factor_dtype is not None:
+        raise DecompError(f"use_pallas=True with method={method!r} does "
+                          "not support factor_dtype")
     if use_pallas and int(inner_iter) != 1:
         raise DecompError("use_pallas=True does not support inner_iter > 1 "
                           "(the fused kernel computes one x update per "
@@ -380,7 +386,7 @@ def _solve_pallas(my, d, x, mask, tol, eps, *, maxiter, method="mu",
     if block_rows is None:
         block_rows = pallas_mu.default_block_rows(
             n_pad, k_pad, my.dtype.itemsize,
-            mask is not None or method == "kl-mu")
+            mask is not None or method in ("kl-mu", "hals"))
     block_rows = min(block_rows, -(-m // 8) * 8)
     m_pad = -(-m // block_rows) * block_rows
 
@@ -394,7 +400,14 @@ def _solve_pallas(my, d, x, mask, tol, eps, *, maxiter, method="mu",
     # compute-dtype copy of d to the kernel, update the full-precision
     # master in the epilogue. Same-dtype solves hit no-op casts.
     cdt = my_p.dtype
-    if method == "kl-mu":
+    if method == "hals":
+        def step(state, it):
+            del it
+            x_, d_ = state
+            x_new, gram, e = pallas_mu.hals_x_update(
+                my_p, x_, d_, block_rows=block_rows, interpret=interpret)
+            return (x_new, _hals_d_pass(gram, e, d_))
+    elif method == "kl-mu":
         if mask is None:
             def step(state, it):
                 del it
@@ -604,9 +617,18 @@ def _update_d_hals(my, x, d, mask, eps, psum_rows=_identity):
     ``psum_rows`` allreduces the sufficient statistics under row sharding.
     """
     del mask
-    rdt = real_dtype(d.dtype)
     c = psum_rows(x.T @ x)           # (K, K)
     e = psum_rows(x.T @ my)          # (K, N)
+    return _hals_d_pass(c, e, d)
+
+
+def _hals_d_pass(c, e, d):
+    """The component sweep of the d-HALS update from precomputed
+    sufficient statistics C = x^T x, E = x^T my (also fed by the fused
+    Pallas x-pass, which accumulates them in its single data pass)."""
+    rdt = real_dtype(d.dtype)
+    c = c.astype(rdt)
+    e = e.astype(d.dtype)
     floor = jnp.asarray(jnp.finfo(rdt).eps, rdt) * jnp.maximum(
         jnp.trace(c), jnp.asarray(jnp.finfo(rdt).tiny, rdt))
 

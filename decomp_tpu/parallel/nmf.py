@@ -28,6 +28,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from decomp_tpu.ops import pallas_mu
 
 from decomp_tpu.models.nmf import (
+    _hals_d_pass,
     _init_factors,
     _kl_objective,
     _update_d,
@@ -149,19 +150,28 @@ def solve(
         mask = jnp.asarray(mask, y.dtype)
 
     if use_pallas == "auto":
+        # HALS excluded from auto: measured slower than the XLA
+        # composition (see models.nmf); explicit opt-in remains.
+        kl_like = method in ("kl-mu", "hals") or mask is not None
         use_pallas = (
             jax.default_backend() == "tpu"
-            and method == "mu"
+            and method in ("mu", "kl-mu")
             and col_axis is None
+            and (method == "mu" or factor_dtype is None)
             and (n_samples // n_rows) * n_channels >= (1 << 20)
             and pallas_mu.fits_vmem(-(-n_channels // 128) * 128,
                                     -(-rank // 128) * 128,
-                                    y.dtype.itemsize, mask is not None)
+                                    y.dtype.itemsize, kl_like)
         )
     use_pallas = bool(use_pallas)
-    if use_pallas and (method != "mu" or col_axis is not None):
-        raise DecompError("use_pallas=True requires method='mu' and "
-                          "col_axis=None (row-only sharding)")
+    if use_pallas and (method not in ("mu", "kl-mu", "hals")
+                       or col_axis is not None):
+        raise DecompError("use_pallas=True requires method "
+                          "'mu'/'kl-mu'/'hals' and col_axis=None "
+                          "(row-only sharding)")
+    if use_pallas and method != "mu" and factor_dtype is not None:
+        raise DecompError(f"use_pallas=True with method={method!r} does "
+                          "not support factor_dtype")
 
     seed = jnp.asarray(random_seed, jnp.uint32)
     with jax.default_matmul_precision(precision):
@@ -240,7 +250,8 @@ def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter,
             n_pad = -(-n_l // 128) * 128
             k_pad = -(-rank // 128) * 128
             br = pallas_block_rows or pallas_mu.default_block_rows(
-                n_pad, k_pad, my_l.dtype.itemsize, mask_l is not None)
+                n_pad, k_pad, my_l.dtype.itemsize,
+                mask_l is not None or method in ("kl-mu", "hals"))
             br = min(br, -(-m_l // 8) * 8)
             m_pad = -(-m_l // br) * br
             my_l = jnp.pad(my_l, ((0, m_pad - m_l), (0, n_pad - n_l)))
@@ -252,7 +263,30 @@ def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter,
 
             vma = frozenset({row_axis})
             cdt = my_l.dtype
-            if mask_l is None:
+            if method == "hals":
+                def step(state, it):
+                    del it
+                    x_, d_ = state
+                    x_new, gram, e = pallas_mu.hals_x_update(
+                        my_l, x_, d_, block_rows=br,
+                        interpret=pallas_interpret, psum=psum_r, vma=vma)
+                    return (x_new, _hals_d_pass(gram, e, d_))
+            elif method == "kl-mu":
+                if mask_l is None:
+                    def step(state, it):
+                        del it
+                        return pallas_mu.kl_update_dense(
+                            my_l, state[0], state[1], eps, block_rows=br,
+                            interpret=pallas_interpret, psum=psum_r,
+                            vma=vma)
+                else:
+                    def step(state, it):
+                        del it
+                        return pallas_mu.kl_update_masked(
+                            my_l, mask_l, state[0], state[1], eps,
+                            block_rows=br, interpret=pallas_interpret,
+                            psum=psum_r, vma=vma)
+            elif mask_l is None:
                 def step(state, it):
                     del it
                     x_, d_ = state

@@ -96,6 +96,28 @@ def test_streamed_lasso_matches_full_batch():
     assert rel_err(stream.x, full.x) < 1e-12
 
 
+def test_streamed_lasso_per_problem_and_per_sample_alpha():
+    """Per-problem convergence and 2-D per-sample alpha both slice
+    correctly across chunk boundaries (alpha slicing: ADVICE round 1)."""
+    rng = np.random.default_rng(55)
+    a = rng.normal(size=(16, 48))
+    y = rng.normal(size=(37, 48)) * (10.0 ** rng.uniform(-1, 1, (37, 1)))
+    alpha2d = np.full((37, 16), 0.05)
+    alpha2d[5:9] = 0.5  # heavier rows
+    full = decomp_tpu.lasso.solve(y, a, alpha2d, tol=1e-6, maxiter=3000,
+                                  per_problem=True)
+    stream = decomp_tpu.lasso.solve_streaming(
+        y, a, alpha2d, tol=1e-6, maxiter=3000, chunk_rows=10,
+        per_problem=True)
+    np.testing.assert_array_equal(np.asarray(stream.niter),
+                                  np.asarray(full.niter))
+    np.testing.assert_array_equal(np.asarray(stream.converged),
+                                  np.asarray(full.converged))
+    np.testing.assert_allclose(np.asarray(stream.x), np.asarray(full.x),
+                               rtol=0, atol=1e-12)
+    assert np.asarray(stream.niter).shape == (37,)
+
+
 def test_streamed_lasso_masked_and_complex():
     from problems import planted_lasso
     y, a, _ = planted_lasso(seed=47, n_samples=21, complex_=True)

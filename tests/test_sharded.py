@@ -193,6 +193,27 @@ def test_sharded_lasso_masked_and_early_stop(mesh8):
     assert rel_err(res.x, ref.x) < 1e-10
 
 
+@pytest.mark.parametrize("method,masked", [("kl-mu", False),
+                                           ("kl-mu", True),
+                                           ("hals", False)])
+def test_row_sharded_pallas_kl_hals_matches_jnp(mesh8, method, masked):
+    """Sharded KL / HALS through the per-device fused kernels (interpret
+    mode, ragged local shapes) track the sharded jnp path."""
+    y, *_ = planted_nmf(seed=25, n_samples=80, n_channels=50, rank=4)
+    y = y.astype(np.float32)
+    mask = (random_mask(26, y.shape).astype(np.float32) if masked else None)
+    rng = np.random.default_rng(27)
+    x0 = rng.uniform(0.1, 1.0, (80, 4)).astype(np.float32)
+    d0 = rng.uniform(0.1, 1.0, (4, 50)).astype(np.float32)
+    ref = parallel.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=10, mask=mask,
+                             method=method, mesh=mesh8, use_pallas=False)
+    res = parallel.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=10, mask=mask,
+                             method=method, mesh=mesh8, use_pallas=True,
+                             pallas_block_rows=8, _pallas_interpret=True)
+    assert rel_err(res.x, ref.x) < 2e-4
+    assert rel_err(res.d, ref.d) < 2e-4
+
+
 @pytest.mark.parametrize("masked", [False, True])
 def test_row_sharded_pallas_matches_jnp_path(mesh8, masked):
     """The fused per-device Pallas kernels (interpret mode) under shard_map
