@@ -44,10 +44,18 @@ def solve(
     mask=None,
     record_objective: bool = False,
     precision: str = "highest",
+    use_pallas="auto",
+    pallas_block_rows=None,
+    _pallas_interpret: bool = False,
 ) -> DictionaryLearningResult:
     """Row-sharded ``decomp_tpu.dictionary_learning.solve`` over
     ``mesh[axis]``. Same contract as the single-device solver; the sample
-    count must divide the mesh axis size."""
+    count must divide the mesh axis size.
+
+    use_pallas: as in the single-device solver — MASKED problems run both
+    the inner sparse-coding gradient and the projected-gradient dictionary
+    step through the fused per-device kernels, with local blocks padded
+    inside the shard_map body."""
     y = jnp.asarray(y)
     assertion.assert_ndim("y", y, 2)
     d = jnp.asarray(d)
@@ -75,6 +83,30 @@ def solve(
             f"{axis!r} of size {mesh.shape[axis]}")
 
     rdt = real_dtype(dtype)
+
+    from decomp_tpu.ops import pallas_lasso
+
+    is_complex = jnp.issubdtype(dtype, jnp.complexfloating)
+    n_dev_rows = mesh.shape[axis]
+    if use_pallas == "auto":
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and mask is not None
+            and not is_complex
+            and (y.shape[0] // n_dev_rows) * y.shape[1] >= (1 << 20)
+            and pallas_lasso.auto_wins(-(-y.shape[1] // 128) * 128,
+                                       -(-d.shape[0] // 128) * 128,
+                                       dtype.itemsize)
+        )
+    use_pallas = bool(use_pallas)
+    if use_pallas:
+        if mask is None:
+            raise DecompError("use_pallas=True applies to masked problems "
+                              "only")
+        if is_complex:
+            raise DecompError("use_pallas=True does not support complex "
+                              "dtypes")
+
     with jax.default_matmul_precision(precision):
         return _solve_sharded(
             y, d, x, mask,
@@ -83,23 +115,53 @@ def solve(
             maxiter=int(maxiter), lasso_method=lasso_method,
             lasso_iter=int(lasso_iter), mesh=mesh, axis=axis,
             record_objective=bool(record_objective),
+            use_pallas=use_pallas, pallas_block_rows=pallas_block_rows,
+            pallas_interpret=bool(_pallas_interpret),
         )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("maxiter", "lasso_method", "lasso_iter", "mesh",
-                     "axis", "record_objective"),
+                     "axis", "record_objective", "use_pallas",
+                     "pallas_block_rows", "pallas_interpret"),
 )
 def _solve_sharded(y, d, x, mask, alpha, tol, lasso_tol, *, maxiter,
-                   lasso_method, lasso_iter, mesh, axis, record_objective):
+                   lasso_method, lasso_iter, mesh, axis, record_objective,
+                   use_pallas=False, pallas_block_rows=None,
+                   pallas_interpret=False):
     dtype = y.dtype
     rdt = real_dtype(dtype)
     row_spec = P(axis, None)
     psum = functools.partial(jax.lax.psum, axis_name=axis)
+    vma = frozenset({axis}) if use_pallas else None
 
     def body(y_l, d_r, x_l, mask_l, alpha_, tol_, lasso_tol_):
         tiny = jnp.asarray(jnp.finfo(rdt).tiny, rdt)
+        m_l, n_l = y_l.shape
+        k_l = d_r.shape[0]
+        br = None
+        if use_pallas:
+            # Per-device padding to the kernel alignment (zero padding is
+            # a fixed point of both updates; see models.dictionary_learning)
+            from decomp_tpu.ops import pallas_lasso as _pl
+
+            n_pad = -(-n_l // 128) * 128
+            k_pad = -(-k_l // 128) * 128
+            br = pallas_block_rows or _pl.default_block_rows(
+                n_pad, k_pad, dtype.itemsize)
+            br = min(br, -(-m_l // 8) * 8)
+            m_pad = -(-m_l // br) * br
+
+            def pad2(arr, rows, cols):
+                return jnp.pad(arr, ((0, rows - arr.shape[0]),
+                                     (0, cols - arr.shape[1])))
+
+            y_l = pad2(y_l, m_pad, n_pad)
+            mask_l = pad2(mask_l, m_pad, n_pad)
+            d_r = pad2(d_r, k_pad, n_pad)
+            if x_l is not None:
+                x_l = pad2(x_l, m_pad, k_pad)
         d_r = l2_normalize(d_r, axis=1)
         if x_l is None:
             x_l = jax.lax.pcast(
@@ -111,7 +173,9 @@ def _solve_sharded(y, d, x, mask, alpha, tol, lasso_tol, *, maxiter,
             step, init, diff_fn, obj_fn = _lasso.build_solver(
                 y_l, d_, alpha_, x_, mask_l, None, method=lasso_method,
                 reduce_sum=psum,
-                vary_rows=lambda v: jax.lax.pcast(v, axis, to="varying"))
+                vary_rows=lambda v: jax.lax.pcast(v, axis, to="varying"),
+                use_pallas=use_pallas, pallas_block_rows=br,
+                pallas_interpret=pallas_interpret, pallas_vma=vma)
             res = run_iterations(
                 step, init, tol=lasso_tol_, maxiter=lasso_iter,
                 diff_fn=diff_fn, objective_fn=obj_fn,
@@ -129,8 +193,10 @@ def _solve_sharded(y, d, x, mask, alpha, tol, lasso_tol, *, maxiter,
                     stats_b = psum(x_.conj().T @ my_l)
                     d_ = _bcd_dict_update(stats_a, stats_b, d_)
                 else:
-                    d_ = _masked_grad_dict_update(my_l, x_, d_, mask_l,
-                                                  reduce_sum=psum)
+                    d_ = _masked_grad_dict_update(
+                        my_l, x_, d_, mask_l, reduce_sum=psum,
+                        use_pallas=use_pallas, pallas_block_rows=br,
+                        pallas_interpret=pallas_interpret, pallas_vma=vma)
             return (x_, d_)
 
         def diff_fn(old, new):
@@ -149,16 +215,21 @@ def _solve_sharded(y, d, x, mask, alpha, tol, lasso_tol, *, maxiter,
         res = run_iterations(
             step, (x_l, d_r), tol=tol_, maxiter=maxiter, diff_fn=diff_fn,
             objective_fn=objective, record_objective=record_objective)
-        return (res.state[0], res.state[1], res.niter, res.converged,
-                res.objective)
+        x_out, d_out = res.state[0], res.state[1]
+        if use_pallas:  # slice the alignment padding back off
+            x_out = x_out[:m_l, :k_l]
+            d_out = d_out[:k_l, :n_l]
+        return (x_out, d_out, res.niter, res.converged, res.objective)
 
     in_specs = (row_spec, P(None, None),
                 None if x is None else row_spec,
                 None if mask is None else row_spec,
                 P() if alpha.ndim == 0 else P(None), P(), P())
     out_specs = (row_spec, P(None, None), P(), P(), P())
+    # check_vma off for the Pallas branch (see parallel.nmf).
     x_g, d_g, niter, converged, objective = jax.shard_map(
         body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=not use_pallas,
     )(y, d, x, mask, alpha, tol, lasso_tol)
     return DictionaryLearningResult(x=x_g, d=d_g, niter=niter,
                                     converged=converged,

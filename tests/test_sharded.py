@@ -214,6 +214,32 @@ def test_row_sharded_pallas_kl_hals_matches_jnp(mesh8, method, masked):
     assert rel_err(res.d, ref.d) < 2e-4
 
 
+def test_sharded_masked_dl_pallas_matches_jnp(mesh8):
+    """Sharded masked dictionary learning through both fused kernels
+    (interpret mode, ragged local shapes, per-device padding)."""
+    rng = np.random.default_rng(81)
+    m, n, k = 48, 72, 40
+    y = rng.normal(size=(m, n)).astype(np.float32)
+    mask = (rng.random((m, n)) > 0.3).astype(np.float32)
+    d0 = rng.normal(size=(k, n)).astype(np.float32)
+    kw = dict(mask=mask, tol=0.0, maxiter=6, lasso_iter=4, mesh=mesh8,
+              record_objective=True)
+    ref = parallel.dictionary_learning.solve(y * mask, d0, 0.05,
+                                             use_pallas=False, **kw)
+    res = parallel.dictionary_learning.solve(y * mask, d0, 0.05,
+                                             use_pallas=True,
+                                             pallas_block_rows=8,
+                                             _pallas_interpret=True, **kw)
+    assert res.x.shape == ref.x.shape and res.d.shape == ref.d.shape
+    # padded inner power iterations start from longer ramp vectors ->
+    # slightly different step sizes; compare objectives (see the single-
+    # device masked-DL pallas test)
+    np.testing.assert_allclose(np.asarray(res.objective),
+                               np.asarray(ref.objective), rtol=2e-2)
+    norms = np.linalg.norm(np.asarray(res.d), axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
 @pytest.mark.parametrize("masked", [False, True])
 def test_row_sharded_pallas_matches_jnp_path(mesh8, masked):
     """The fused per-device Pallas kernels (interpret mode) under shard_map
