@@ -196,6 +196,12 @@ def solve(
         d = pad2(d, k_pad, n_pad)
         if x is not None:
             x = pad2(x, m_pad, k_pad)
+        # per-atom / per-sample alpha weights follow the factor shapes
+        alpha_arr = jnp.asarray(alpha)
+        if alpha_arr.ndim == 1:
+            alpha = jnp.pad(alpha_arr, (0, k_pad - alpha_arr.shape[0]))
+        elif alpha_arr.ndim == 2:
+            alpha = pad2(alpha_arr, m_pad, k_pad)
 
     # 'highest' matmul precision: TPU's default bf16 MXU passes put a ~1e-3
     # noise floor under iterative convergence (see nmf.solve for details).

@@ -473,10 +473,14 @@ def build_solver(y, a, alpha, x, mask, lipschitz, *, method,
             def row_done(x_old, x_cand):
                 # Per-row mirror of rel_change(...) < tol: the row freezes
                 # at exactly the iteration its own single-problem solve
-                # would stop at.
+                # would stop at. Division form, NOT `num < tol * den`:
+                # for an exactly-zero row den clamps to f32-tiny and
+                # tol*tiny is subnormal — TPUs flush subnormals to zero,
+                # so the product form compares 0 < 0 and the row would
+                # never mark done (found in round-2 self-review).
                 num = jnp.sqrt(row_sumsq(x_cand - x_old))
                 den = jnp.maximum(jnp.sqrt(row_sumsq(x_cand)), tiny)
-                return num < tol_r * den
+                return num / den < tol_r
 
             if momentum:
                 def step(state, it):
@@ -786,9 +790,11 @@ def _solve_split(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
             nit0 = jnp.zeros((n_rows,), jnp.int32)
 
             def row_done(x_old, x_cand):
+                # division form: see the real-path row_done (TPU
+                # flush-to-zero on tol*tiny for exactly-zero rows)
                 num = jnp.sqrt(cs.row_sum_abs2(cs.sub(x_cand, x_old)))
                 den = jnp.maximum(jnp.sqrt(cs.row_sum_abs2(x_cand)), tiny)
-                return num < tol_r * den
+                return num / den < tol_r
 
             if momentum:
                 def step(state, it):

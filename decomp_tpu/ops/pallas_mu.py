@@ -389,7 +389,10 @@ def hals_x_update(my, x, d, *, block_rows=None, interpret=False,
                             (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.HIGHEST)
-    floor = jnp.finfo(jnp.float32).eps * jnp.maximum(
+    # eps of the FACTOR dtype, matching the jnp oracle's dead-component
+    # guard (_update_x_hals uses real_dtype(x.dtype) eps): with bf16
+    # factors the f32 eps would un-freeze components the jnp path guards.
+    floor = jnp.asarray(jnp.finfo(x.dtype).eps, jnp.float32) * jnp.maximum(
         jnp.trace(a), jnp.asarray(jnp.finfo(jnp.float32).tiny, jnp.float32))
     floor32 = floor.astype(jnp.float32).reshape(1)
     diag = jnp.diagonal(a)[None, :]                              # (1, K)

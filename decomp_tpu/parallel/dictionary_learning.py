@@ -162,6 +162,8 @@ def _solve_sharded(y, d, x, mask, alpha, tol, lasso_tol, *, maxiter,
             d_r = pad2(d_r, k_pad, n_pad)
             if x_l is not None:
                 x_l = pad2(x_l, m_pad, k_pad)
+            if alpha_.ndim == 1:  # per-atom weights follow the atom axis
+                alpha_ = jnp.pad(alpha_, (0, k_pad - alpha_.shape[0]))
         d_r = l2_normalize(d_r, axis=1)
         if x_l is None:
             x_l = jax.lax.pcast(

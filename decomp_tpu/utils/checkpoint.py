@@ -100,6 +100,10 @@ def checkpointed_solve(
         supports_state = "return_state" in params
     except (TypeError, ValueError):  # pragma: no cover - exotic callables
         supports_state = False
+    # Don't inject return_state when the caller set it explicitly, or in
+    # modes the solver rejects it for (per_problem).
+    supports_state = (supports_state and "return_state" not in kwargs
+                      and not kwargs.get("per_problem"))
 
     result = None
     while total < maxiter:
@@ -111,7 +115,9 @@ def checkpointed_solve(
             if aux and "x" in warm:
                 call_kwargs["momentum_state"] = (aux["z"], aux["t"])
         result = solve_fn(*args, maxiter=it, **call_kwargs)
-        total += int(result.niter)
+        # per_problem solvers return per-row counts; the chunk's wall
+        # budget consumption is the slowest row's count.
+        total += int(np.max(np.asarray(result.niter)))
         warm = {f: np.asarray(getattr(result, f)) for f in warm_fields}
         res_aux = getattr(result, "aux", None)
         aux = ({k: np.asarray(v) for k, v in res_aux.items()}

@@ -133,6 +133,31 @@ def test_chunked_fista_matches_straight_exactly(tmp_path, method):
                                   np.asarray(straight.x))
 
 
+def test_checkpointed_solve_per_problem_compatible():
+    """checkpointed_solve must not inject return_state when per_problem is
+    requested (the solver rejects the combination) nor override an
+    explicit return_state=False (round-2 self-review)."""
+    rng = np.random.default_rng(37)
+    a = rng.normal(size=(8, 16))
+    y = rng.normal(size=(4, 16))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        mgr = CheckpointManager(tmp + "/pp")
+        res, total = checkpointed_solve(
+            decomp_tpu.lasso.solve, y, a, 0.05, manager=mgr,
+            chunk_iters=10, maxiter=20, tol=0.0, method="ista",
+            warm_fields=("x",), per_problem=True)
+        assert total == 20
+        assert np.asarray(res.niter).shape == (4,)
+        mgr2 = CheckpointManager(tmp + "/rs")
+        res2, _ = checkpointed_solve(
+            decomp_tpu.lasso.solve, y, a, 0.05, manager=mgr2,
+            chunk_iters=10, maxiter=20, tol=0.0, method="fista",
+            warm_fields=("x",), return_state=False)
+        assert res2.aux is None
+
+
 def test_momentum_state_validation():
     rng = np.random.default_rng(36)
     a = rng.normal(size=(8, 12))

@@ -255,6 +255,21 @@ def test_per_problem_runs_to_maxiter_at_tol_zero():
                                rtol=0, atol=0)
 
 
+def test_per_problem_zero_rows_converge():
+    """Rows whose solution is exactly zero (huge alpha / zero data) must
+    mark done — the freeze predicate uses the division form because the
+    product form (num < tol*tiny) flushes to 0 < 0 on TPU subnormals."""
+    rng = np.random.default_rng(27)
+    a = rng.normal(size=(8, 32))
+    y = rng.normal(size=(4, 32))
+    y[1] = 0.0  # exactly-zero problem
+    res = decomp_tpu.lasso.solve(y, a, 1e6, tol=1e-6, maxiter=200,
+                                 method="fista", per_problem=True)
+    assert np.asarray(res.converged).all()
+    assert np.allclose(np.asarray(res.x), 0.0)
+    assert int(np.asarray(res.niter).max()) < 10
+
+
 def test_per_problem_rejects_cd():
     y, a, _ = planted_lasso(seed=26)
     with pytest.raises(decomp_tpu.utils.DecompError):

@@ -296,6 +296,27 @@ def test_dl_pallas_path_matches_jnp_path():
     np.testing.assert_allclose(norms, 1.0, atol=1e-4)
 
 
+def test_dl_pallas_per_atom_alpha_padded():
+    """1-D per-atom alpha must be padded alongside the atom axis when the
+    fused kernels pad n_atoms to the 128 alignment (round-2 self-review:
+    the unpadded alpha broadcast against the padded x crashed the trace)."""
+    rng = np.random.default_rng(17)
+    m, n, k = 40, 60, 30  # k not a multiple of 128
+    y = rng.normal(size=(m, n)).astype(np.float32)
+    mask = (rng.random((m, n)) > 0.3).astype(np.float32)
+    d0 = rng.normal(size=(k, n)).astype(np.float32)
+    alphas = np.full((k,), 0.05, np.float32)
+    ref = decomp_tpu.dictionary_learning.solve(
+        y * mask, d0, alphas, mask=mask, tol=0.0, maxiter=4, lasso_iter=3,
+        use_pallas=False, record_objective=True)
+    res = decomp_tpu.dictionary_learning.solve(
+        y * mask, d0, alphas, mask=mask, tol=0.0, maxiter=4, lasso_iter=3,
+        use_pallas=True, pallas_block_rows=16, _pallas_interpret=True,
+        record_objective=True)
+    np.testing.assert_allclose(np.asarray(res.objective),
+                               np.asarray(ref.objective), rtol=2e-2)
+
+
 def test_lasso_pallas_rejects_unmasked_and_complex():
     rng = np.random.default_rng(16)
     y = rng.normal(size=(8, 16)).astype(np.float32)
