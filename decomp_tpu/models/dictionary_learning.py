@@ -179,29 +179,16 @@ def solve(
         # atoms / channels have zero data and zero mask, stay zero through
         # both the sparse-coding and dictionary updates, and are sliced
         # off the returned factors.
-        n_pad = -(-orig_n // 128) * 128
-        k_pad = -(-orig_k // 128) * 128
-        br = pallas_block_rows or pallas_lasso.default_block_rows(
-            n_pad, k_pad, dtype.itemsize)
-        br = min(br, -(-orig_m // 8) * 8)
-        m_pad = -(-orig_m // br) * br
+        m_pad, n_pad, k_pad, br = pallas_lasso.kernel_alignment(
+            orig_m, orig_n, orig_k, dtype.itemsize, pallas_block_rows)
         pallas_block_rows = br
-
-        def pad2(arr, rows, cols):
-            return jnp.pad(arr, ((0, rows - arr.shape[0]),
-                                 (0, cols - arr.shape[1])))
-
-        y = pad2(y, m_pad, n_pad)
-        mask = pad2(mask, m_pad, n_pad)
-        d = pad2(d, k_pad, n_pad)
+        y = pallas_lasso.pad2(y, m_pad, n_pad)
+        mask = pallas_lasso.pad2(mask, m_pad, n_pad)
+        d = pallas_lasso.pad2(d, k_pad, n_pad)
         if x is not None:
-            x = pad2(x, m_pad, k_pad)
+            x = pallas_lasso.pad2(x, m_pad, k_pad)
         # per-atom / per-sample alpha weights follow the factor shapes
-        alpha_arr = jnp.asarray(alpha)
-        if alpha_arr.ndim == 1:
-            alpha = jnp.pad(alpha_arr, (0, k_pad - alpha_arr.shape[0]))
-        elif alpha_arr.ndim == 2:
-            alpha = pad2(alpha_arr, m_pad, k_pad)
+        alpha = pallas_lasso.pad_alpha(alpha, m_pad, k_pad)
 
     # 'highest' matmul precision: TPU's default bf16 MXU passes put a ~1e-3
     # noise floor under iterative convergence (see nmf.solve for details).

@@ -246,29 +246,18 @@ def solve(
         # channels are a fixed point of the proximal iteration (zero
         # gradient, zero threshold result), so trajectories on the real
         # coordinates are unchanged and we slice the padding back off.
-        n_pad = -(-y.shape[1] // 128) * 128
-        f_pad = -(-n_features // 128) * 128
-        br = pallas_block_rows or pallas_lasso.default_block_rows(
-            n_pad, f_pad, dtype.itemsize)
-        br = min(br, -(-orig_m // 8) * 8)
-        m_pad = -(-orig_m // br) * br
+        m_pad, n_pad, f_pad, br = pallas_lasso.kernel_alignment(
+            orig_m, y.shape[1], n_features, dtype.itemsize,
+            pallas_block_rows)
         pallas_block_rows = br
-
-        def pad2(arr, rows, cols):
-            return jnp.pad(arr, ((0, rows - arr.shape[0]),
-                                 (0, cols - arr.shape[1])))
-
-        y = pad2(y, m_pad, n_pad)
-        mask = pad2(mask, m_pad, n_pad)
-        a = pad2(a, f_pad, n_pad)
+        y = pallas_lasso.pad2(y, m_pad, n_pad)
+        mask = pallas_lasso.pad2(mask, m_pad, n_pad)
+        a = pallas_lasso.pad2(a, f_pad, n_pad)
         if x is not None:
-            x = pad2(x, m_pad, f_pad)
-        if alpha.ndim == 1:
-            alpha = jnp.pad(alpha, (0, f_pad - alpha.shape[0]))
-        elif alpha.ndim == 2:
-            alpha = pad2(alpha, m_pad, f_pad)
+            x = pallas_lasso.pad2(x, m_pad, f_pad)
+        alpha = pallas_lasso.pad_alpha(alpha, m_pad, f_pad)
         if mstate is not None:
-            mstate = (pad2(mstate[0], m_pad, f_pad),
+            mstate = (pallas_lasso.pad2(mstate[0], m_pad, f_pad),
                       jnp.pad(mstate[1], (0, m_pad - orig_m),
                               constant_values=1.0))
 

@@ -91,6 +91,39 @@ def auto_wins(n: int, f: int, itemsize: int) -> bool:
     return itemsize == 4 and f <= 128 and fits_vmem(n, f, itemsize)
 
 
+def kernel_alignment(m, n, f, itemsize, block_rows=None):
+    """(m_pad, n_pad, f_pad, block_rows) for the gradient kernels: N and
+    F ceil to 128 (MXU tiles), the stripe height defaults from the VMEM
+    envelope, M ceils to a stripe multiple. One place for the arithmetic
+    every caller (single-device and sharded lasso/DL) must agree on."""
+    n_pad = -(-n // 128) * 128
+    f_pad = -(-f // 128) * 128
+    br = block_rows or default_block_rows(n_pad, f_pad, itemsize)
+    br = min(br, -(-m // 8) * 8)
+    m_pad = -(-m // br) * br
+    return m_pad, n_pad, f_pad, br
+
+
+def pad2(arr, rows, cols):
+    """Zero-pad a 2-D array up to (rows, cols). Zero padding is a fixed
+    point of every update these kernels serve (see module docstring)."""
+    return jnp.pad(arr, ((0, rows - arr.shape[0]),
+                         (0, cols - arr.shape[1])))
+
+
+def pad_alpha(alpha, m_pad, f_pad):
+    """Pad per-feature (1-D) / per-sample (2-D) regularisation weights
+    alongside the padded solution shape; scalars pass through. Padded
+    coordinates stay exactly zero regardless of their threshold, so the
+    pad value (0) is arbitrary."""
+    alpha = jnp.asarray(alpha)
+    if alpha.ndim == 1:
+        return jnp.pad(alpha, (0, f_pad - alpha.shape[0]))
+    if alpha.ndim == 2:
+        return pad2(alpha, m_pad, f_pad)
+    return alpha
+
+
 def _check_aligned(m, n, f, block_rows):
     if m % block_rows:
         raise ValueError(f"M={m} must be a multiple of block_rows="

@@ -146,24 +146,14 @@ def _solve_sharded(y, d, x, mask, alpha, tol, lasso_tol, *, maxiter,
             # a fixed point of both updates; see models.dictionary_learning)
             from decomp_tpu.ops import pallas_lasso as _pl
 
-            n_pad = -(-n_l // 128) * 128
-            k_pad = -(-k_l // 128) * 128
-            br = pallas_block_rows or _pl.default_block_rows(
-                n_pad, k_pad, dtype.itemsize)
-            br = min(br, -(-m_l // 8) * 8)
-            m_pad = -(-m_l // br) * br
-
-            def pad2(arr, rows, cols):
-                return jnp.pad(arr, ((0, rows - arr.shape[0]),
-                                     (0, cols - arr.shape[1])))
-
-            y_l = pad2(y_l, m_pad, n_pad)
-            mask_l = pad2(mask_l, m_pad, n_pad)
-            d_r = pad2(d_r, k_pad, n_pad)
+            m_pad, n_pad, k_pad, br = _pl.kernel_alignment(
+                m_l, n_l, k_l, dtype.itemsize, pallas_block_rows)
+            y_l = _pl.pad2(y_l, m_pad, n_pad)
+            mask_l = _pl.pad2(mask_l, m_pad, n_pad)
+            d_r = _pl.pad2(d_r, k_pad, n_pad)
             if x_l is not None:
-                x_l = pad2(x_l, m_pad, k_pad)
-            if alpha_.ndim == 1:  # per-atom weights follow the atom axis
-                alpha_ = jnp.pad(alpha_, (0, k_pad - alpha_.shape[0]))
+                x_l = _pl.pad2(x_l, m_pad, k_pad)
+            alpha_ = _pl.pad_alpha(alpha_, m_pad, k_pad)
         d_r = l2_normalize(d_r, axis=1)
         if x_l is None:
             x_l = jax.lax.pcast(

@@ -167,26 +167,14 @@ def _solve_sharded(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
             # a fixed point of the iteration; see models.lasso).
             from decomp_tpu.ops import pallas_lasso as _pl
 
-            n_pad = -(-n_l // 128) * 128
-            f_pad = -(-f_l // 128) * 128
-            br = pallas_block_rows or _pl.default_block_rows(
-                n_pad, f_pad, dtype.itemsize)
-            br = min(br, -(-m_l // 8) * 8)
-            m_pad = -(-m_l // br) * br
-
-            def pad2(arr, rows, cols):
-                return jnp.pad(arr, ((0, rows - arr.shape[0]),
-                                     (0, cols - arr.shape[1])))
-
-            y_l = pad2(y_l, m_pad, n_pad)
-            mask_l = pad2(mask_l, m_pad, n_pad)
-            a_r = pad2(a_r, f_pad, n_pad)
+            m_pad, n_pad, f_pad, br = _pl.kernel_alignment(
+                m_l, n_l, f_l, dtype.itemsize, pallas_block_rows)
+            y_l = _pl.pad2(y_l, m_pad, n_pad)
+            mask_l = _pl.pad2(mask_l, m_pad, n_pad)
+            a_r = _pl.pad2(a_r, f_pad, n_pad)
             if x_l is not None:
-                x_l = pad2(x_l, m_pad, f_pad)
-            if alpha_.ndim == 1:
-                alpha_ = jnp.pad(alpha_, (0, f_pad - alpha_.shape[0]))
-            elif alpha_.ndim == 2:
-                alpha_ = pad2(alpha_, m_pad, f_pad)
+                x_l = _pl.pad2(x_l, m_pad, f_pad)
+            alpha_ = _pl.pad_alpha(alpha_, m_pad, f_pad)
         if x_l is None:
             # A plain zeros init would be device-UNvarying, but the
             # while_loop carry becomes row-varying after one step and
