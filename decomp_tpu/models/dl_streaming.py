@@ -8,9 +8,12 @@ per outer iteration from the full-data statistics — exactly the
 full-batch alternation. Chunked trajectories match full-batch ones up to
 matmul reduction order when the inner lasso runs its full budget
 (lasso_tol=0); with inner early stopping the stop criterion is evaluated
-per chunk rather than globally (tested). Unmasked only (the masked dictionary
-step is gradient-based and needs the full residual; use the in-core
-solver or the minibatch variant for masked problems).
+per chunk rather than globally (tested).
+
+Masked problems stream the same way: the projected-gradient dictionary
+step's ingredients — the Gram x^H x and the gradient
+x^H (mask*(x@d) - my) — are both sums over row chunks, so they
+accumulate on device exactly like the BCD statistics.
 """
 
 import functools
@@ -23,6 +26,7 @@ import numpy as np
 from decomp_tpu.models import lasso as _lasso
 from decomp_tpu.models.dictionary_learning import _bcd_dict_update
 from decomp_tpu.ops.loop import run_iterations
+from decomp_tpu.ops.spectral import spectral_norm_psd
 from decomp_tpu.utils import assertion
 from decomp_tpu.utils.dtypes import real_dtype
 from decomp_tpu.utils.exceptions import DecompError
@@ -41,15 +45,18 @@ def solve_streaming(
     lasso_method: str = "fista",
     lasso_iter: int = 10,
     lasso_tol=1e-6,
+    mask=None,
     chunk_rows: int = 65536,
     precision: str = "highest",
     callback=None,
 ) -> DictionaryLearningResult:
-    """Out-of-core ``decomp_tpu.dictionary_learning.solve`` (unmasked).
+    """Out-of-core ``decomp_tpu.dictionary_learning.solve``.
 
-    ``y`` and ``x`` are host arrays streamed in ``chunk_rows`` blocks; the
-    returned ``x`` is a host numpy array. ``callback(it, diff)`` fires once
-    per outer iteration.
+    ``y``/``x``/``mask`` are host arrays streamed in ``chunk_rows``
+    blocks; the returned ``x`` is a host numpy array. ``callback(it,
+    diff)`` fires once per outer iteration. Masked problems use the
+    projected-gradient dictionary step from chunk-accumulated Gram and
+    gradient statistics (identical to the in-core masked update).
     """
     y = np.asarray(y)
     assertion.assert_ndim("y", y, 2)
@@ -63,6 +70,9 @@ def solve_streaming(
     chunk_rows = int(chunk_rows)
     if chunk_rows < 1:
         raise DecompError("chunk_rows must be >= 1")
+    if mask is not None:
+        mask = np.asarray(mask)
+        assertion.assert_same_shape("mask", mask, "y", y)
     n_samples = y.shape[0]
     n_atoms = d.shape[0]
     dtype = np.result_type(y.dtype, np.asarray(d).dtype)
@@ -88,13 +98,22 @@ def solve_streaming(
                 hi = min(lo + chunk_rows, n_samples)
                 yc = jnp.asarray(y[lo:hi])
                 xc = jnp.asarray(x[lo:hi])
+                mc = (None if mask is None
+                      else jnp.asarray(mask[lo:hi], real_dtype(yc.dtype)))
                 xc, a_c, b_c = _chunk_code_and_stats(
-                    yc, d, xc, alpha_j, lasso_tol_j,
-                    lasso_method=lasso_method, lasso_iter=lasso_iter)
+                    yc, d, xc, alpha_j, lasso_tol_j, mc,
+                    lasso_method=lasso_method, lasso_iter=lasso_iter,
+                    masked=mask is not None)
                 x[lo:hi] = np.asarray(xc)
                 stats_a = stats_a + a_c
                 stats_b = stats_b + b_c
-            d = _bcd_dict_update(stats_a, stats_b, d)
+            if mask is None:
+                d = _bcd_dict_update(stats_a, stats_b, d)
+            else:
+                # projected-gradient step from the accumulated Gram
+                # (stats_a) and gradient (stats_b) — the in-core
+                # _masked_grad_dict_update from full-data statistics
+                d = _masked_d_step(stats_a, stats_b, d)
             diff = float(_rel_diff(d_old, d))
             niter = it
             if callback is not None:
@@ -110,17 +129,36 @@ def solve_streaming(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("lasso_method", "lasso_iter"))
-def _chunk_code_and_stats(yc, d, xc, alpha, lasso_tol, *, lasso_method,
-                          lasso_iter):
-    """Sparse-code one row chunk and return its BCD statistic partials."""
+@functools.partial(jax.jit, static_argnames=("lasso_method", "lasso_iter",
+                                              "masked"))
+def _chunk_code_and_stats(yc, d, xc, alpha, lasso_tol, mc=None, *,
+                          lasso_method, lasso_iter, masked=False):
+    """Sparse-code one row chunk and return its dictionary-update
+    statistic partials: (x^H x, x^H my) for the unmasked BCD step, or
+    (x^H x, x^H (mask*(x@d) - my)) for the masked projected-gradient
+    step."""
     step, init, diff_fn, obj_fn = _lasso.build_solver(
-        yc, d, alpha, xc, None, None, method=lasso_method)
+        yc, d, alpha, xc, mc, None, method=lasso_method)
     res = run_iterations(step, init, tol=lasso_tol, maxiter=lasso_iter,
                          diff_fn=diff_fn, objective_fn=obj_fn,
                          record_objective=False)
     xc = res.state[0]
-    return xc, xc.conj().T @ xc, xc.conj().T @ yc
+    gram = xc.conj().T @ xc
+    if not masked:
+        return xc, gram, xc.conj().T @ yc
+    myc = mc * yc
+    resid = mc * (xc @ d) - myc
+    return xc, gram, xc.conj().T @ resid
+
+
+@jax.jit
+def _masked_d_step(gram, grad, d):
+    """Projected-gradient dictionary step from accumulated statistics
+    (mirrors models.dictionary_learning._masked_grad_dict_update)."""
+    rdt = real_dtype(d.dtype)
+    lip = jnp.maximum(spectral_norm_psd(gram),
+                      jnp.asarray(jnp.finfo(rdt).tiny, rdt))
+    return l2_normalize(d - grad / lip.astype(d.dtype), axis=1)
 
 
 @jax.jit

@@ -135,6 +135,27 @@ def test_streamed_lasso_masked_and_complex():
     assert rel_err(streamm.x, fullm.x) < 1e-12
 
 
+def test_streamed_masked_dictionary_learning_matches_full_batch():
+    """Masked streaming DL: the projected-gradient dictionary step's Gram
+    and gradient accumulate over chunks, reproducing the in-core masked
+    update (inner lasso at full budget -> exact up to reduction order)."""
+    rng = np.random.default_rng(57)
+    m, n, k = 53, 24, 8
+    y = rng.normal(size=(m, n))
+    mask = random_mask(58, (m, n))
+    d0 = rng.normal(size=(k, n))
+    full = decomp_tpu.dictionary_learning.solve(
+        y * mask, d0, 0.05, mask=mask, tol=0.0, maxiter=8, lasso_iter=5,
+        lasso_tol=0.0)
+    stream = decomp_tpu.dictionary_learning.solve_streaming(
+        y * mask, d0, 0.05, mask=mask, tol=0.0, maxiter=8, lasso_iter=5,
+        lasso_tol=0.0, chunk_rows=17)
+    assert rel_err(stream.d, full.d) < 1e-10
+    assert rel_err(stream.x, full.x) < 1e-10
+    norms = np.linalg.norm(np.asarray(stream.d), axis=1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-10)
+
+
 def test_streamed_dictionary_learning_matches_full_batch():
     from problems import planted_patches
     y, d_true, _ = planted_patches(seed=50, n_samples=90)
