@@ -46,6 +46,20 @@ def run_on(device, fn):
         return fn()
 
 
+def _mixed_vs_f32(y, x0, d0, maxiter):
+    """The mixed point runs bf16 data on whatever device is active; its
+    comparison baseline is the same-device run too, so the metric stays
+    'mixed vs f32-exact' on both backends (the cross-backend comparison
+    then checks both envelopes agree)."""
+    import jax.numpy as jnp
+
+    return decomp_tpu.nmf.solve(
+        y.astype(jnp.bfloat16), d0.astype(np.float32),
+        x=x0.astype(np.float32), tol=0.0, maxiter=maxiter,
+        factor_dtype=jnp.float32, precision="default",
+        record_objective=True, use_pallas=False)
+
+
 def curves(res):
     return np.asarray(res.objective, np.float64)[: int(res.niter)]
 
@@ -98,6 +112,11 @@ def main():
         "dict_learn": lambda: decomp_tpu.dictionary_learning.solve(
             yl, a[:16], 0.05, tol=0.0, maxiter=min(args.maxiter, 40),
             record_objective=True),
+        # The mixed operating point (bf16 data / f32 factors, bf16 MXU):
+        # the measured envelope vs the f32 exact reference is the bf16
+        # input-quantisation scale (~1%, BASELINE.md) — regression-guard
+        # it so the headline's convergence claim stays true.
+        "nmf_mixed": lambda: _mixed_vs_f32(y, x0, d0, args.maxiter),
     }
 
     # Budgets: l2-based objectives are well-conditioned -> curves agree to
@@ -108,9 +127,10 @@ def main():
     # (HALS drives the objective to the noise floor within tens of
     # iterations, where pointwise-relative comparison is cancellation-
     # limited, like KL.)
-    curve_budget = {"nmf_kl": 1e-2, "nmf_hals": 1e-2}
+    curve_budget = {"nmf_kl": 1e-2, "nmf_hals": 1e-2, "nmf_mixed": 3e-2}
     default_curve_budget = 1e-4
-    factor_budget = 1e-4
+    factor_budget = {"nmf_mixed": 5e-2}
+    default_factor_budget = 1e-4
 
     ok = True
     for name, fn in checks.items():
@@ -124,7 +144,8 @@ def main():
                            - np.asarray(r_cpu.x, np.float64))
             / max(np.linalg.norm(np.asarray(r_cpu.x, np.float64)), 1e-30))
         budget = curve_budget.get(name, default_curve_budget)
-        line_ok = curve_rel <= budget and fac_rel <= factor_budget
+        fbudget = factor_budget.get(name, default_factor_budget)
+        line_ok = curve_rel <= budget and fac_rel <= fbudget
         ok = ok and line_ok
         print(f"{name:12s} curve max rel dev {curve_rel:.3e} "
               f"(budget {budget:.0e})   final-x rel dev {fac_rel:.3e}   "
