@@ -87,7 +87,8 @@ def solve(
         accelerated-MU scheme of Gillis & Glineur (PAPERS.md): the
         expensive y @ d.T numerator is computed once per outer iteration
         and reused by the extra x refinements, whose marginal cost is only
-        the O(M K^2) denominator. Ignored by the Pallas fast path.
+        the O(M K^2) denominator — inside the fused dense Pallas kernel
+        each extra refinement costs ~0.6% of the data pass.
     random_seed : seed for factor init and minibatch sampling.
     eps : additive denominator guard of the multiplicative updates.
     record_objective : record 0.5*||mask*(y - x@d)||^2 per iteration
@@ -185,7 +186,7 @@ def solve(
             jax.default_backend() == "tpu"
             and minibatch is None
             and method in ("mu", "kl-mu")
-            and inner_iter == 1
+            and (inner_iter == 1 or (method == "mu" and mask is None))
             and (method == "mu" or factor_dtype is None)
             and n_samples * n_channels >= (1 << 20)
             and _pmu.fits_vmem(-(-n_channels // 128) * 128,
@@ -201,10 +202,12 @@ def solve(
     if use_pallas and method != "mu" and factor_dtype is not None:
         raise DecompError(f"use_pallas=True with method={method!r} does "
                           "not support factor_dtype")
-    if use_pallas and int(inner_iter) != 1:
-        raise DecompError("use_pallas=True does not support inner_iter > 1 "
-                          "(the fused kernel computes one x update per "
-                          "data pass)")
+    if (use_pallas and int(inner_iter) != 1
+            and (method != "mu" or mask is not None)):
+        raise DecompError("use_pallas=True supports inner_iter > 1 only "
+                          "for dense method='mu' (the accelerated-MU x "
+                          "refinements reuse the fused kernel's numerator; "
+                          "masked/KL denominators need fresh data passes)")
     if method == "hals" and mask is not None:
         raise DecompError("method 'hals' does not support mask; use 'mu'")
     if method == "hals" and minibatch is not None:
@@ -260,6 +263,7 @@ def _solve(y, d, x, mask, seed, tol, eps, forget, *, rank, maxiter,
             record_objective=record_objective,
             block_rows=pallas_block_rows, interpret=pallas_interpret,
             check_every=check_every, verbose=verbose,
+            inner_iter=inner_iter,
         )
 
     # Convergence norms and objectives accumulate at >= f32: summing bf16
@@ -368,7 +372,7 @@ def _identity(v):
 
 def _solve_pallas(my, d, x, mask, tol, eps, *, maxiter, method="mu",
                   record_objective, block_rows, interpret, check_every=1,
-                  verbose=False):
+                  verbose=False, inner_iter=1):
     """Full-batch MU/KL-MU loop driven by the fused Pallas kernels.
 
     Pads (M, N, K) once, outside the loop, to the kernels' alignment
@@ -426,7 +430,7 @@ def _solve_pallas(my, d, x, mask, tol, eps, *, maxiter, method="mu",
             x_, d_ = state
             return pallas_mu.mu_update_dense(
                 my_p, x_, d_.astype(cdt), eps, block_rows=block_rows,
-                interpret=interpret, d_master=d_)
+                interpret=interpret, d_master=d_, inner_iter=inner_iter)
     else:
         def step(state, it):
             del it

@@ -90,7 +90,7 @@ def default_block_rows(n: int, k: int, itemsize: int,
     return block
 
 
-def _dense_kernel(prec, eps_ref, ddt_ref, y_ref, x_ref, d_ref,
+def _dense_kernel(prec, inner, eps_ref, ddt_ref, y_ref, x_ref, d_ref,
                   xout_ref, numd_ref, gram_ref,
                   numd_acc, gram_acc):
     i = pl.program_id(0)
@@ -108,12 +108,18 @@ def _dense_kernel(prec, eps_ref, ddt_ref, y_ref, x_ref, d_ref,
     cdt = y_i.dtype
 
     # x update: x * (y @ d.T) / (x @ (d d.T) + eps), all f32 accumulation.
+    # The expensive numerator is FIXED across inner x refinements
+    # (accelerated MU, Gillis & Glineur: it depends on y and d only), so
+    # extra inner iterations cost one O(br K^2) denominator matmul each —
+    # ~0.6% of the stripe at the headline shape — instead of a data pass.
     num_x = jax.lax.dot_general(
         y_i, d_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec)
-    den_x = jnp.dot(x_i.astype(cdt), ddt_ref[:], precision=prec,
-                    preferred_element_type=jnp.float32)
-    x_new_f = x_i.astype(jnp.float32) * num_x / (den_x + eps)
+    x_new_f = x_i.astype(jnp.float32)
+    for _ in range(inner):
+        den_x = jnp.dot(x_new_f.astype(cdt), ddt_ref[:], precision=prec,
+                        preferred_element_type=jnp.float32)
+        x_new_f = x_new_f * num_x / (den_x + eps)
     x_new = x_new_f.astype(x_i.dtype)
     xout_ref[:] = x_new
     x_new_c = x_new_f.astype(cdt)
@@ -456,7 +462,7 @@ def _check_aligned(m, n, k, block_rows):
 
 
 def mu_update_dense(y, x, d, eps, *, block_rows=None, interpret=False,
-                    psum=None, vma=None, d_master=None):
+                    psum=None, vma=None, d_master=None, inner_iter=1):
     """One fused dense MU iteration. Returns (x_new, d_new).
 
     Single pass over ``y``; d_new is formed from the kernel's accumulated
@@ -492,7 +498,8 @@ def mu_update_dense(y, x, d, eps, *, block_rows=None, interpret=False,
 
     grid = (m // block_rows,)
     x_new, numd, gram = pl.pallas_call(
-        functools.partial(_dense_kernel, _dot_precision(y.dtype)),
+        functools.partial(_dense_kernel, _dot_precision(y.dtype),
+                          int(inner_iter)),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                   # eps

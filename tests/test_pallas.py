@@ -328,6 +328,27 @@ def test_lasso_pallas_rejects_unmasked_and_complex():
                                method="cd", use_pallas=True)
 
 
+def test_dense_pallas_inner_iter_matches_jnp():
+    """Accelerated MU (inner_iter > 1) inside the fused dense kernel: the
+    numerator is reused across x refinements, matching the jnp path."""
+    y, *_ = planted_nmf(seed=34, n_samples=70, n_channels=50, rank=4)
+    y = y.astype(np.float32)
+    rng = np.random.default_rng(35)
+    x0 = rng.uniform(0.1, 1.0, (70, 4)).astype(np.float32)
+    d0 = rng.uniform(0.1, 1.0, (4, 50)).astype(np.float32)
+    ref = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=12,
+                               inner_iter=3)
+    res = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=12,
+                               inner_iter=3, use_pallas=True,
+                               pallas_block_rows=16, _pallas_interpret=True)
+    assert rel_err(res.x, ref.x) < 1e-4
+    assert rel_err(res.d, ref.d) < 1e-4
+    # masked + inner_iter via Pallas stays rejected
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.nmf.solve(y, d0, x=x0, mask=np.ones_like(y),
+                             inner_iter=2, use_pallas=True)
+
+
 def test_auto_is_off_on_cpu():
     """'auto' must not enable Pallas on the CPU backend (no TPU kernels)."""
     y, *_ = planted_nmf(seed=8, n_samples=1100, n_channels=1000, rank=3)
