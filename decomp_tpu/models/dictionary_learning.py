@@ -147,11 +147,12 @@ def solve(
     rdt = real_dtype(dtype)
 
     from decomp_tpu.ops import pallas_lasso
+    from decomp_tpu.ops.pallas_mu import calibrated_tpu as _calibrated_tpu
 
     is_complex = jnp.issubdtype(dtype, jnp.complexfloating)
     if use_pallas == "auto":
         use_pallas = (
-            jax.default_backend() == "tpu"
+            _calibrated_tpu()
             and mask is not None
             and minibatch is None
             and not is_complex

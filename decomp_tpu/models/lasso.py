@@ -65,6 +65,7 @@ def solve(
     _pallas_interpret: bool = False,
     return_state: bool = False,
     momentum_state=None,
+    state=None,
 ) -> LassoResult:
     """Solve  min_x 0.5*||mask*(y - x@a)||^2 + alpha*||x||_1.
 
@@ -105,21 +106,45 @@ def solve(
         per-row arrays of shape (n_samples,). Methods ista / fista /
         acc_ista / parallel_cd. Default False = reference-parity global
         criterion (every row runs until the slowest converges).
-    use_pallas : True / False / 'auto'. MASKED problems only: compute the
-        gradient (mask*(x@a) - my) @ a^T with a fused Pallas kernel that
-        keeps the M x N masked reconstruction VMEM-resident instead of
-        materialising it in HBM each iteration (BASELINE.json:5). Inputs
-        are zero-padded once to the kernel's 128-alignment (a fixed point
-        of the iteration) and the solution sliced back. 'auto' enables it
-        on TPU for large real masked problems with gradient methods.
+    use_pallas : True / False / 'auto'. Two fused Pallas TPU paths exist:
+        - MASKED problems: compute the gradient (mask*(x@a) - my) @ a^T
+          with a fused kernel that keeps the M x N masked reconstruction
+          VMEM-resident instead of materialising it in HBM each iteration
+          (BASELINE.json:5).
+        - UNMASKED + ``per_problem=True``: the WHOLE solve runs inside
+          one kernel (ops.pallas_fista): the F x F Gram stays VMEM-
+          resident, each stripe of independent rows iterates entirely in
+          VMEM with per-row stopping, and HBM sees each row exactly once
+          — versus one small matmul plus a full pass over the iterates
+          per iteration in the jnp while_loop (VERDICT.md round-2 #1).
+          Requires real float32, a gradient method, scalar or per-feature
+          alpha, record_objective=False and precision 'highest' or 'high'
+          ('high' runs the gradient as three single-pass bf16 matmuls —
+          the manual bf16x3 decomposition — at ~3x the f32 rate).
+        Inputs are zero-padded once to the kernels' 128-alignment (a
+        fixed point of the iteration) and the solution sliced back.
+        'auto' enables either path on calibrated TPU generations for
+        large problems.
     return_state : momentum methods (fista / acc_ista) additionally return
         ``aux={"z": ..., "t": ...}`` — the Nesterov extrapolation point and
         per-row momentum scalars. Passing these back via ``momentum_state=
         (z, t)`` together with ``x=`` resumes the EXACT trajectory, so a
         chunked run (utils.checkpoint.checkpointed_solve) reproduces the
-        uninterrupted one bit-for-bit.
+        uninterrupted one bit-for-bit. Works with ``per_problem=True``
+        too: combine with the result's per-row ``converged``/``niter``
+        (the ``state`` dict below) so resumed rows stay frozen and row
+        iteration counts accumulate across chunks.
     momentum_state : optional (z, t) from a previous result's ``aux``;
         requires a warm start ``x`` and a momentum method.
+    state : optional dict resume form (supersedes ``momentum_state``):
+        keys among {"z", "t", "done", "niter"}. "z"/"t" are the momentum
+        pair (as in ``momentum_state``); "done"/"niter" are the per-row
+        converged mask and iteration counts from a previous
+        ``per_problem=True`` result (pass ``result.converged`` /
+        ``result.niter``) — resumed done rows never move again and the
+        returned per-row ``niter`` is cumulative, so a chunked
+        per-problem run reproduces the uninterrupted one exactly
+        (VERDICT.md round-2 Missing #5).
 
     Returns
     -------
@@ -132,6 +157,30 @@ def solve(
     if per_problem and method == "cd":
         raise DecompError("per_problem convergence does not support "
                           "method 'cd'")
+    pp_state = None
+    if state is not None:
+        if momentum_state is not None:
+            raise DecompError("pass either state= or momentum_state=, "
+                              "not both")
+        if not isinstance(state, dict):
+            raise DecompError("state must be a dict with keys among "
+                              "{'z', 't', 'done', 'niter'}")
+        unknown = set(state) - {"z", "t", "done", "niter"}
+        if unknown:
+            raise DecompError(f"unknown state keys {sorted(unknown)}")
+        if ("z" in state) != ("t" in state):
+            raise DecompError("state 'z' and 't' come as a pair (a "
+                              "momentum result's aux)")
+        if ("done" in state) != ("niter" in state):
+            raise DecompError("state 'done' and 'niter' come as a pair "
+                              "(a per_problem result's converged/niter)")
+        if "z" in state:
+            momentum_state = (state["z"], state["t"])
+        if "done" in state:
+            if not per_problem:
+                raise DecompError("state done/niter resume requires "
+                                  "per_problem=True")
+            pp_state = (state["done"], state["niter"])
     if momentum_state is not None:
         if method not in ("fista", "acc_ista"):
             raise DecompError("momentum_state applies to momentum methods "
@@ -139,11 +188,6 @@ def solve(
         if x is None:
             raise DecompError("momentum_state requires the warm start x "
                               "(the FISTA state is (x, z, t))")
-        if per_problem:
-            raise DecompError("momentum_state + per_problem resume is not "
-                              "supported")
-    if return_state and per_problem:
-        raise DecompError("return_state + per_problem is not supported")
 
     if complex_split == "auto":
         complex_split = (_is_complex_concrete(y, a)
@@ -211,27 +255,53 @@ def solve(
                               (y.shape[0],))
         mstate = (z0, t0)
 
-    from decomp_tpu.ops import pallas_lasso
+    ppstate = None
+    if pp_state is not None:
+        done0 = jnp.asarray(pp_state[0])
+        nit0 = jnp.asarray(pp_state[1])
+        if squeeze:
+            if done0.ndim == 0:
+                done0 = done0[None]
+            if nit0.ndim == 0:
+                nit0 = nit0[None]
+        assertion.assert_ndim("state done", done0, 1)
+        assertion.assert_axis_size("state done", done0, 0, y.shape[0],
+                                   "n_samples")
+        assertion.assert_ndim("state niter", nit0, 1)
+        assertion.assert_axis_size("state niter", nit0, 0, y.shape[0],
+                                   "n_samples")
+        ppstate = (done0.astype(bool), nit0.astype(jnp.int32))
+
+    from decomp_tpu.ops import pallas_fista, pallas_lasso
+    from decomp_tpu.ops.pallas_mu import calibrated_tpu as _calibrated_tpu
 
     grad_methods = ("ista", "fista", "acc_ista", "parallel_cd")
     is_complex = jnp.issubdtype(dtype, jnp.complexfloating)
+    f_pad128 = -(-n_features // 128) * 128
+    pallas_mode = None
     if use_pallas == "auto":
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and mask is not None
-            and method in grad_methods
-            and not is_complex
-            and y.shape[0] * y.shape[1] >= (1 << 20)
-            and pallas_lasso.auto_wins(-(-y.shape[1] // 128) * 128,
-                                       -(-n_features // 128) * 128,
-                                       dtype.itemsize)
-        )
-    use_pallas = bool(use_pallas)
-    if use_pallas:
-        if mask is None:
-            raise DecompError(
-                "use_pallas=True applies to masked problems only (the "
-                "unmasked gradient is already a single Gram matmul)")
+        if (mask is not None
+                and _calibrated_tpu()
+                and method in grad_methods
+                and not is_complex
+                and y.shape[0] * y.shape[1] >= (1 << 20)
+                and pallas_lasso.auto_wins(-(-y.shape[1] // 128) * 128,
+                                           f_pad128, dtype.itemsize)):
+            pallas_mode = "masked"
+        elif (mask is None
+                and per_problem
+                and _calibrated_tpu()
+                and method in grad_methods
+                and dtype == jnp.float32
+                and not record_objective
+                and precision in ("highest", "high")
+                and alpha.ndim <= 1
+                and y.shape[0] * n_features >= (1 << 18)
+                and pallas_fista.fits_vmem(
+                    f_pad128, method in ("fista", "acc_ista"),
+                    precision == "high")):
+            pallas_mode = "whole"
+    elif use_pallas:
         if method not in grad_methods:
             raise DecompError(
                 "use_pallas=True requires a gradient method "
@@ -239,7 +309,57 @@ def solve(
         if is_complex:
             raise DecompError("use_pallas=True does not support complex "
                               "dtypes (use complex_split)")
+        if mask is not None:
+            pallas_mode = "masked"
+        else:
+            # Whole-solve kernel: per-row stopping is intrinsic to its
+            # stripe-resident design (a global lock-step criterion cannot
+            # couple independently-retiring stripes).
+            if not per_problem:
+                raise DecompError(
+                    "use_pallas=True on unmasked problems runs the whole-"
+                    "solve kernel, which requires per_problem=True (each "
+                    "stripe of rows stops on its own; there is no global "
+                    "lock-step criterion). The unmasked global-criterion "
+                    "gradient is already a single Gram matmul.")
+            if dtype != jnp.float32:
+                raise DecompError("the whole-solve kernel requires "
+                                  f"float32 inputs, got {dtype}")
+            if record_objective:
+                raise DecompError("the whole-solve kernel cannot record "
+                                  "per-iteration objectives (iterations "
+                                  "never leave VMEM); use use_pallas="
+                                  "False for objective curves")
+            if precision not in ("highest", "high"):
+                raise DecompError("the whole-solve kernel supports "
+                                  "precision 'highest' or 'high' only")
+            if alpha.ndim > 1:
+                raise DecompError("the whole-solve kernel supports scalar "
+                                  "or per-feature alpha (per-sample "
+                                  "weights take the jnp path)")
+            pallas_mode = "whole"
 
+    if pallas_mode == "whole":
+        res = _solve_whole(
+            y, a, alpha, x, lip, jnp.asarray(tol, rdt),
+            None if mstate is None else mstate[0],
+            None if mstate is None else mstate[1],
+            None if ppstate is None else ppstate[0],
+            None if ppstate is None else ppstate[1],
+            method=method, maxiter=int(maxiter),
+            hi_lo=(precision == "high"),
+            block_rows=pallas_block_rows,
+            interpret=bool(_pallas_interpret),
+            return_state=bool(return_state))
+        if squeeze:
+            res = res._replace(x=res.x[0], niter=res.niter[0],
+                               converged=res.converged[0])
+            if res.aux is not None:
+                res = res._replace(aux={"z": res.aux["z"][0],
+                                        "t": res.aux["t"][0]})
+        return res
+
+    use_pallas = pallas_mode == "masked"
     orig_m, orig_f = y.shape[0], n_features
     if use_pallas:
         # Zero-pad once to the kernel's alignment; zero rows/features/
@@ -260,6 +380,11 @@ def solve(
             mstate = (pallas_lasso.pad2(mstate[0], m_pad, f_pad),
                       jnp.pad(mstate[1], (0, m_pad - orig_m),
                               constant_values=1.0))
+        if ppstate is not None:
+            # Padded rows resume "done" so they never iterate.
+            ppstate = (jnp.pad(ppstate[0], (0, m_pad - orig_m),
+                               constant_values=True),
+                       jnp.pad(ppstate[1], (0, m_pad - orig_m)))
 
     # 'highest' matmul precision: TPU's default bf16 MXU passes put a ~1e-3
     # noise floor under iterative convergence (see nmf.solve for details).
@@ -284,6 +409,7 @@ def solve(
             pallas_block_rows=pallas_block_rows if use_pallas else None,
             pallas_interpret=bool(_pallas_interpret),
             return_state=bool(return_state), momentum_state=mstate,
+            per_problem_state=ppstate,
         )
     if use_pallas:  # slice the alignment padding back off
         res = res._replace(x=res.x[:orig_m, :orig_f])
@@ -308,7 +434,7 @@ def build_solver(y, a, alpha, x, mask, lipschitz, *, method,
                  reduce_sum=None, per_problem=False, tol=None,
                  vary_rows=None, use_pallas=False, pallas_block_rows=None,
                  pallas_interpret=False, pallas_vma=None,
-                 momentum_init=None):
+                 momentum_init=None, per_problem_init=None):
     """Construct the iteration machinery for one lasso method.
 
     Returns ``(step, init, diff_fn, obj_fn)`` for ``run_iterations``. All
@@ -456,8 +582,17 @@ def build_solver(y, a, alpha, x, mask, lipschitz, *, method,
 
         else:
             tol_r = jnp.asarray(tol).astype(rdt)
-            done0 = jnp.zeros((n_rows,), bool)
-            nit0 = jnp.zeros((n_rows,), jnp.int32)
+            if per_problem_init is not None:
+                # Exact chunked resume (VERDICT.md round-2 Missing #5):
+                # previously-converged rows stay frozen and per-row
+                # counts accumulate, so a chunked run equals the
+                # uninterrupted one row-for-row. Single-device resume
+                # only (no vrows marking needed on caller inputs).
+                done0 = per_problem_init[0].astype(bool)
+                nit0 = per_problem_init[1].astype(jnp.int32)
+            else:
+                done0 = vrows(jnp.zeros((n_rows,), bool))
+                nit0 = vrows(jnp.zeros((n_rows,), jnp.int32))
 
             def row_done(x_old, x_cand):
                 # Per-row mirror of rel_change(...) < tol: the row freezes
@@ -484,7 +619,11 @@ def build_solver(y, a, alpha, x, mask, lipschitz, *, method,
                     nit_new = nit + jnp.logical_not(done).astype(jnp.int32)
                     return (x_new, z_new, t_new, done_new, nit_new)
 
-                init = (x, x, vrows(ones_t), vrows(done0), vrows(nit0))
+                if momentum_init is not None:
+                    init = (x, momentum_init[0], momentum_init[1],
+                            done0, nit0)
+                else:
+                    init = (x, x, vrows(ones_t), done0, nit0)
             else:
                 def step(state, it):
                     del it
@@ -495,13 +634,15 @@ def build_solver(y, a, alpha, x, mask, lipschitz, *, method,
                     nit_new = nit + jnp.logical_not(done).astype(jnp.int32)
                     return (x_new, done_new, nit_new)
 
-                init = (x, vrows(done0), vrows(nit0))
+                init = (x, done0, nit0)
 
             def diff_fn(old, new):
                 del old
-                # Count of rows still iterating, reduced across the mesh in
-                # the sharded path; the loop stops when it reaches 0
-                # (count < tol for any tol > 0).
+                # Count of rows still iterating, reduced across the mesh
+                # in the sharded path. Callers compare it against a FIXED
+                # loop threshold of 0.5 (count < 0.5 <=> count == 0), not
+                # the user tol — a degenerate tol > 1 must not stop the
+                # loop with unconverged rows (ADVICE round-2 #4).
                 return red(jnp.sum(jnp.logical_not(new[-2]).astype(rdt)))
 
         def obj_fn(state):
@@ -553,14 +694,20 @@ def _solve(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
            record_objective, check_every=1, per_problem=False,
            use_pallas=False, pallas_block_rows=None,
            pallas_interpret=False, return_state=False,
-           momentum_state=None):
+           momentum_state=None, per_problem_state=None):
     step, init, diff_fn, obj_fn = build_solver(
         y, a, alpha, x, mask, lipschitz, method=method,
         per_problem=per_problem, tol=tol, use_pallas=use_pallas,
         pallas_block_rows=pallas_block_rows,
-        pallas_interpret=pallas_interpret, momentum_init=momentum_state)
+        pallas_interpret=pallas_interpret, momentum_init=momentum_state,
+        per_problem_init=per_problem_state)
+    # per_problem's diff_fn returns the COUNT of unconverged rows; the
+    # loop threshold is then the fixed 0.5 (count == 0), never the user
+    # tol (ADVICE round-2 #4: tol > 1 must not stop early).
+    loop_tol = (jnp.asarray(0.5, real_dtype(y.dtype)) if per_problem
+                else tol)
     res = run_iterations(
-        step, init, tol=tol, maxiter=maxiter, diff_fn=diff_fn,
+        step, init, tol=loop_tol, maxiter=maxiter, diff_fn=diff_fn,
         objective_fn=obj_fn, record_objective=record_objective,
         check_every=check_every,
     )
@@ -569,10 +716,107 @@ def _solve(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
         aux = {"z": res.state[1], "t": res.state[2]}
     if per_problem:
         return LassoResult(x=res.state[0], niter=res.state[-1],
-                           converged=res.state[-2], objective=res.objective)
+                           converged=res.state[-2],
+                           objective=res.objective, aux=aux)
     return LassoResult(x=res.state[0], niter=res.niter,
                        converged=res.converged, objective=res.objective,
                        aux=aux)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("method", "maxiter", "hi_lo", "block_rows",
+                              "interpret", "return_state")
+)
+def _solve_whole(y, a, alpha, x, lipschitz, tol, z0, t0, done0, nit0, *,
+                 method, maxiter, hi_lo, block_rows, interpret,
+                 return_state):
+    """Whole-solve Pallas path (unmasked batch, per-problem stopping):
+    the ENTIRE batched proximal-gradient solve runs inside
+    ``ops.pallas_fista.solve_rows`` (VERDICT.md round-2 Next #1). The
+    Gram/projection/step-size precompute always runs at 'highest' (it is
+    one-off and sets the fixed point); the iteration precision is the
+    static ``hi_lo`` flag (False = f32-exact dots, True = manual bf16x3).
+    """
+    from decomp_tpu.ops import pallas_fista
+
+    f32 = jnp.float32
+    m = y.shape[0]
+    f = a.shape[0]
+    tiny = jnp.asarray(jnp.finfo(f32).tiny, f32)
+    with jax.default_matmul_precision("highest"):
+        ah = a.T
+        gram = a @ ah
+        yah = y @ ah
+        feat_vecs = (method == "parallel_cd"
+                     or jnp.asarray(alpha).ndim == 1)
+        if method == "parallel_cd":
+            # Same diagonally-preconditioned step as build_solver.
+            diag = jnp.maximum(jnp.diagonal(gram), tiny)
+            scale = 1.0 / jnp.sqrt(diag)
+            ngram = (scale[:, None] * gram * scale[None, :]).astype(f32)
+            theta = 1.0 / spectral_norm_psd(ngram)
+            stepsz = (theta / diag).astype(f32)                    # (f,)
+        else:
+            lip = (spectral_norm_psd(gram) if lipschitz is None
+                   else lipschitz)
+            stepsz = (1.0 / lip).astype(f32)                     # scalar
+            if feat_vecs:
+                stepsz = jnp.broadcast_to(stepsz, (f,))
+    thresh = jnp.asarray(alpha, f32) * stepsz      # scalar or (f,)
+
+    momentum = method in ("fista", "acc_ista")
+    f_pad = -(-f // 128) * 128
+    br = block_rows or pallas_fista.default_block_rows(f_pad, momentum,
+                                                       hi_lo)
+    br = min(br, -(-m // 16) * 16)
+    m_pad = -(-m // br) * br
+
+    def pad(v, rows, cols):
+        return jnp.pad(v, ((0, rows - v.shape[0]),
+                           (0, cols - v.shape[1])))
+
+    # Zero padding is a fixed point: padded features carry zero Gram
+    # rows/cols, zero step and zero threshold (so they stay exactly 0);
+    # padded rows carry zero data and START done, so they never iterate
+    # and never hold a stripe open.
+    gram_p = pad(gram.astype(f32), f_pad, f_pad)
+    yah_p = pad(yah.astype(f32), m_pad, f_pad)
+    x0 = jnp.zeros((m, f), f32) if x is None else x.astype(f32)
+    x0_p = pad(x0, m_pad, f_pad)
+    z0_p = x0_p if z0 is None else pad(z0.astype(f32), m_pad, f_pad)
+    t0_v = (jnp.ones((m, 1), f32) if t0 is None
+            else t0.reshape(m, 1).astype(f32))
+    d0_v = (jnp.zeros((m, 1), f32) if done0 is None
+            else done0.reshape(m, 1).astype(f32))
+    n0_v = (jnp.zeros((m, 1), f32) if nit0 is None
+            else nit0.reshape(m, 1).astype(f32))
+    t0_p = jnp.pad(t0_v, ((0, m_pad - m), (0, 0)), constant_values=1.0)
+    d0_p = jnp.pad(d0_v, ((0, m_pad - m), (0, 0)), constant_values=1.0)
+    n0_p = jnp.pad(n0_v, ((0, m_pad - m), (0, 0)))
+    if feat_vecs:
+        # Padded features carry zero step/threshold (and zero Gram/yah),
+        # so they stay exactly 0.
+        step_p = jnp.pad(stepsz, (0, f_pad - f))[None, :]
+        thr_p = jnp.pad(thresh, (0, f_pad - f))[None, :]
+    else:
+        # Scalar fast path (SMEM): padded features see the real scalar
+        # step/threshold, but their gradient is identically zero (zero
+        # Gram rows, zero yah) so soft-thresholding keeps them at 0.
+        step_p, thr_p = stepsz, thresh
+
+    x_out, z_out, t_out, done, nit = pallas_fista.solve_rows(
+        yah_p, gram_p, x0_p, z0_p, t0_p, d0_p, n0_p, step_p, thr_p,
+        jnp.asarray(tol, f32), momentum=momentum,
+        restart=(method == "acc_ista"), maxiter=maxiter, block_rows=br,
+        hi_lo=hi_lo, interpret=interpret)
+
+    aux = None
+    if return_state and momentum:
+        aux = {"z": z_out[:m, :f], "t": t_out[:m, 0]}
+    return LassoResult(
+        x=x_out[:m, :f], niter=nit[:m, 0],
+        converged=done[:m, 0] > 0.5,
+        objective=jnp.zeros((0,), f32), aux=aux)
 
 
 def _is_complex_concrete(y, a) -> bool:
@@ -817,8 +1061,10 @@ def _solve_split(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
             del old
             return jnp.sum(jnp.logical_not(new[-2]).astype(rdt))
 
+    # Fixed 0.5 loop threshold for the per-problem count (ADVICE r2 #4).
+    loop_tol = jnp.asarray(0.5, rdt) if per_problem else tol
     res = run_iterations(
-        step, init, tol=tol, maxiter=maxiter, diff_fn=diff_fn,
+        step, init, tol=loop_tol, maxiter=maxiter, diff_fn=diff_fn,
         objective_fn=lambda s: objective(s[0]),
         record_objective=record_objective, check_every=check_every,
     )

@@ -173,6 +173,7 @@ def solve(
         # kernel's k x n residents must fit Mosaic's scoped VMEM (f32 at
         # headline width n~10k does NOT; measured envelope in pallas_mu).
         from decomp_tpu.ops import pallas_mu as _pmu
+        from decomp_tpu.ops.pallas_mu import calibrated_tpu as _calibrated_tpu
 
         # KL and HALS keep TWO k x n f32 residents even when dense (stat
         # accumulator + output), like the masked MU kernel. HALS is NOT
@@ -183,7 +184,7 @@ def solve(
         # still opts in.
         kl_like = method in ("kl-mu", "hals") or mask is not None
         use_pallas = (
-            jax.default_backend() == "tpu"
+            _calibrated_tpu()
             and minibatch is None
             and method in ("mu", "kl-mu")
             and (inner_iter == 1 or (method == "mu" and mask is None))

@@ -42,6 +42,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_CALIBRATED_KINDS = ("v5 lite", "v5e")
+
+
+def calibrated_tpu() -> bool:
+    """True when the default backend is a TPU generation these kernels'
+    VMEM envelopes were measured on (ADVICE round-2 #1).
+
+    The ``fits_vmem`` / ``auto_wins`` frontiers here and in pallas_lasso /
+    pallas_fista encode v5e Mosaic scoped-VMEM measurements; on a
+    generation with a different limit a mis-sized kernel config fails to
+    COMPILE (VMEM OOM) instead of falling back. ``use_pallas='auto'``
+    therefore requires a calibrated generation — unrecognised ones take
+    the XLA path, and explicit ``use_pallas=True`` still opts in."""
+    if jax.default_backend() != "tpu":
+        return False
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:  # pragma: no cover - device enumeration failure
+        return False
+    return any(k in kind for k in _CALIBRATED_KINDS)
+
+
 def _dot_precision(dtype):
     """Kernels must pin their dot precision: Mosaic rejects both the
     intermediate 'high' (bf16x3) mode and an fp32 contract precision on
@@ -115,9 +137,15 @@ def _dense_kernel(prec, inner, eps_ref, ddt_ref, y_ref, x_ref, d_ref,
     num_x = jax.lax.dot_general(
         y_i, d_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec)
+    # ddt quantises to the compute dtype at use, matching the jnp path's
+    # _update_x_mixed (ddt.astype(cdt)): both paths then run exact
+    # products of IDENTICALLY-quantised operands with f32 accumulation,
+    # so jnp/Pallas mixed trajectories agree to matmul reduction order
+    # (ADVICE round-2 #2). No-op for same-dtype solves.
+    ddt_c = ddt_ref[:].astype(cdt)
     x_new_f = x_i.astype(jnp.float32)
     for _ in range(inner):
-        den_x = jnp.dot(x_new_f.astype(cdt), ddt_ref[:], precision=prec,
+        den_x = jnp.dot(x_new_f.astype(cdt), ddt_c, precision=prec,
                         preferred_element_type=jnp.float32)
         x_new_f = x_new_f * num_x / (den_x + eps)
     x_new = x_new_f.astype(x_i.dtype)

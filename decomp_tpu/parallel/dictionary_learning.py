@@ -85,12 +85,13 @@ def solve(
     rdt = real_dtype(dtype)
 
     from decomp_tpu.ops import pallas_lasso
+    from decomp_tpu.ops.pallas_mu import calibrated_tpu as _calibrated_tpu
 
     is_complex = jnp.issubdtype(dtype, jnp.complexfloating)
     n_dev_rows = mesh.shape[axis]
     if use_pallas == "auto":
         use_pallas = (
-            jax.default_backend() == "tpu"
+            _calibrated_tpu()
             and mask is not None
             and not is_complex
             and (y.shape[0] // n_dev_rows) * y.shape[1] >= (1 << 20)

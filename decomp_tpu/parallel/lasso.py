@@ -103,13 +103,14 @@ def solve(
     lip = None if lipschitz is None else jnp.asarray(lipschitz, rdt)
 
     from decomp_tpu.ops import pallas_lasso
+    from decomp_tpu.ops.pallas_mu import calibrated_tpu as _calibrated_tpu
 
     grad_methods = ("ista", "fista", "acc_ista", "parallel_cd")
     is_complex = jnp.issubdtype(dtype, jnp.complexfloating)
     n_dev_rows = mesh.shape[axis]
     if use_pallas == "auto":
         use_pallas = (
-            jax.default_backend() == "tpu"
+            _calibrated_tpu()
             and mask is not None
             and method in grad_methods
             and not is_complex
@@ -192,8 +193,13 @@ def _solve_sharded(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
             pallas_interpret=pallas_interpret,
             pallas_vma=frozenset({axis}) if use_pallas else None,
         )
+        # per_problem's diff_fn is the unconverged-row count: compare it
+        # against the fixed 0.5 (count == 0), not the user tol
+        # (ADVICE round-2 #4).
+        loop_tol = (jnp.asarray(0.5, real_dtype(dtype)) if per_problem
+                    else tol_)
         res = run_iterations(
-            step, init, tol=tol_, maxiter=maxiter, diff_fn=diff_fn,
+            step, init, tol=loop_tol, maxiter=maxiter, diff_fn=diff_fn,
             objective_fn=obj_fn, record_objective=record_objective,
         )
         x_out = res.state[0]

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from decomp_tpu.ops import pallas_mu
+from decomp_tpu.ops.pallas_mu import calibrated_tpu as _calibrated_tpu
 
 from decomp_tpu.models.nmf import (
     _hals_d_pass,
@@ -154,7 +155,7 @@ def solve(
         # composition (see models.nmf); explicit opt-in remains.
         kl_like = method in ("kl-mu", "hals") or mask is not None
         use_pallas = (
-            jax.default_backend() == "tpu"
+            _calibrated_tpu()
             and method in ("mu", "kl-mu")
             and col_axis is None
             and (method == "mu" or factor_dtype is None)

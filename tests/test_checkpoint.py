@@ -180,3 +180,43 @@ def test_exhausted_budget_raises(tmp_path):
     with pytest.raises(RuntimeError):
         checkpointed_solve(decomp_tpu.nmf.solve, y, manager=mgr,
                            chunk_iters=10, maxiter=10, tol=0.0, d=d0, x=x0)
+
+
+@pytest.mark.parametrize("method", ["ista", "fista"])
+def test_chunked_per_problem_matches_straight(tmp_path, method):
+    """checkpointed_solve + per_problem + state dict: chunked runs equal
+    the uninterrupted one per-row — frozen rows stay frozen across chunk
+    boundaries and the cumulative per-row niter matches (VERDICT.md
+    round-2 Missing #5 / ADVICE #3)."""
+    rng = np.random.default_rng(40)
+    a = (rng.normal(size=(24, 32)) / np.sqrt(32)).astype(np.float32)
+    xt = (rng.normal(size=(10, 24))
+          * (rng.random((10, 24)) < 0.3)).astype(np.float32)
+    y = (xt @ a + 0.01 * rng.normal(size=(10, 32))).astype(np.float32)
+    straight = decomp_tpu.lasso.solve(y, a, 0.02, tol=2e-4, maxiter=400,
+                                      method=method, per_problem=True)
+    # mixed-difficulty check: some rows converge well before others
+    nit_s = np.asarray(straight.niter)
+    assert nit_s.min() < nit_s.max()
+    mgr = CheckpointManager(str(tmp_path / "pp"))
+    res, total = checkpointed_solve(
+        decomp_tpu.lasso.solve, y, a, 0.02, manager=mgr, chunk_iters=60,
+        maxiter=400, tol=2e-4, method=method, per_problem=True,
+        warm_fields=("x",))
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(straight.x))
+    np.testing.assert_array_equal(np.asarray(res.niter), nit_s)
+    # the budget charged equals the loop iterations a straight run does
+    assert total == int(nit_s.max())
+    # interruption mid-run, fresh session resumes per-row
+    mgr2 = CheckpointManager(str(tmp_path / "pp2"))
+    checkpointed_solve(
+        decomp_tpu.lasso.solve, y, a, 0.02, manager=mgr2, chunk_iters=60,
+        maxiter=120, tol=2e-4, method=method, per_problem=True,
+        warm_fields=("x",))
+    res2, total2 = checkpointed_solve(
+        decomp_tpu.lasso.solve, y, a, 0.02, manager=mgr2, chunk_iters=60,
+        maxiter=400, tol=2e-4, method=method, per_problem=True,
+        warm_fields=("x",))
+    np.testing.assert_array_equal(np.asarray(res2.x),
+                                  np.asarray(straight.x))
+    np.testing.assert_array_equal(np.asarray(res2.niter), nit_s)

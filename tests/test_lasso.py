@@ -285,3 +285,159 @@ def test_validation_errors():
     with pytest.raises(decomp_tpu.utils.DecompError):
         decomp_tpu.lasso.solve(y, a, ALPHA, method="cd",
                                mask=np.ones_like(y))
+
+
+# ---------------------------------------------------------------------------
+# Whole-solve Pallas kernel (ops.pallas_fista; VERDICT.md round-2 Next #1)
+# and per-problem exact resume (Missing #5). Interpret mode on CPU.
+# ---------------------------------------------------------------------------
+
+def _whole_problem(m=320, f=256, n=160, seed=50):
+    """Padding-free shape for the whole-solve kernel (F % 128 == 0 and one
+    row stripe), so interpret-mode results are BIT-EXACT vs the jnp path
+    (padding only changes fp reduction lengths)."""
+    rng = np.random.default_rng(seed)
+    a = (rng.normal(size=(f, n)) / np.sqrt(n)).astype(np.float32)
+    xt = (rng.normal(size=(m, f))
+          * (rng.random((m, f)) < 0.1)).astype(np.float32)
+    y = (xt @ a + 0.01 * rng.normal(size=(m, n))).astype(np.float32)
+    return y, a
+
+
+@pytest.mark.parametrize("method", ["ista", "fista", "acc_ista",
+                                    "parallel_cd"])
+def test_whole_kernel_matches_jnp_bitexact(method):
+    y, a = _whole_problem()
+    ref = decomp_tpu.lasso.solve(y, a, 0.05, method=method, tol=1e-5,
+                                 maxiter=300, per_problem=True,
+                                 use_pallas=False)
+    ker = decomp_tpu.lasso.solve(y, a, 0.05, method=method, tol=1e-5,
+                                 maxiter=300, per_problem=True,
+                                 use_pallas=True, _pallas_interpret=True)
+    np.testing.assert_array_equal(np.asarray(ker.x), np.asarray(ref.x))
+    np.testing.assert_array_equal(np.asarray(ker.niter),
+                                  np.asarray(ref.niter))
+    np.testing.assert_array_equal(np.asarray(ker.converged),
+                                  np.asarray(ref.converged))
+
+
+def test_whole_kernel_padded_shape_close():
+    """Padded M/F change fp reduction lengths, so parity is tol-level (a
+    few rows may stop one iteration apart), not bitwise."""
+    y, a = _whole_problem(m=300, f=200, n=160, seed=51)
+    ref = decomp_tpu.lasso.solve(y, a, 0.05, method="fista", tol=1e-5,
+                                 maxiter=300, per_problem=True,
+                                 use_pallas=False)
+    ker = decomp_tpu.lasso.solve(y, a, 0.05, method="fista", tol=1e-5,
+                                 maxiter=300, per_problem=True,
+                                 use_pallas=True, _pallas_interpret=True)
+    assert rel_err(ker.x, ref.x) < 1e-3
+    nit_ref = np.asarray(ref.niter)
+    nit_ker = np.asarray(ker.niter)
+    assert np.mean(nit_ref == nit_ker) > 0.9
+
+
+def test_whole_kernel_feature_alpha():
+    y, a = _whole_problem()
+    alpha = np.linspace(0.01, 0.1, a.shape[0]).astype(np.float32)
+    ref = decomp_tpu.lasso.solve(y, a, alpha, method="fista", tol=1e-5,
+                                 maxiter=300, per_problem=True,
+                                 use_pallas=False)
+    ker = decomp_tpu.lasso.solve(y, a, alpha, method="fista", tol=1e-5,
+                                 maxiter=300, per_problem=True,
+                                 use_pallas=True, _pallas_interpret=True)
+    np.testing.assert_array_equal(np.asarray(ker.x), np.asarray(ref.x))
+
+
+def test_whole_kernel_validation():
+    y, a = _whole_problem()
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        # unmasked use_pallas requires per_problem
+        decomp_tpu.lasso.solve(y, a, 0.05, method="fista",
+                               use_pallas=True)
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.lasso.solve(y, a, 0.05, method="cd", per_problem=True,
+                               use_pallas=True)
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.lasso.solve(y.astype(np.float64), a.astype(np.float64),
+                               0.05, method="fista", per_problem=True,
+                               use_pallas=True)
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.lasso.solve(y, a, 0.05, method="fista",
+                               per_problem=True, record_objective=True,
+                               use_pallas=True)
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+@pytest.mark.parametrize("method", ["ista", "fista", "acc_ista"])
+def test_per_problem_state_exact_resume(method, use_pallas):
+    """state= dict resume: chunked per-problem solves reproduce the
+    uninterrupted one row-for-row — converged rows stay frozen and niter
+    accumulates (VERDICT.md round-2 Missing #5)."""
+    y, a = _whole_problem(seed=52)
+    kw = dict(method=method, tol=2e-4, per_problem=True,
+              use_pallas=use_pallas)
+    if use_pallas:
+        kw["_pallas_interpret"] = True
+    straight = decomp_tpu.lasso.solve(y, a, 0.05, maxiter=200,
+                                      return_state=True, **kw)
+    # adaptive split so SOME (not all) rows are converged at the chunk
+    # boundary: midpoint of the straight run's per-row stopping range
+    nit_s = np.asarray(straight.niter)
+    assert nit_s.min() < nit_s.max()
+    first = int(nit_s.min() + nit_s.max()) // 2
+    r1 = decomp_tpu.lasso.solve(y, a, 0.05, maxiter=first,
+                                return_state=True, **kw)
+    st = {"done": r1.converged, "niter": r1.niter}
+    if r1.aux is not None:
+        st["z"] = r1.aux["z"]
+        st["t"] = r1.aux["t"]
+    r2 = decomp_tpu.lasso.solve(y, a, 0.05, x=r1.x, maxiter=200 - first,
+                                state=st, **kw)
+    del nit_s
+    # the straight run converges some rows mid-flight, so the resume path
+    # is genuinely exercised
+    assert 0 < int(np.sum(np.asarray(r1.converged))) < y.shape[0]
+    np.testing.assert_array_equal(np.asarray(r2.x), np.asarray(straight.x))
+    np.testing.assert_array_equal(np.asarray(r2.niter),
+                                  np.asarray(straight.niter))
+    np.testing.assert_array_equal(np.asarray(r2.converged),
+                                  np.asarray(straight.converged))
+
+
+def test_per_problem_degenerate_tol_still_exact():
+    """ADVICE round-2 #4: the per-problem loop must compare the
+    unconverged-row COUNT against zero, never the user tol — a tol > 1
+    with a hostile warm start must not stop the loop with unconverged
+    rows un-frozen."""
+    rng = np.random.default_rng(53)
+    a = rng.normal(size=(16, 24)).astype(np.float32)
+    y = rng.normal(size=(6, 24)).astype(np.float32)
+    x0 = 100.0 * rng.normal(size=(6, 16)).astype(np.float32)
+    res = decomp_tpu.lasso.solve(y, a, 0.05, x=x0, tol=1.5, maxiter=100,
+                                 method="fista", per_problem=True)
+    # every row's niter must equal its own single-row solve at the same
+    # degenerate tol (freeze semantics intact)
+    for i in range(y.shape[0]):
+        single = decomp_tpu.lasso.solve(y[i], a, 0.05, x=x0[i], tol=1.5,
+                                        maxiter=100, method="fista",
+                                        per_problem=True)
+        assert int(np.asarray(res.niter)[i]) == int(np.asarray(single.niter))
+
+
+def test_state_validation():
+    y, a = _whole_problem()
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.lasso.solve(y, a, 0.05, method="fista",
+                               state={"bogus": 1})
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        # done/niter without per_problem
+        decomp_tpu.lasso.solve(
+            y, a, 0.05, method="fista",
+            state={"done": np.zeros(y.shape[0], bool),
+                   "niter": np.zeros(y.shape[0], np.int32)})
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        # z without t
+        decomp_tpu.lasso.solve(y, a, 0.05, method="fista",
+                               state={"z": np.zeros((y.shape[0],
+                                                     a.shape[0]))})

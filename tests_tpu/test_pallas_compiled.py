@@ -188,3 +188,56 @@ def test_masked_lasso_solve_pallas_compiled():
                                  maxiter=20, method="fista", lipschitz=lip,
                                  use_pallas=True)
     assert _rel(res.x, ref.x) < 1e-4
+
+
+@requires_tpu
+@pytest.mark.parametrize("method", ["fista", "acc_ista", "ista",
+                                    "parallel_cd"])
+def test_whole_solve_fista_compiled(method):
+    """Whole-solve batched FISTA kernel (ops.pallas_fista) vs the jnp
+    per_problem path, compiled through Mosaic."""
+    import decomp_tpu
+
+    rng = np.random.default_rng(60)
+    m, f, n = 512, 256, 160
+    a = (rng.normal(size=(f, n)) / np.sqrt(n)).astype(np.float32)
+    xt = (rng.normal(size=(m, f)) * (rng.random((m, f)) < 0.1)
+          ).astype(np.float32)
+    y = (xt @ a + 0.01 * rng.normal(size=(m, n))).astype(np.float32)
+    ker = decomp_tpu.lasso.solve(y, a, 0.05, method=method, tol=1e-5,
+                                 maxiter=400, per_problem=True,
+                                 use_pallas=True)
+    ref = decomp_tpu.lasso.solve(y, a, 0.05, method=method, tol=1e-5,
+                                 maxiter=400, per_problem=True,
+                                 use_pallas=False)
+    assert _rel(ker.x, ref.x) < 1e-4
+    nit_k = np.asarray(ker.niter)
+    nit_r = np.asarray(ref.niter)
+    # fp reduction-order differences flip a few stopping boundaries
+    assert np.mean(nit_k == nit_r) > 0.95
+    assert np.asarray(ker.converged).all()
+
+
+@requires_tpu
+def test_whole_solve_fista_high_compiled():
+    """bf16x3 (hi_lo) mode: the bitmask-truncation split must survive
+    --xla_allow_excess_precision (a round-trip split degrades to
+    single-pass bf16 and blows the iteration count ~4x — measured)."""
+    import decomp_tpu
+
+    rng = np.random.default_rng(61)
+    m, f, n = 512, 256, 160
+    a = (rng.normal(size=(f, n)) / np.sqrt(n)).astype(np.float32)
+    xt = (rng.normal(size=(m, f)) * (rng.random((m, f)) < 0.1)
+          ).astype(np.float32)
+    y = (xt @ a + 0.01 * rng.normal(size=(m, n))).astype(np.float32)
+    hi = decomp_tpu.lasso.solve(y, a, 0.05, method="fista", tol=1e-4,
+                                maxiter=2000, per_problem=True,
+                                use_pallas=True, precision="high")
+    ref = decomp_tpu.lasso.solve(y, a, 0.05, method="fista", tol=1e-4,
+                                 maxiter=2000, per_problem=True,
+                                 use_pallas=False, precision="highest")
+    assert _rel(hi.x, ref.x) < 1e-2
+    # the iteration counts stay in the f32 regime (the degraded
+    # single-pass mode needs ~4x more to cross the same tol)
+    assert np.asarray(hi.niter).mean() < 1.5 * np.asarray(ref.niter).mean()
