@@ -220,6 +220,11 @@ def config3_dictionary_learning(small):
     curve_res = run(record_objective=True)
     _force(curve_res)
     res, t = _best_of(run)
+    # precision='high' line: measured to reach the identical objective at
+    # this config (bf16x3 inner matmuls), ~1.24x faster wall-clock. The
+    # whole-solve sparse-coding kernel measurably LOSES here (see
+    # models.dictionary_learning) — the jnp path IS the fast path.
+    res_hi, t_hi = _best_of(lambda: run(precision="high"))
     # Per outer iteration (default 'highest' f32): lasso_iter inner FISTA
     # steps at one (M, A) x (A, A) grad matmul each, plus the sparse-code
     # statistics A = x^H x (2 M A^2), B = x^H y (2 M A N) and the O(A^2 N)
@@ -231,6 +236,8 @@ def config3_dictionary_learning(small):
                  + 2.0 * n_atoms * n_atoms * n_ch)
     return _emit("c3_dictlearn_8x8_256atoms", curve_res.objective, t, res,
                  {"precision": "highest",
+                  "high_wall_s": round(t_hi, 4),
+                  "high_niter": int(res_hi.niter),
                   **_roofline(per_outer * niter, t)})
 
 
@@ -269,6 +276,26 @@ def config4_masked_nmf(small):
              **_roofline(useful, t)}
     padded = _roofline(12.0 * m * n * k_pad * niter, t)
     extra["frac_of_peak_padded_rank"] = padded["frac_of_peak"]
+
+    # masked_completion preset: mixed operating point (bf16 data / f32
+    # factors through the fused kernel) + held-out plateau stopping —
+    # the recommended completion path (VERDICT.md round-2 Next #2/#5).
+    def run_mc():
+        return decomp_tpu.nmf.masked_completion(
+            ym, mask, rank=k, tol=1e-4, maxiter=4000, random_seed=4)
+
+    mc, t_mc = _best_of(run_mc)
+    recon_mc = np.asarray(mc.x, np.float64) @ np.asarray(mc.d, np.float64)
+    ho_mc = float(np.linalg.norm(recon_mc[miss] - ynp[miss])
+                  / np.linalg.norm(ynp[miss]))
+    extra.update({
+        "completion_wall_s": round(t_mc, 4),
+        "completion_niter": int(mc.niter),
+        "completion_converged": bool(mc.converged),
+        "completion_heldout_rel_err": round(
+            float(np.asarray(mc.aux["heldout_rel_err"])), 6),
+        "completion_true_missing_rel_err": round(ho_mc, 6),
+    })
     return _emit("c4_masked_nmf_100kx1k_r50", curve_res.objective, t, res,
                  extra)
 

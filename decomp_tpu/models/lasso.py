@@ -730,6 +730,17 @@ def _solve(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
 def _solve_whole(y, a, alpha, x, lipschitz, tol, z0, t0, done0, nit0, *,
                  method, maxiter, hi_lo, block_rows, interpret,
                  return_state):
+    """jit entry for :func:`_whole_core` (kept separate so dictionary
+    learning can trace the core inside its own outer while_loop)."""
+    return _whole_core(y, a, alpha, x, lipschitz, tol, z0, t0, done0,
+                       nit0, method=method, maxiter=maxiter, hi_lo=hi_lo,
+                       block_rows=block_rows, interpret=interpret,
+                       return_state=return_state)
+
+
+def _whole_core(y, a, alpha, x, lipschitz, tol, z0, t0, done0, nit0, *,
+                method, maxiter, hi_lo, block_rows, interpret,
+                return_state):
     """Whole-solve Pallas path (unmasked batch, per-problem stopping):
     the ENTIRE batched proximal-gradient solve runs inside
     ``ops.pallas_fista.solve_rows`` (VERDICT.md round-2 Next #1). The

@@ -36,6 +36,9 @@ class NMFResult(NamedTuple):
     niter: jax.Array
     converged: jax.Array
     objective: jax.Array
+    aux: Optional[Any] = None  # stop='heldout': {"heldout_rel_err":
+                          # scalar} — the final relative reconstruction
+                          # error on the reserved validation entries
 
 
 class DictionaryLearningResult(NamedTuple):
