@@ -513,6 +513,30 @@ def mu_update_dense(y, x, d, eps, *, block_rows=None, interpret=False,
     updates never round through bf16 storage. ``x`` may likewise be f32
     with bf16 ``y`` (in-kernel casts feed the MXU).
     """
+    x_new, numd, gram = mu_stats_dense(
+        y, x, d, eps, block_rows=block_rows, interpret=interpret,
+        vma=vma, inner_iter=inner_iter)
+    if psum is not None:
+        numd, gram = psum(numd), psum(gram)
+    eps32 = jnp.asarray(eps, jnp.float32).reshape(1)
+    d_epi = d if d_master is None else d_master
+    den_d = jnp.dot(gram, d_epi.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    d_new = (d_epi.astype(jnp.float32) * numd / (den_d + eps32[0])).astype(
+        d_epi.dtype)
+    return x_new, d_new
+
+
+def mu_stats_dense(y, x, d, eps, *, block_rows=None, interpret=False,
+                   vma=None, inner_iter=1):
+    """The fused dense-MU kernel WITHOUT the d epilogue: one pass over
+    ``y`` returns (x_new, numd, gram) where numd = x_new^T y (K, N) and
+    gram = x_new^T x_new (K, K) are the d-update sufficient statistics.
+    Streaming/out-of-core callers (nmf_streaming's fused epoch)
+    accumulate these across chunks and apply one d update per epoch —
+    the jnp chunk step would read each chunk TWICE (x-update pass +
+    stats pass), which at pod scale is the HBM roofline."""
     m, n = y.shape
     k = d.shape[0]
     if block_rows is None:
@@ -565,16 +589,7 @@ def mu_update_dense(y, x, d, eps, *, block_rows=None, interpret=False,
         ),
         interpret=interpret,
     )(eps32, ddt, y, x, d)
-
-    if psum is not None:
-        numd, gram = psum(numd), psum(gram)
-    d_epi = d if d_master is None else d_master
-    den_d = jnp.dot(gram, d_epi.astype(jnp.float32),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-    d_new = (d_epi.astype(jnp.float32) * numd / (den_d + eps32[0])).astype(
-        d_epi.dtype)
-    return x_new, d_new
+    return x_new, numd, gram
 
 
 def mu_update_masked(my, mask, x, d, eps, *, block_rows=None,
