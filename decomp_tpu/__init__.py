@@ -22,19 +22,21 @@ sync per iteration); masked hot paths have fused Pallas TPU kernels.
 
 from decomp_tpu.models import dictionary_learning, lasso, nmf
 from decomp_tpu import parallel
+from decomp_tpu.ops.complex_split import SplitComplex
 from decomp_tpu.utils.result import (
     DictionaryLearningResult,
     LassoResult,
     NMFResult,
 )
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "lasso",
     "nmf",
     "dictionary_learning",
     "parallel",
+    "SplitComplex",
     "LassoResult",
     "NMFResult",
     "DictionaryLearningResult",

@@ -218,9 +218,12 @@ def solve(
     use_pallas = bool(use_pallas)
     if use_pallas and minibatch is not None:
         raise DecompError("use_pallas=True is incompatible with minibatch")
-    if use_pallas and method not in ("mu", "kl-mu", "hals"):
-        raise DecompError("use_pallas=True supports methods "
-                          "'mu'/'kl-mu'/'hals'")
+    if use_pallas and method not in ("mu", "kl-mu"):
+        raise DecompError(
+            "use_pallas=True supports methods 'mu'/'kl-mu' (the fused "
+            "HALS x-pass kernel was removed: its one-hot Gauss-Seidel "
+            "sweeps measurably lose to the XLA composition and cannot "
+            "win at rank <= 128 — see ops.pallas_mu)")
     if use_pallas and method != "mu" and factor_dtype is not None:
         raise DecompError(f"use_pallas=True with method={method!r} does "
                           "not support factor_dtype")
@@ -544,14 +547,7 @@ def _solve_pallas(my, d, x, mask, tol, eps, *, maxiter, method="mu",
     # compute-dtype copy of d to the kernel, update the full-precision
     # master in the epilogue. Same-dtype solves hit no-op casts.
     cdt = my_p.dtype
-    if method == "hals":
-        def step(state, it):
-            del it
-            x_, d_ = state
-            x_new, gram, e = pallas_mu.hals_x_update(
-                my_p, x_, d_, block_rows=block_rows, interpret=interpret)
-            return (x_new, _hals_d_pass(gram, e, d_))
-    elif method == "kl-mu":
+    if method == "kl-mu":
         if mask is None:
             def step(state, it):
                 del it

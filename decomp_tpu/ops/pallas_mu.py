@@ -327,157 +327,19 @@ def _kl_masked_kernel(prec, eps_ref, my_ref, mask_ref, x_ref, d_ref,
         dend_ref[:] = dend_acc[:]
 
 
-def _hals_x_kernel(prec, scal_ref, a_ref, diag_ref, my_ref, x_ref, d_ref,
-                   xout_ref, e_ref, gram_ref, e_acc, gram_acc):
-    """Fused HALS x-pass (projected Gauss-Seidel over components) plus the
-    d-pass sufficient statistics, in one data pass.
-
-    Per stripe: B = my @ d.T and C = x @ A (A = d d^T) hit the MXU once;
-    the K sequential component updates are rank-1 VMEM operations
-    (delta_k = [x_k + (B_k - C_k)/A_kk]_+ - x_k;  C += delta_k (x) A_k),
-    so the Gauss-Seidel recurrence never touches HBM — the XLA
-    composition re-reads the full x for every component (O(K) passes).
-    E = x_new.T @ my and x_new.T @ x_new accumulate across stripes for
-    the (cheap, O(K^2 N)) d-HALS pass outside.
-    """
-    i = pl.program_id(0)
-    n_i = pl.num_programs(0)
-    my_i = my_ref[:]
-    a = a_ref[:]                       # (K, K) f32, A = d d^T
-    floor = scal_ref[0]
-    cdt = my_i.dtype
-    kk = a.shape[0]
-
-    b = jax.lax.dot_general(           # (br, K) f32: my @ d.T
-        my_i, d_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec)
-    x_f = x_ref[:].astype(jnp.float32)
-    # Residual form R = x@A - B: the component update is then
-    # delta_k = [x_k - R_k/A_kk]_+ - x_k and R += delta_k (x) A_k.
-    r = jnp.dot(x_f, a, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST) - b
-    # Mosaic has no dynamic_slice on values: address column k with
-    # one-hot lane/sublane masks instead (vectorised selects/reductions —
-    # ~5 (br, K) passes per component, VPU work comparable to the
-    # stripe's MXU time and overlapped with the next stripe's DMA).
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, kk), 1)
-    subl = jax.lax.broadcasted_iota(jnp.int32, (kk, 1), 0)
-    diag = diag_ref[:]                                          # (1, K)
-
-    def one_component(k, carry):
-        x_c, r_c = carry
-        onehot = (lane == k).astype(jnp.float32)                # (1, K)
-        onehot_s = (subl == k).astype(jnp.float32)              # (K, 1)
-        a_row = jnp.sum(a * onehot_s, axis=0, keepdims=True)    # (1, K)
-        akk = jnp.sum(diag * onehot)                            # scalar
-        xk = jnp.sum(x_c * onehot, axis=1, keepdims=True)       # (br, 1)
-        rk = jnp.sum(r_c * onehot, axis=1, keepdims=True)       # (br, 1)
-        new = jnp.maximum(xk - rk / jnp.maximum(akk, floor), 0.0)
-        # dead-component guard (mirrors models.nmf._update_x_hals)
-        delta = jnp.where(akk > floor, new - xk, 0.0)           # (br, 1)
-        x_c = x_c + delta * onehot
-        r_c = r_c + delta * a_row                               # rank-1
-        return (x_c, r_c)
-
-    x_f, _ = jax.lax.fori_loop(0, kk, one_component, (x_f, r))
-    x_new = x_f.astype(x_ref.dtype)
-    xout_ref[:] = x_new
-    x_new_c = x_f.astype(cdt)
-
-    @pl.when(i == 0)
-    def _():
-        e_acc[:] = jnp.zeros_like(e_acc)
-        gram_acc[:] = jnp.zeros_like(gram_acc)
-
-    e_acc[:] += jax.lax.dot_general(
-        x_new_c, my_i, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec)
-    gram_acc[:] += jax.lax.dot_general(
-        x_new_c, x_new_c, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec)
-
-    @pl.when(i == n_i - 1)
-    def _():
-        e_ref[:] = e_acc[:]
-        gram_ref[:] = gram_acc[:]
-
-
-def hals_x_update(my, x, d, *, block_rows=None, interpret=False,
-                  psum=None, vma=None):
-    """One fused HALS x-pass. Returns (x_new, gram, e) where
-    gram = x_new^T x_new (K, K) and e = x_new^T my (K, N) are the
-    sufficient statistics of the subsequent d-HALS pass
-    (models.nmf._hals_d_pass consumes them).
-
-    The dead-component floor (machine-eps * trace(A), mirroring
-    models.nmf._update_x_hals) is computed here from A = d d^T.
-    ``psum`` allreduces the statistics under row sharding.
-    """
-    m, n = my.shape
-    k = d.shape[0]
-    if block_rows is None:
-        block_rows = default_block_rows(n, k, my.dtype.itemsize, True)
-        block_rows = min(block_rows, m)
-    _check_aligned(m, n, k, block_rows)
-    a = jax.lax.dot_general(d.astype(jnp.float32), d.astype(jnp.float32),
-                            (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-    # eps of the FACTOR dtype, matching the jnp oracle's dead-component
-    # guard (_update_x_hals uses real_dtype(x.dtype) eps): with bf16
-    # factors the f32 eps would un-freeze components the jnp path guards.
-    floor = jnp.asarray(jnp.finfo(x.dtype).eps, jnp.float32) * jnp.maximum(
-        jnp.trace(a), jnp.asarray(jnp.finfo(jnp.float32).tiny, jnp.float32))
-    floor32 = floor.astype(jnp.float32).reshape(1)
-    diag = jnp.diagonal(a)[None, :]                              # (1, K)
-
-    grid = (m // block_rows,)
-    x_new, e, gram = pl.pallas_call(
-        functools.partial(_hals_x_kernel, _dot_precision(my.dtype)),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),                   # floor
-            pl.BlockSpec((k, k), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),                   # A
-            pl.BlockSpec((1, k), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),                   # diag(A)
-            pl.BlockSpec((block_rows, n), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),                   # my
-            pl.BlockSpec((block_rows, k), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),                   # x
-            pl.BlockSpec((k, n), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),                   # d
-        ],
-        out_specs=[
-            pl.BlockSpec((block_rows, k), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, n), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, k), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((m, k), x.dtype, vma=vma),
-            jax.ShapeDtypeStruct((k, n), jnp.float32, vma=vma),
-            jax.ShapeDtypeStruct((k, k), jnp.float32, vma=vma),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((k, n), jnp.float32),
-            pltpu.VMEM((k, k), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=int(4 * m * n * k + 6 * m * k * k),
-            bytes_accessed=int(m * n * my.dtype.itemsize
-                               + 2 * m * k * x.dtype.itemsize
-                               + k * n * (my.dtype.itemsize + 4)),
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(floor32, a, diag, my, x, d)
-
-    if psum is not None:
-        e, gram = psum(e), psum(gram)
-    return x_new, gram, e
+# NOTE (round 3): the fused HALS x-pass kernel that lived here was
+# DELETED after a redesign analysis (VERDICT.md round-2 Weak #4 / Next
+# #9). Mosaic has no dynamic_slice on values, so the sequential
+# Gauss-Seidel component loop must address columns with one-hot masks —
+# ~5 full-width VPU passes per component — and measured 22.2 ms/iter vs
+# the XLA composition's 6.9 at 100k x 1k r128 f32. The suggested blocked
+# (8-column-group) variant cannot fundamentally win either: the VPU's
+# minimum lane tile is 128 wide, so at rank <= 128 a "narrow" 8-column
+# pass costs exactly one full-width pass — the one-hot sweeps are
+# ALREADY single-tile and the 3.2x deficit is irreducible VPU serial
+# work. HALS stays a jnp method (models.nmf._update_x_hals), where XLA's
+# composition is the measured fast path; the MU/KL families keep their
+# fused kernels (their updates have no sequential component recurrence).
 
 
 def _check_aligned(m, n, k, block_rows):

@@ -151,8 +151,6 @@ def solve(
         mask = jnp.asarray(mask, y.dtype)
 
     if use_pallas == "auto":
-        # HALS excluded from auto: measured slower than the XLA
-        # composition (see models.nmf); explicit opt-in remains.
         kl_like = method in ("kl-mu", "hals") or mask is not None
         use_pallas = (
             _calibrated_tpu()
@@ -165,11 +163,12 @@ def solve(
                                     y.dtype.itemsize, kl_like)
         )
     use_pallas = bool(use_pallas)
-    if use_pallas and (method not in ("mu", "kl-mu", "hals")
+    if use_pallas and (method not in ("mu", "kl-mu")
                        or col_axis is not None):
-        raise DecompError("use_pallas=True requires method "
-                          "'mu'/'kl-mu'/'hals' and col_axis=None "
-                          "(row-only sharding)")
+        raise DecompError("use_pallas=True requires method 'mu'/'kl-mu' "
+                          "and col_axis=None (row-only sharding); the "
+                          "fused HALS kernel was removed (see "
+                          "ops.pallas_mu)")
     if use_pallas and method != "mu" and factor_dtype is not None:
         raise DecompError(f"use_pallas=True with method={method!r} does "
                           "not support factor_dtype")
@@ -264,15 +263,7 @@ def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter,
 
             vma = frozenset({row_axis})
             cdt = my_l.dtype
-            if method == "hals":
-                def step(state, it):
-                    del it
-                    x_, d_ = state
-                    x_new, gram, e = pallas_mu.hals_x_update(
-                        my_l, x_, d_, block_rows=br,
-                        interpret=pallas_interpret, psum=psum_r, vma=vma)
-                    return (x_new, _hals_d_pass(gram, e, d_))
-            elif method == "kl-mu":
+            if method == "kl-mu":
                 if mask_l is None:
                     def step(state, it):
                         del it

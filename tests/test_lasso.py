@@ -441,3 +441,87 @@ def test_state_validation():
         decomp_tpu.lasso.solve(y, a, 0.05, method="fista",
                                state={"z": np.zeros((y.shape[0],
                                                      a.shape[0]))})
+
+
+# ---------------------------------------------------------------------------
+# solve_split: jit/vmap-composable split-complex entry (VERDICT r2 Next #8)
+# ---------------------------------------------------------------------------
+
+def _complex_problem(seed=8, m=40, f=24, n=16):
+    rng = np.random.default_rng(seed)
+    a = ((rng.normal(size=(f, n)) + 1j * rng.normal(size=(f, n)))
+         / np.sqrt(2 * n)).astype(np.complex64)
+    xt = ((rng.normal(size=(m, f)) + 1j * rng.normal(size=(m, f)))
+          * (rng.random((m, f)) < 0.2))
+    y = (xt @ a + 0.01 * (rng.normal(size=(m, n))
+                          + 1j * rng.normal(size=(m, n)))
+         ).astype(np.complex64)
+    return y, a
+
+
+@pytest.mark.parametrize("method", ["ista", "fista", "acc_ista",
+                                    "parallel_cd"])
+def test_solve_split_matches_native_complex(method):
+    from decomp_tpu.ops import complex_split as cs
+
+    y, a = _complex_problem()
+    ref = decomp_tpu.lasso.solve(y, a, ALPHA, tol=0.0, maxiter=200,
+                                 method=method, complex_split=False)
+    res = decomp_tpu.lasso.solve_split(cs.from_numpy(y), cs.from_numpy(a),
+                                       ALPHA, tol=0.0, maxiter=200,
+                                       method=method)
+    x_split = np.asarray(res.x.re) + 1j * np.asarray(res.x.im)
+    assert rel_err(x_split, ref.x) < 1e-5
+
+
+def test_solve_split_composes_under_jit():
+    """The whole point: solve() with complex tracers silently degrades to
+    native complex (which TPU backends reject); solve_split takes real
+    pytrees and traces cleanly."""
+    from decomp_tpu.ops import complex_split as cs
+
+    y, a = _complex_problem(seed=9)
+    ref = decomp_tpu.lasso.solve_split(cs.from_numpy(y), cs.from_numpy(a),
+                                       ALPHA, tol=0.0, maxiter=100)
+    jitted = jax.jit(lambda ys, as_: decomp_tpu.lasso.solve_split(
+        ys, as_, ALPHA, tol=0.0, maxiter=100))
+    res = jitted(cs.from_numpy(y), cs.from_numpy(a))
+    np.testing.assert_array_equal(np.asarray(res.x.re),
+                                  np.asarray(ref.x.re))
+    np.testing.assert_array_equal(np.asarray(res.x.im),
+                                  np.asarray(ref.x.im))
+
+
+def test_solve_split_momentum_resume_exact():
+    from decomp_tpu.ops import complex_split as cs
+
+    y, a = _complex_problem(seed=10)
+    ys, as_ = cs.from_numpy(y), cs.from_numpy(a)
+    straight = decomp_tpu.lasso.solve_split(ys, as_, ALPHA, tol=0.0,
+                                            maxiter=80, method="fista")
+    r1 = decomp_tpu.lasso.solve_split(ys, as_, ALPHA, tol=0.0, maxiter=40,
+                                      method="fista", return_state=True)
+    r2 = decomp_tpu.lasso.solve_split(
+        ys, as_, ALPHA, x=r1.x, tol=0.0, maxiter=40, method="fista",
+        momentum_state=(r1.aux["z"], r1.aux["t"]))
+    np.testing.assert_array_equal(np.asarray(r2.x.re),
+                                  np.asarray(straight.x.re))
+    np.testing.assert_array_equal(np.asarray(r2.x.im),
+                                  np.asarray(straight.x.im))
+
+
+def test_solve_split_accepts_pairs_and_validates():
+    from decomp_tpu.ops import complex_split as cs
+
+    y, a = _complex_problem(seed=11)
+    ys = cs.from_numpy(y)
+    res = decomp_tpu.lasso.solve_split(
+        (np.asarray(ys.re), np.asarray(ys.im)),
+        (np.real(a), np.imag(a)), ALPHA, tol=0.0, maxiter=20)
+    assert res.x.re.shape == (y.shape[0], a.shape[0])
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.lasso.solve_split(np.real(y), (np.real(a), np.imag(a)),
+                                     ALPHA)
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.lasso.solve_split(ys, cs.from_numpy(a), ALPHA,
+                                     method="cd")

@@ -129,54 +129,17 @@ def test_kl_solve_pallas_path_matches_jnp_path(masked):
                                np.asarray(ref.objective), rtol=1e-3)
 
 
-@pytest.mark.parametrize("block_rows", [32, 128])
-def test_hals_x_kernel_matches_oracle(block_rows):
-    from decomp_tpu.models.nmf import _update_x_hals
-
-    y, x, d = _arrs(30, 256, 256, 128)
-    xn, gram, e = pallas_mu.hals_x_update(y, x, d, block_rows=block_rows,
-                                          interpret=True)
-    x_ref = _update_x_hals(y, x, d, None, 0.0)
-    # The kernel maintains C = x@A by rank-1 updates where the jnp oracle
-    # recomputes fresh matvecs: identical math, different f32 rounding,
-    # compounding over the K sequential components (~4e-5 at K=128).
-    assert rel_err(xn, x_ref) < 2e-4
-    assert rel_err(gram, x_ref.T @ x_ref) < 2e-4
-    assert rel_err(e, x_ref.T @ y) < 2e-4
 
 
-def test_hals_x_kernel_dead_component_guard():
-    """A zero dictionary atom (A_kk = 0) must leave its x column frozen,
-    mirroring the jnp guard — and padded atoms rely on exactly this."""
-    from decomp_tpu.models.nmf import _update_x_hals
-
-    y, x, d = _arrs(31, 128, 256, 128)
-    d = d.at[5].set(0.0)
-    xn, _, _ = pallas_mu.hals_x_update(y, x, d, block_rows=32,
-                                       interpret=True)
-    x_ref = _update_x_hals(y, x, d, None, 0.0)
-    np.testing.assert_allclose(np.asarray(xn[:, 5]), np.asarray(x[:, 5]))
-    assert rel_err(xn, x_ref) < 2e-4
-
-
-def test_hals_solve_pallas_path_matches_jnp_path():
-    """End-to-end HALS through the fused x-pass kernel (interpret, ragged
-    shapes exercising the padding fixed point) tracks the jnp path."""
+def test_hals_use_pallas_rejected():
+    """The fused HALS x-pass kernel was removed (measured loser; the VPU
+    min lane tile makes the one-hot component sweeps irreducible at rank
+    <= 128 — see ops.pallas_mu): explicit use_pallas=True with 'hals'
+    must now raise instead of silently taking a dead path."""
     y, *_ = planted_nmf(seed=32, n_samples=70, n_channels=50, rank=4)
-    y = y.astype(np.float32)
-    rng = np.random.default_rng(33)
-    x0 = rng.uniform(0.1, 1.0, (70, 4)).astype(np.float32)
-    d0 = rng.uniform(0.1, 1.0, (4, 50)).astype(np.float32)
-    ref = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=15,
-                               method="hals", record_objective=True)
-    res = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=15,
-                               method="hals", use_pallas=True,
-                               pallas_block_rows=16, _pallas_interpret=True,
-                               record_objective=True)
-    assert rel_err(res.x, ref.x) < 1e-4
-    assert rel_err(res.d, ref.d) < 1e-4
-    np.testing.assert_allclose(np.asarray(res.objective),
-                               np.asarray(ref.objective), rtol=1e-4)
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.nmf.solve(np.asarray(y, np.float32), rank=4,
+                             method="hals", use_pallas=True)
 
 
 @pytest.mark.parametrize("block_rows", [32, 128])

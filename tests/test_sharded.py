@@ -194,11 +194,11 @@ def test_sharded_lasso_masked_and_early_stop(mesh8):
 
 
 @pytest.mark.parametrize("method,masked", [("kl-mu", False),
-                                           ("kl-mu", True),
-                                           ("hals", False)])
+                                           ("kl-mu", True)])
 def test_row_sharded_pallas_kl_hals_matches_jnp(mesh8, method, masked):
-    """Sharded KL / HALS through the per-device fused kernels (interpret
-    mode, ragged local shapes) track the sharded jnp path."""
+    """Sharded KL through the per-device fused kernels (interpret mode,
+    ragged local shapes) tracks the sharded jnp path. (The HALS kernel
+    was removed — see ops.pallas_mu.)"""
     y, *_ = planted_nmf(seed=25, n_samples=80, n_channels=50, rank=4)
     y = y.astype(np.float32)
     mask = (random_mask(26, y.shape).astype(np.float32) if masked else None)

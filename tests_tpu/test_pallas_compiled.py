@@ -97,21 +97,6 @@ def test_kl_masked_compiled():
     assert _rel(dn, d_ref) < 1e-5
 
 
-@requires_tpu
-@pytest.mark.parametrize("block_rows", [32, 128])
-def test_hals_x_compiled(block_rows):
-    from decomp_tpu.models.nmf import _update_x_hals
-    from decomp_tpu.ops import pallas_mu
-
-    y, x, d = _arrs(30, 256, 256, 128)
-    xn, gram, e = pallas_mu.hals_x_update(y, x, d, block_rows=block_rows)
-    with jax.default_matmul_precision("highest"):
-        x_ref = _update_x_hals(y, x, d, None, 0.0)
-    # rank-1 residual maintenance vs fresh matvecs: ~4e-5 at K=128
-    assert _rel(xn, x_ref) < 2e-4
-    assert _rel(gram, x_ref.T @ x_ref) < 2e-4
-    assert _rel(e, x_ref.T @ y) < 2e-4
-
 
 @requires_tpu
 def test_mixed_precision_mu_compiled():
@@ -241,3 +226,29 @@ def test_whole_solve_fista_high_compiled():
     # the iteration counts stay in the f32 regime (the degraded
     # single-pass mode needs ~4x more to cross the same tol)
     assert np.asarray(hi.niter).mean() < 1.5 * np.asarray(ref.niter).mean()
+
+
+@requires_tpu
+def test_solve_split_jit_on_tpu():
+    """solve_split under jit ON THE TPU BACKEND — the configuration that
+    motivated it (native complex is rejected there; the host-decomposing
+    complex_split path needs concrete inputs)."""
+    import decomp_tpu
+    from decomp_tpu.ops import complex_split as cs
+
+    rng = np.random.default_rng(12)
+    m, f, n = 64, 32, 16
+    a = ((rng.normal(size=(f, n)) + 1j * rng.normal(size=(f, n)))
+         / np.sqrt(2 * n)).astype(np.complex64)
+    y = (rng.normal(size=(m, n))
+         + 1j * rng.normal(size=(m, n))).astype(np.complex64)
+    jitted = jax.jit(lambda ys, as_: decomp_tpu.lasso.solve_split(
+        ys, as_, 0.05, tol=1e-4, maxiter=2000))
+    res = jitted(cs.from_numpy(y), cs.from_numpy(a))
+    assert bool(res.converged)
+    # KKT sanity on the reassembled complex solution (host side)
+    x = np.asarray(res.x.re) + 1j * np.asarray(res.x.im)
+    grad = (x @ np.asarray(a) - y) @ np.conj(np.asarray(a)).T
+    # at optimum, |grad| <= alpha (+ tol slack) on zero coords
+    zero = np.abs(x) < 1e-7
+    assert np.abs(grad[zero]).max() < 0.05 + 2e-2
