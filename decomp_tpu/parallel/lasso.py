@@ -102,35 +102,77 @@ def solve(
         mask = jnp.asarray(mask, rdt)
     lip = None if lipschitz is None else jnp.asarray(lipschitz, rdt)
 
-    from decomp_tpu.ops import pallas_lasso
+    from decomp_tpu.ops import pallas_fista, pallas_lasso
     from decomp_tpu.ops.pallas_mu import calibrated_tpu as _calibrated_tpu
 
     grad_methods = ("ista", "fista", "acc_ista", "parallel_cd")
     is_complex = jnp.issubdtype(dtype, jnp.complexfloating)
     n_dev_rows = mesh.shape[axis]
+    f_pad128 = -(-a.shape[0] // 128) * 128
+    pallas_mode = None
     if use_pallas == "auto":
-        use_pallas = (
-            _calibrated_tpu()
-            and mask is not None
-            and method in grad_methods
-            and not is_complex
-            and (y.shape[0] // n_dev_rows) * y.shape[1] >= (1 << 20)
-            and pallas_lasso.auto_wins(-(-y.shape[1] // 128) * 128,
-                                       -(-a.shape[0] // 128) * 128,
-                                       dtype.itemsize)
-        )
-    use_pallas = bool(use_pallas)
-    if use_pallas:
-        if mask is None:
-            raise DecompError("use_pallas=True applies to masked problems "
-                              "only")
+        if (mask is not None
+                and _calibrated_tpu()
+                and method in grad_methods
+                and not is_complex
+                and (y.shape[0] // n_dev_rows) * y.shape[1] >= (1 << 20)
+                and pallas_lasso.auto_wins(-(-y.shape[1] // 128) * 128,
+                                           f_pad128, dtype.itemsize)):
+            pallas_mode = "masked"
+        elif (mask is None
+                and per_problem
+                and _calibrated_tpu()
+                and method in grad_methods
+                and dtype == jnp.float32
+                and not record_objective
+                and precision in ("highest", "high")
+                and alpha.ndim <= 1
+                and (y.shape[0] // n_dev_rows) * a.shape[0] >= (1 << 18)
+                and pallas_fista.fits_vmem(
+                    f_pad128, method in ("fista", "acc_ista"),
+                    precision == "high")):
+            # Whole-solve kernel per device: the rows of an unmasked
+            # per-problem batch are INDEPENDENT, so each device runs its
+            # local block's whole solve in VMEM with NO collectives at
+            # all — not even the stopping allreduce.
+            pallas_mode = "whole"
+    elif use_pallas:
         if method not in grad_methods:
             raise DecompError("use_pallas=True requires a gradient method "
                               f"{grad_methods}, got {method!r}")
         if is_complex:
             raise DecompError("use_pallas=True does not support complex "
                               "dtypes")
+        if mask is not None:
+            pallas_mode = "masked"
+        else:
+            if not per_problem:
+                raise DecompError(
+                    "use_pallas=True on unmasked problems runs the whole-"
+                    "solve kernel, which requires per_problem=True (see "
+                    "decomp_tpu.lasso.solve)")
+            if dtype != jnp.float32:
+                raise DecompError("the whole-solve kernel requires "
+                                  f"float32 inputs, got {dtype}")
+            if record_objective:
+                raise DecompError("the whole-solve kernel cannot record "
+                                  "objectives")
+            if precision not in ("highest", "high"):
+                raise DecompError("the whole-solve kernel supports "
+                                  "precision 'highest' or 'high' only")
+            if alpha.ndim > 1:
+                raise DecompError("the whole-solve kernel supports scalar "
+                                  "or per-feature alpha")
+            pallas_mode = "whole"
+    use_pallas = pallas_mode == "masked"
 
+    if pallas_mode == "whole":
+        return _solve_sharded_whole(
+            y, a, alpha, x, lip, jnp.asarray(tol, rdt), method=method,
+            maxiter=int(maxiter), mesh=mesh, axis=axis,
+            hi_lo=(precision == "high"),
+            block_rows=pallas_block_rows,
+            interpret=bool(_pallas_interpret))
     with jax.default_matmul_precision(precision):
         return _solve_sharded(
             y, a, alpha, x, mask, lip, jnp.asarray(tol, rdt),
@@ -228,3 +270,39 @@ def _solve_sharded(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
     )(y, a, alpha, x, mask, lipschitz, tol)
     return LassoResult(x=x_g, niter=niter, converged=converged,
                        objective=objective)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("method", "maxiter", "mesh", "axis", "hi_lo",
+                     "block_rows", "interpret"),
+)
+def _solve_sharded_whole(y, a, alpha, x, lipschitz, tol, *, method,
+                         maxiter, mesh, axis, hi_lo, block_rows,
+                         interpret):
+    """Row-sharded whole-solve kernel path: each device runs
+    models.lasso._whole_core on its local row block — the rows are
+    independent problems and per-problem stopping is device-local, so
+    the shard_map body contains ZERO collectives (each device's kernel
+    grid even exits early on its own stripes)."""
+    row_spec = P(axis, None)
+    alpha_spec = P(None) if jnp.asarray(alpha).ndim == 1 else P()
+
+    def body(y_l, a_r, alpha_, x_l, lip_, tol_):
+        res = _lasso._whole_core(
+            y_l, a_r, alpha_, x_l, lip_, tol_, None, None, None, None,
+            method=method, maxiter=maxiter, hi_lo=hi_lo,
+            block_rows=block_rows, interpret=interpret,
+            return_state=False)
+        return res.x, res.niter, res.converged
+
+    x_g, niter, converged = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(row_spec, P(None, None), alpha_spec,
+                  None if x is None else row_spec,
+                  None if lipschitz is None else P(), P()),
+        out_specs=(row_spec, P(axis), P(axis)),
+        check_vma=False,  # vma does not propagate through pallas_call
+    )(y, a, alpha, x, lipschitz, tol)
+    return LassoResult(x=x_g, niter=niter, converged=converged,
+                       objective=jnp.zeros((0,), jnp.float32))

@@ -357,3 +357,31 @@ def test_checkpointed_sharded_solve(mesh8, tmp_path):
 def test_make_mesh_validation():
     with pytest.raises(ValueError):
         parallel.make_mesh((3,), ("rows",))  # 3 != 8 devices
+
+
+def test_row_sharded_whole_solve_kernel(mesh8):
+    """Sharded whole-solve batched-FISTA path (interpret mode): each
+    device runs its local block's ENTIRE per-problem solve in the kernel
+    with zero collectives. Per-device stripe geometry changes fp
+    reduction tilings, so parity is tol-level with rare +-1 stopping
+    shifts (same class as padding effects — see ops.pallas_fista)."""
+    rng = np.random.default_rng(85)
+    m, f, n = 320, 256, 96
+    a = (rng.normal(size=(f, n)) / np.sqrt(n)).astype(np.float32)
+    xt = (rng.normal(size=(m, f))
+          * (rng.random((m, f)) < 0.1)).astype(np.float32)
+    y = (xt @ a + 0.01 * rng.normal(size=(m, n))).astype(np.float32)
+    ref = decomp_tpu.lasso.solve(y, a, 0.05, tol=1e-5, maxiter=300,
+                                 method="fista", per_problem=True,
+                                 use_pallas=True, _pallas_interpret=True)
+    res = parallel.lasso.solve(y, a, 0.05, mesh=mesh8, tol=1e-5,
+                               maxiter=300, method="fista",
+                               per_problem=True, use_pallas=True,
+                               _pallas_interpret=True)
+    assert rel_err(res.x, ref.x) < 1e-3
+    assert np.mean(np.asarray(res.niter) == np.asarray(ref.niter)) > 0.95
+    assert (np.mean(np.asarray(res.converged)
+                    == np.asarray(ref.converged)) > 0.95)
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        # unmasked + use_pallas requires per_problem, sharded too
+        parallel.lasso.solve(y, a, 0.05, mesh=mesh8, use_pallas=True)
