@@ -48,7 +48,10 @@ def solve_streaming(
     ``niter``/``converged`` are host arrays of shape (n_samples,) —
     identical to the in-core per-problem semantics, since rows are
     independent. Complex inputs follow lasso.solve's complex_split
-    handling per chunk.
+    handling per chunk. On TPU with ``per_problem=True`` each chunk
+    automatically runs the whole-solve Pallas kernel (lasso.solve's
+    ``use_pallas='auto'``), so an out-of-core batch streams through
+    VMEM-resident whole solves.
     """
     y = np.asarray(y)
     a_np = np.asarray(a)
