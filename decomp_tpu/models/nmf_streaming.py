@@ -53,6 +53,7 @@ def solve_streaming(
     x_device: bool = False,
     record_objective: bool = False,
     jit_loader: bool = False,
+    _pallas_interpret: bool = False,
 ) -> NMFResult:
     """Out-of-core ``y ≈ x @ d`` with nonnegative factors.
 
@@ -228,15 +229,14 @@ def solve_streaming(
         from decomp_tpu.ops import pallas_mu as _pmu
 
         use_pallas_chunk = (
-            _pmu.calibrated_tpu()
+            (_pmu.calibrated_tpu() or _pallas_interpret)
             and method == "mu"
-            and not masked
             and not record_objective
             and chunk_rows % 128 == 0
             and n_channels % 128 == 0
             and rank % 128 == 0
             and _pmu.fits_vmem(n_channels, rank,
-                               jnp.dtype(y_dtype).itemsize, False)
+                               jnp.dtype(y_dtype).itemsize, masked)
         )
         # Cached per (loader, geometry, flags): repeat solve_streaming
         # calls (resume, chunked budgets, benchmarking) reuse the traced
@@ -245,7 +245,7 @@ def solve_streaming(
             y_loader, mask_loader, int(chunk_rows), int(n_chunks),
             int(rank), int(n_channels), method, masked, mixed,
             bool(record_objective), jnp.dtype(y_dtype), float(eps_f),
-            precision, use_pallas_chunk)
+            precision, use_pallas_chunk, bool(_pallas_interpret))
 
         # tol == 0 with no callback: nothing needs the host per
         # iteration, so the loop just ENQUEUES epochs — on a
@@ -332,7 +332,8 @@ def solve_streaming(
 @functools.lru_cache(maxsize=32)
 def _fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks, rank,
                  n_channels, method, masked, mixed, record_objective,
-                 y_dtype, eps_f, precision, use_pallas_chunk=False):
+                 y_dtype, eps_f, precision, use_pallas_chunk=False,
+                 pallas_interpret=False):
     """Build (and cache) the jitted fused-epoch function for jit_loader
     mode: one dispatched call runs the x updates and d-statistics over
     ALL chunks (lax.fori_loop + dynamic_update_slice on the resident x).
@@ -363,9 +364,16 @@ def _fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks, rank,
                 if use_pallas_chunk:
                     from decomp_tpu.ops import pallas_mu
 
-                    xc, nc, dc = pallas_mu.mu_stats_dense(
-                        yc, xc, db,
-                        jnp.asarray(eps_f, jnp.float32))
+                    if masked:
+                        xc, nc, dc = pallas_mu.mu_stats_masked(
+                            mc * yc, mc, xc, db,
+                            jnp.asarray(eps_f, jnp.float32),
+                            interpret=pallas_interpret)
+                    else:
+                        xc, nc, dc = pallas_mu.mu_stats_dense(
+                            yc, xc, db,
+                            jnp.asarray(eps_f, jnp.float32),
+                            interpret=pallas_interpret)
                     nc = nc.astype(acc_j)
                     dc = dc.astype(acc_j)
                     oc = jnp.zeros((), acc_j)

@@ -462,6 +462,25 @@ def mu_update_masked(my, mask, x, d, eps, *, block_rows=None,
     loop). The M x N masked reconstructions never leave VMEM.
     ``d_master``: mixed-precision epilogue — see ``mu_update_dense``.
     """
+    x_new, numd, dend = mu_stats_masked(
+        my, mask, x, d, eps, block_rows=block_rows, interpret=interpret,
+        vma=vma)
+    if psum is not None:
+        numd, dend = psum(numd), psum(dend)
+    eps32 = jnp.asarray(eps, jnp.float32).reshape(1)
+    d_epi = d if d_master is None else d_master
+    d_new = (d_epi.astype(jnp.float32) * numd / (dend + eps32[0])).astype(
+        d_epi.dtype)
+    return x_new, d_new
+
+
+def mu_stats_masked(my, mask, x, d, eps, *, block_rows=None,
+                    interpret=False, vma=None):
+    """The fused masked-MU kernel WITHOUT the d epilogue: one pass over
+    (my, mask) returns (x_new, numd, dend) with numd = x_new^T my and
+    dend = x_new^T (mask * (x_new @ d)) — the masked d-update sufficient
+    statistics. Streaming callers (nmf_streaming's fused epoch)
+    accumulate these across chunks for pod-scale masked completion."""
     m, n = my.shape
     k = d.shape[0]
     if block_rows is None:
@@ -511,13 +530,7 @@ def mu_update_masked(my, mask, x, d, eps, *, block_rows=None,
         ),
         interpret=interpret,
     )(eps32, my, mask, x, d)
-
-    if psum is not None:
-        numd, dend = psum(numd), psum(dend)
-    d_epi = d if d_master is None else d_master
-    d_new = (d_epi.astype(jnp.float32) * numd / (dend + eps32[0])).astype(
-        d_epi.dtype)
-    return x_new, d_new
+    return x_new, numd, dend
 
 
 def kl_update_dense(my, x, d, eps, *, block_rows=None, interpret=False,

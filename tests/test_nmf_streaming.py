@@ -239,3 +239,38 @@ def test_streaming_record_objective():
 def test_callable_loader_validation():
     with pytest.raises(decomp_tpu.utils.DecompError):
         decomp_tpu.nmf.solve_streaming(lambda lo, hi: None, rank=4)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_fused_epoch_pallas_chunk_matches_jnp(masked):
+    """The fused epoch's Pallas chunk step (mu_stats_dense / masked,
+    interpret mode) tracks the jnp chunk step — pod-scale masked
+    completion streams through the single-pass kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(97)
+    m, n, k, chunk = 512, 128, 128, 128
+    y = np.maximum(rng.uniform(0, 1, (m, 8)) @ rng.uniform(0, 1, (8, n))
+                   + 0.01 * rng.normal(size=(m, n)), 0).astype(np.float32)
+    mask = ((rng.random((m, n)) >= 0.3).astype(np.float32)
+            if masked else None)
+    x0 = rng.uniform(0.1, 1, (m, k)).astype(np.float32)
+    d0 = rng.uniform(0.1, 1, (k, n)).astype(np.float32)
+    yd = jnp.asarray(y)
+    md = None if mask is None else jnp.asarray(mask)
+
+    def loader(lo, hi):
+        return jax.lax.dynamic_slice(yd, (lo, 0), (chunk, n))
+
+    mask_loader = (None if md is None else
+                   (lambda lo, hi: jax.lax.dynamic_slice(
+                       md, (lo, 0), (chunk, n))))
+    kw = dict(tol=0.0, maxiter=12, chunk_rows=chunk, n_samples=m,
+              n_channels=n, dtype=np.float32, x_device=True,
+              jit_loader=True, mask=mask_loader)
+    ref = decomp_tpu.nmf.solve_streaming(loader, d0, x=x0, **kw)
+    res = decomp_tpu.nmf.solve_streaming(loader, d0, x=x0,
+                                         _pallas_interpret=True, **kw)
+    assert rel_err(res.d, ref.d) < 1e-5
+    assert rel_err(res.x, ref.x) < 1e-5
