@@ -413,6 +413,70 @@ def _masked_grad_dict_update(my, x, d, mask, reduce_sum=None,
     return l2_normalize(d - grad / lip.astype(d.dtype), axis=1)
 
 
+def solve_split(y, d, alpha, x=None, *, tol=1e-4, maxiter: int = 100,
+                lasso_method: str = "fista", lasso_iter: int = 10,
+                lasso_tol=1e-6, mask=None, record_objective: bool = False,
+                precision: str = "highest") -> DictionaryLearningResult:
+    """Split-complex dictionary learning over EXPLICIT (re, im) pairs —
+    composes under ``jit`` (the split-complex mirror of
+    ``lasso.solve_split``; VERDICT.md round-2 Next #8).
+
+    ``y``, ``d`` (and the optional warm start ``x``) are
+    ``decomp_tpu.SplitComplex`` pytrees or plain ``(re, im)`` tuples of
+    real arrays; the returned ``x``/``d`` factors are SplitComplex. No
+    complex dtype exists anywhere in the computation, so the call is
+    traceable on TPU backends without complex lowering (unlike
+    ``solve(complex_split=True)``, which decomposes on the host and
+    needs concrete inputs). Full-batch only; gradient lasso methods.
+    """
+    from decomp_tpu.ops import complex_split as cs
+
+    if lasso_method not in ("ista", "fista", "acc_ista", "parallel_cd"):
+        raise DecompError("solve_split supports gradient lasso methods "
+                          "(ista / fista / acc_ista / parallel_cd), got "
+                          f"{lasso_method!r}")
+
+    def as_split(v, name):
+        if isinstance(v, cs.SplitComplex):
+            return cs.SplitComplex(jnp.asarray(v.re), jnp.asarray(v.im))
+        if isinstance(v, (tuple, list)) and len(v) == 2:
+            return cs.SplitComplex(jnp.asarray(v[0]), jnp.asarray(v[1]))
+        raise DecompError(f"{name} must be a SplitComplex or a (re, im) "
+                          "pair of real arrays")
+
+    ys = as_split(y, "y")
+    ds = as_split(d, "d")
+    assertion.assert_ndim("y", ys.re, 2)
+    assertion.assert_ndim("d", ds.re, 2)
+    assertion.assert_same_shape("y.im", ys.im, "y.re", ys.re)
+    assertion.assert_same_shape("d.im", ds.im, "d.re", ds.re)
+    assertion.assert_axis_size("d", ds.re, 1, ys.re.shape[1],
+                               "n_channels")
+    rdt = real_dtype(jnp.result_type(ys.re.dtype, ds.re.dtype))
+    xs = None
+    if x is not None:
+        xs = as_split(x, "x")
+        assertion.assert_axis_size("x", xs.re, 0, ys.re.shape[0],
+                                   "n_samples")
+        assertion.assert_axis_size("x", xs.re, 1, ds.re.shape[0],
+                                   "n_atoms")
+    if mask is not None:
+        mask = jnp.asarray(mask, rdt)
+        assertion.assert_same_shape("mask", mask, "y", ys.re)
+    assertion.assert_nonnegative("alpha", alpha)
+    alpha = jnp.asarray(alpha, rdt)
+
+    with jax.default_matmul_precision(precision):
+        xr, xi, dr, di, niter, converged, objective = _solve_split_dl(
+            ys, ds, xs, mask, alpha, jnp.asarray(tol, rdt),
+            jnp.asarray(lasso_tol, rdt), maxiter=int(maxiter),
+            lasso_method=lasso_method, lasso_iter=int(lasso_iter),
+            record_objective=bool(record_objective))
+    return DictionaryLearningResult(
+        x=cs.SplitComplex(xr, xi), d=cs.SplitComplex(dr, di),
+        niter=niter, converged=converged, objective=objective)
+
+
 def _solve_complex_split_dl(y, d, alpha, x, mask, *, tol, maxiter,
                             lasso_method, lasso_iter, lasso_tol,
                             record_objective, precision):

@@ -170,3 +170,42 @@ def test_whole_kernel_sparse_coding_matches_jnp():
         _pallas_interpret=True)
     np.testing.assert_array_equal(np.asarray(ker.d), np.asarray(ref.d))
     np.testing.assert_array_equal(np.asarray(ker.x), np.asarray(ref.x))
+
+
+def test_solve_split_matches_native_complex():
+    """dictionary_learning.solve_split over SplitComplex pytrees matches
+    the native complex path and composes under jit (the split-complex
+    mirror of lasso.solve_split)."""
+    import jax
+
+    from decomp_tpu.ops import complex_split as cs
+
+    rng = np.random.default_rng(71)
+    m, ch, k = 60, 24, 16
+    d_true = (rng.normal(size=(k, ch)) + 1j * rng.normal(size=(k, ch)))
+    d_true /= np.linalg.norm(d_true, axis=1, keepdims=True)
+    xt = ((rng.normal(size=(m, k)) + 1j * rng.normal(size=(m, k)))
+          * (rng.random((m, k)) < 0.3))
+    y = (xt @ d_true + 0.01 * (rng.normal(size=(m, ch))
+                               + 1j * rng.normal(size=(m, ch)))
+         ).astype(np.complex64)
+    d0 = (rng.normal(size=(k, ch))
+          + 1j * rng.normal(size=(k, ch))).astype(np.complex64)
+    native = decomp_tpu.dictionary_learning.solve(
+        y, d0, ALPHA, tol=0.0, maxiter=12, lasso_iter=5,
+        complex_split=False)
+    res = decomp_tpu.dictionary_learning.solve_split(
+        cs.from_numpy(y), cs.from_numpy(d0), ALPHA, tol=0.0, maxiter=12,
+        lasso_iter=5)
+    d_split = np.asarray(res.d.re) + 1j * np.asarray(res.d.im)
+    assert rel_err(d_split, native.d) < 1e-5
+    # jit composition
+    jitted = jax.jit(lambda ys, ds: decomp_tpu.dictionary_learning
+                     .solve_split(ys, ds, ALPHA, tol=0.0, maxiter=12,
+                                  lasso_iter=5))
+    rj = jitted(cs.from_numpy(y), cs.from_numpy(d0))
+    np.testing.assert_array_equal(np.asarray(rj.d.re),
+                                  np.asarray(res.d.re))
+    # unit atoms in split form
+    norms = np.sqrt(np.asarray(cs.row_sum_abs2(res.d)))
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
