@@ -68,6 +68,9 @@ def solve(
     factor_dtype=None,
     use_pallas="auto",
     pallas_block_rows: Optional[int] = None,
+    check_every: int = 1,
+    stop: str = "rel_change",
+    heldout_frac: float = 0.05,
     _pallas_interpret: bool = False,
 ) -> NMFResult:
     """Sharded ``y ≈ x @ d`` with nonnegative factors.
@@ -88,6 +91,14 @@ def solve(
     factor_dtype: as in ``decomp_tpu.nmf.solve`` — f32 factor iterates
     over bf16 data, the converging high-throughput operating point for
     pod-scale bf16 runs (method='mu' only).
+
+    stop='heldout' (masked problems): the GLOBAL validation mask is drawn
+    exactly as in the single-device solver (same seed derivation), then
+    row/column-sharded like the data; the validation error is an
+    allreduced scalar, so the sharded held-out run equals the
+    single-device one and all devices stop in lockstep. ``check_every``
+    amortises the two extra reconstructions per check (defaults to 25 in
+    this mode).
     """
     assertion.assert_ndim("y", y, 2)
     y = jnp.asarray(y)
@@ -173,6 +184,37 @@ def solve(
         raise DecompError(f"use_pallas=True with method={method!r} does "
                           "not support factor_dtype")
 
+    if stop not in ("rel_change", "heldout"):
+        raise DecompError(f"stop must be 'rel_change' or 'heldout', "
+                          f"got {stop!r}")
+    hd_global = None
+    if stop == "heldout":
+        if mask is None:
+            raise DecompError("stop='heldout' requires a mask")
+        if method not in ("mu", "kl-mu"):
+            raise DecompError("stop='heldout' supports methods "
+                              "'mu'/'kl-mu'")
+        if record_objective:
+            raise DecompError("stop='heldout' is incompatible with "
+                              "record_objective")
+        if not 0.0 < float(heldout_frac) < 1.0:
+            raise DecompError("heldout_frac must be in (0, 1)")
+        if check_every == 1:
+            check_every = 25
+        # SAME derivation as models.nmf._solve: the sharded and
+        # single-device held-out runs then use the identical validation
+        # set (exact parity; tested).
+        kv = jax.random.fold_in(jax.random.PRNGKey(
+            jnp.asarray(random_seed, jnp.uint32)), 2)
+        acc_h = jnp.promote_types(jnp.float32, real_dtype(y.dtype))
+        val = ((jax.random.uniform(kv, y.shape) < float(heldout_frac))
+               .astype(y.dtype) * mask)
+        mask = mask - val
+        yv = (val * y).astype(acc_h)
+        vnorm = jnp.maximum(jnp.sum(yv * yv),
+                            jnp.asarray(jnp.finfo(acc_h).tiny, acc_h))
+        hd_global = (yv, val.astype(acc_h), vnorm)
+
     seed = jnp.asarray(random_seed, jnp.uint32)
     with jax.default_matmul_precision(precision):
         return _solve_sharded(
@@ -180,6 +222,7 @@ def solve(
             rank=rank, maxiter=int(maxiter), method=method, mesh=mesh,
             row_axis=row_axis, col_axis=col_axis,
             record_objective=bool(record_objective),
+            check_every=int(check_every), hd=hd_global,
             factor_dtype=factor_dtype,
             use_pallas=use_pallas, pallas_block_rows=pallas_block_rows,
             pallas_interpret=bool(_pallas_interpret),
@@ -189,13 +232,15 @@ def solve(
 @functools.partial(
     jax.jit,
     static_argnames=("rank", "maxiter", "method", "mesh", "row_axis",
-                     "col_axis", "record_objective", "factor_dtype",
-                     "use_pallas", "pallas_block_rows", "pallas_interpret"),
+                     "col_axis", "record_objective", "check_every",
+                     "factor_dtype", "use_pallas", "pallas_block_rows",
+                     "pallas_interpret"),
 )
 def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter,
                    method, mesh, row_axis, col_axis, record_objective,
-                   factor_dtype=None, use_pallas=False,
-                   pallas_block_rows=None, pallas_interpret=False):
+                   check_every=1, hd=None, factor_dtype=None,
+                   use_pallas=False, pallas_block_rows=None,
+                   pallas_interpret=False):
     rdt = real_dtype(y.dtype)
     fdt = y.dtype if factor_dtype is None else factor_dtype
     eps = eps.astype(real_dtype(fdt))
@@ -215,7 +260,8 @@ def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter,
         axes = (row_axis,) + ((col_axis,) if col_axis is not None else ())
         return jax.lax.psum(v, axes)
 
-    def body(y_l, d_l, x_l, mask_l, seed_, tol_, eps_):
+    def body(y_l, d_l, x_l, mask_l, yv_l, val_l, vnorm_, seed_, tol_,
+             eps_):
         tol, eps = tol_, eps_.astype(rdt)  # shadow: locals, spec P()
         # Device-local row/column blocks; K (rank) axis fully local.
         my_l = y_l if mask_l is None else mask_l * y_l
@@ -260,6 +306,10 @@ def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter,
             if mask_l is not None:
                 mask_l = jnp.pad(mask_l,
                                  ((0, m_pad - m_l), (0, n_pad - n_l)))
+            if yv_l is not None:
+                yv_l = jnp.pad(yv_l, ((0, m_pad - m_l), (0, n_pad - n_l)))
+                val_l = jnp.pad(val_l,
+                                ((0, m_pad - m_l), (0, n_pad - n_l)))
 
             vma = frozenset({row_axis})
             cdt = my_l.dtype
@@ -324,6 +374,25 @@ def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter,
             den = jnp.sqrt(psum_c(jnp.sum(d_old ** 2)))
             return num / jnp.maximum(den, tiny)
 
+        val_sqerr = None
+        if yv_l is not None:
+            # Held-out stopping: allreduced validation error — every
+            # device sees the same scalar, so the stop stays in lockstep.
+            cdt_v = y_l.dtype
+
+            def val_sqerr(state):  # noqa: F811
+                recon = jax.lax.dot_general(
+                    state[0].astype(cdt_v), state[1].astype(cdt_v),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=acc_dt)
+                r = yv_l - val_l * recon.astype(acc_dt)
+                return psum_all(jnp.sum(r * r)) / vnorm_
+
+            def diff_fn(old, new):  # noqa: F811
+                e_old = val_sqerr(old)
+                e_new = val_sqerr(new)
+                return (e_old - e_new) / jnp.maximum(e_old, tiny)
+
         def objective(state):
             if method == "kl-mu":
                 return psum_all(
@@ -337,28 +406,39 @@ def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter,
         res = run_iterations(
             step, (x_l, d_l), tol=tol, maxiter=maxiter, diff_fn=diff_fn,
             objective_fn=objective, record_objective=record_objective,
+            check_every=check_every,
         )
         x_out, d_out = res.state[0], res.state[1]
+        ho_err = (jnp.sqrt(val_sqerr(res.state)).astype(jnp.float32)
+                  if val_sqerr is not None
+                  else jnp.zeros((), jnp.float32))
         if use_pallas:  # slice the alignment padding back off
             x_out = x_out[:m_l, :rank]
             d_out = d_out[:rank, :n_l]
-        return x_out, d_out, res.niter, res.converged, res.objective
+        return (x_out, d_out, res.niter, res.converged, res.objective,
+                ho_err)
 
+    yv_g, val_g, vnorm_g = (None, None, None) if hd is None else hd
     in_specs = (data_spec,
                 None if d is None else d_spec,
                 None if x is None else x_spec,
                 None if mask is None else data_spec,
+                None if yv_g is None else data_spec,
+                None if val_g is None else data_spec,
+                None if vnorm_g is None else scalar_spec,
                 scalar_spec, scalar_spec, scalar_spec)
-    out_specs = (x_spec, d_spec, scalar_spec, scalar_spec, scalar_spec)
+    out_specs = (x_spec, d_spec, scalar_spec, scalar_spec, scalar_spec,
+                 scalar_spec)
 
     # check_vma must be off for the Pallas branch: the varying-manual-axes
     # checker cannot propagate vma through pallas_call internals
     # (dot_general inside the kernel sees mixed {row_axis}/{} operands).
     # Correctness of that branch is pinned by the equivalence tests against
     # the vma-checked jnp path (tests/test_sharded.py).
-    x_g, d_g, niter, converged, objective = jax.shard_map(
+    x_g, d_g, niter, converged, objective, ho_err = jax.shard_map(
         body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=not use_pallas,
-    )(y, d, x, mask, seed, tol, eps)
+    )(y, d, x, mask, yv_g, val_g, vnorm_g, seed, tol, eps)
+    aux = None if hd is None else {"heldout_rel_err": ho_err}
     return NMFResult(x=x_g, d=d_g, niter=niter, converged=converged,
-                     objective=objective)
+                     objective=objective, aux=aux)

@@ -385,3 +385,28 @@ def test_row_sharded_whole_solve_kernel(mesh8):
     with pytest.raises(decomp_tpu.utils.DecompError):
         # unmasked + use_pallas requires per_problem, sharded too
         parallel.lasso.solve(y, a, 0.05, mesh=mesh8, use_pallas=True)
+
+
+def test_sharded_heldout_stop_matches_single_device(mesh8):
+    """stop='heldout' in the sharded solver: the GLOBAL validation mask
+    uses the single-device derivation and the validation error is an
+    allreduced scalar, so (with pinned inits) the sharded run stops on
+    the SAME iteration with the same held-out error."""
+    rng = np.random.default_rng(86)
+    m, n, k = 160, 64, 4
+    ytrue = (rng.uniform(0, 1, (m, k)) @ rng.uniform(0, 1, (k, n))
+             + 0.02 * rng.normal(size=(m, n))).astype(np.float32)
+    mask = (rng.random((m, n)) >= 0.3).astype(np.float32)
+    x0 = rng.uniform(0.1, 1, (m, k)).astype(np.float32)
+    d0 = rng.uniform(0.1, 1, (k, n)).astype(np.float32)
+    kw = dict(mask=mask, tol=1e-3, maxiter=3000, stop="heldout",
+              random_seed=3)
+    s = decomp_tpu.nmf.solve(ytrue * mask, d0, x=x0, **kw)
+    p = parallel.nmf.solve(ytrue * mask, d0, x=x0, mesh=mesh8, **kw)
+    assert int(p.niter) == int(s.niter)
+    assert bool(p.converged) == bool(s.converged)
+    np.testing.assert_allclose(float(p.aux["heldout_rel_err"]),
+                               float(s.aux["heldout_rel_err"]), rtol=1e-4)
+    assert rel_err(p.d, s.d) < 1e-4
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        parallel.nmf.solve(ytrue * mask, d0, mesh=mesh8, stop="heldout")
