@@ -201,7 +201,8 @@ def solve(
             maxiter=int(maxiter),
             record_objective=bool(record_objective), precision=precision,
             check_every=int(check_every), per_problem=bool(per_problem),
-            return_state=bool(return_state), momentum_state=momentum_state)
+            return_state=bool(return_state), momentum_state=momentum_state,
+            per_problem_state=pp_state)
 
     y = jnp.asarray(y)
     a = jnp.asarray(a)
@@ -835,7 +836,7 @@ def solve_split(y, a, alpha, x=None, *, tol=1e-5, maxiter: int = 1000,
                 record_objective: bool = False, precision: str = "highest",
                 check_every: int = 1, per_problem: bool = False,
                 return_state: bool = False,
-                momentum_state=None) -> LassoResult:
+                momentum_state=None, state=None) -> LassoResult:
     """Split-complex lasso over EXPLICIT (re, im) pairs — composes under
     ``jit`` / ``vmap`` (VERDICT.md round-2 Weak #5 / Next #8).
 
@@ -869,6 +870,27 @@ def solve_split(y, a, alpha, x=None, *, tol=1e-5, maxiter: int = 1000,
             return cs.SplitComplex(jnp.asarray(v[0]), jnp.asarray(v[1]))
         raise DecompError(f"{name} must be a SplitComplex or a (re, im) "
                           "pair of real arrays")
+
+    pp_state = None
+    if state is not None:
+        if momentum_state is not None:
+            raise DecompError("pass either state= or momentum_state=, "
+                              "not both")
+        if not isinstance(state, dict) or (
+                set(state) - {"z", "t", "done", "niter"}):
+            raise DecompError("state must be a dict with keys among "
+                              "{'z', 't', 'done', 'niter'}")
+        if ("z" in state) != ("t" in state):
+            raise DecompError("state 'z' and 't' come as a pair")
+        if ("done" in state) != ("niter" in state):
+            raise DecompError("state 'done' and 'niter' come as a pair")
+        if "z" in state:
+            momentum_state = (state["z"], state["t"])
+        if "done" in state:
+            if not per_problem:
+                raise DecompError("state done/niter resume requires "
+                                  "per_problem=True")
+            pp_state = (state["done"], state["niter"])
 
     ys = as_split(y, "y")
     a_s = as_split(a, "a")
@@ -904,13 +926,18 @@ def solve_split(y, a, alpha, x=None, *, tol=1e-5, maxiter: int = 1000,
                               (ys.re.shape[0],))
         mstate = (z0, t0)
 
+    ppstate = None
+    if pp_state is not None:
+        ppstate = (jnp.asarray(pp_state[0]).astype(bool),
+                   jnp.asarray(pp_state[1]).astype(jnp.int32))
     with jax.default_matmul_precision(precision):
         xr, xi, niter, converged, objective, aux_split = _solve_split(
             ys, a_s, alpha, xs, mask, lip, jnp.asarray(tol, rdt),
             method=method, maxiter=int(maxiter),
             record_objective=bool(record_objective),
             check_every=int(check_every), per_problem=bool(per_problem),
-            return_state=bool(return_state), momentum_state=mstate)
+            return_state=bool(return_state), momentum_state=mstate,
+            per_problem_state=ppstate)
     aux = None
     if aux_split is not None:
         aux = {"z": aux_split["z"], "t": aux_split["t"]}
@@ -934,7 +961,8 @@ def _is_complex_concrete(y, a) -> bool:
 def _solve_complex_split(y, a, alpha, x, mask, lipschitz, *, tol, method,
                          maxiter, record_objective, precision,
                          check_every=1, per_problem=False,
-                         return_state=False, momentum_state=None):
+                         return_state=False, momentum_state=None,
+                         per_problem_state=None):
     """Host-level driver of the split-complex path: decompose on the host,
     solve over (re, im) real pairs on the accelerator, reassemble the
     complex solution on the CPU device (complex arrays never touch the
@@ -982,6 +1010,15 @@ def _solve_complex_split(y, a, alpha, x, mask, lipschitz, *, tol, method,
         t_np = np.broadcast_to(np.asarray(momentum_state[1]).real,
                                (y_np.shape[0],)).astype(rdt)
         mstate = (cs.from_numpy(z_np.astype(cdtype)), jnp.asarray(t_np))
+    ppstate = None
+    if per_problem_state is not None:
+        done0 = np.asarray(per_problem_state[0])
+        nit0 = np.asarray(per_problem_state[1])
+        if squeeze:
+            done0 = np.atleast_1d(done0)
+            nit0 = np.atleast_1d(nit0)
+        ppstate = (jnp.asarray(done0.astype(bool)),
+                   jnp.asarray(nit0.astype(np.int32)))
 
     with jax.default_matmul_precision(precision):
         xr, xi, niter, converged, objective, aux_split = _solve_split(
@@ -989,7 +1026,7 @@ def _solve_complex_split(y, a, alpha, x, mask, lipschitz, *, tol, method,
             method=method, maxiter=maxiter,
             record_objective=record_objective, check_every=check_every,
             per_problem=per_problem, return_state=return_state,
-            momentum_state=mstate)
+            momentum_state=mstate, per_problem_state=ppstate)
 
     x_c = np.asarray(xr).astype(rdt) + 1j * np.asarray(xi).astype(rdt)
     x_c = x_c.astype(cdtype)
@@ -1017,7 +1054,8 @@ def _solve_complex_split(y, a, alpha, x, mask, lipschitz, *, tol, method,
 )
 def _solve_split(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
                  record_objective, check_every=1, per_problem=False,
-                 return_state=False, momentum_state=None):
+                 return_state=False, momentum_state=None,
+                 per_problem_state=None):
     """Split-complex mirror of ``build_solver`` + ``run_iterations`` for
     methods ista / fista / acc_ista / parallel_cd."""
     from decomp_tpu.ops import complex_split as cs
@@ -1118,8 +1156,14 @@ def _solve_split(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
 
         else:
             tol_r = jnp.asarray(tol).astype(rdt)
-            done0 = jnp.zeros((n_rows,), bool)
-            nit0 = jnp.zeros((n_rows,), jnp.int32)
+            if per_problem_state is not None:
+                # Exact chunked per-problem resume, split-complex mirror
+                # of build_solver (VERDICT.md round-2 Missing #5).
+                done0 = per_problem_state[0].astype(bool)
+                nit0 = per_problem_state[1].astype(jnp.int32)
+            else:
+                done0 = jnp.zeros((n_rows,), bool)
+                nit0 = jnp.zeros((n_rows,), jnp.int32)
 
             def row_done(x_old, x_cand):
                 # division form: see the real-path row_done (TPU
@@ -1140,7 +1184,11 @@ def _solve_split(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
                     nit_new = nit + jnp.logical_not(done).astype(jnp.int32)
                     return (x_new, z_new, t_new, done_new, nit_new)
 
-                init = (x, x, ones_t, done0, nit0)
+                if momentum_state is not None:
+                    init = (x, momentum_state[0], momentum_state[1],
+                            done0, nit0)
+                else:
+                    init = (x, x, ones_t, done0, nit0)
             else:
                 def step(state, it):
                     del it
@@ -1168,7 +1216,7 @@ def _solve_split(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
         record_objective=record_objective, check_every=check_every,
     )
     aux = None
-    if return_state and method in ("fista", "acc_ista") and not per_problem:
+    if return_state and method in ("fista", "acc_ista"):
         aux = {"z": res.state[1], "t": res.state[2]}
     if per_problem:
         return (res.state[0].re, res.state[0].im, res.state[-1],

@@ -118,7 +118,11 @@ def solve(
         validation error; ``converged`` means "validation plateaued".
         Validation entries are EXCLUDED from training (pass the returned
         factors back as warm starts with stop='rel_change' for a final
-        refit on all observed entries if needed). Checks run every
+        refit on all observed entries if needed). The validation metric
+        is the relative L2 reconstruction error on the reserved entries
+        for BOTH 'mu' and 'kl-mu' training losses (a generic completion
+        quality measure; the training divergence only shapes the
+        trajectory). Checks run every
         ``check_every`` iterations (default bumps to 25 in this mode —
         each check costs two extra reconstructions). Methods 'mu'/'kl-mu',
         full-batch; requires a ``mask``; record_objective unsupported.

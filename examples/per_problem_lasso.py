@@ -41,6 +41,24 @@ def main():
     exact = np.array_equal(np.asarray(r2.x), np.asarray(straight.x))
     print(f"chunked 50+50 == straight 100 iterations: {exact}")
 
+    # Per-problem chunking is ALSO exact: the state dict carries each
+    # row's momentum plus its converged/niter, so resumed rows stay
+    # frozen and the per-row counts accumulate. (On TPU, per_problem
+    # solves like these run the whole-solve Pallas kernel — the F x F
+    # Gram and every iterate stay VMEM-resident for the entire solve.)
+    p1 = decomp_tpu.lasso.solve(y, a, 0.05, method="acc_ista", tol=1e-5,
+                                maxiter=60, per_problem=True,
+                                return_state=True)
+    st = {"z": p1.aux["z"], "t": p1.aux["t"],
+          "done": p1.converged, "niter": p1.niter}
+    p2 = decomp_tpu.lasso.solve(y, a, 0.05, x=p1.x, method="acc_ista",
+                                tol=1e-5, maxiter=4940, per_problem=True,
+                                state=st)
+    pp = decomp_tpu.lasso.solve(y, a, 0.05, method="acc_ista", tol=1e-5,
+                                maxiter=5000, per_problem=True)
+    same = np.array_equal(np.asarray(p2.niter), np.asarray(pp.niter))
+    print(f"chunked per-problem niter == straight per-problem: {same}")
+
 
 if __name__ == "__main__":
     main()

@@ -525,3 +525,50 @@ def test_solve_split_accepts_pairs_and_validates():
     with pytest.raises(decomp_tpu.utils.DecompError):
         decomp_tpu.lasso.solve_split(ys, cs.from_numpy(a), ALPHA,
                                      method="cd")
+
+
+def test_solve_split_per_problem_state_resume():
+    """Per-problem chunked resume through the split-complex entry equals
+    the uninterrupted split run row-for-row."""
+    from decomp_tpu.ops import complex_split as cs
+
+    y, a = _complex_problem(seed=12, m=60, f=32, n=24)
+    ys, as_ = cs.from_numpy(y), cs.from_numpy(a)
+    kw = dict(method="fista", tol=2e-4, per_problem=True)
+    straight = decomp_tpu.lasso.solve_split(ys, as_, ALPHA, maxiter=300,
+                                            return_state=True, **kw)
+    nit_s = np.asarray(straight.niter)
+    assert nit_s.min() < nit_s.max()
+    first = int(nit_s.min() + nit_s.max()) // 2
+    r1 = decomp_tpu.lasso.solve_split(ys, as_, ALPHA, maxiter=first,
+                                      return_state=True, **kw)
+    st = {"z": r1.aux["z"], "t": r1.aux["t"],
+          "done": r1.converged, "niter": r1.niter}
+    r2 = decomp_tpu.lasso.solve_split(ys, as_, ALPHA, x=r1.x,
+                                      maxiter=300 - first, state=st, **kw)
+    np.testing.assert_array_equal(np.asarray(r2.x.re),
+                                  np.asarray(straight.x.re))
+    np.testing.assert_array_equal(np.asarray(r2.x.im),
+                                  np.asarray(straight.x.im))
+    np.testing.assert_array_equal(np.asarray(r2.niter), nit_s)
+
+
+def test_complex_solve_per_problem_state_resume():
+    """The same through solve(complex_split=True): the state dict rides
+    the host-decomposing path too."""
+    y, a = _complex_problem(seed=13, m=40, f=24, n=16)
+    kw = dict(method="fista", tol=2e-4, per_problem=True,
+              complex_split=True)
+    straight = decomp_tpu.lasso.solve(y, a, ALPHA, maxiter=300,
+                                      return_state=True, **kw)
+    nit_s = np.asarray(straight.niter)
+    assert nit_s.min() < nit_s.max()
+    first = int(nit_s.min() + nit_s.max()) // 2
+    r1 = decomp_tpu.lasso.solve(y, a, ALPHA, maxiter=first,
+                                return_state=True, **kw)
+    st = {"z": r1.aux["z"], "t": r1.aux["t"],
+          "done": r1.converged, "niter": r1.niter}
+    r2 = decomp_tpu.lasso.solve(y, a, ALPHA, x=r1.x,
+                                maxiter=300 - first, state=st, **kw)
+    np.testing.assert_array_equal(np.asarray(r2.x), np.asarray(straight.x))
+    np.testing.assert_array_equal(np.asarray(r2.niter), nit_s)
