@@ -53,6 +53,7 @@ def solve_streaming(
     x_device: bool = False,
     record_objective: bool = False,
     jit_loader: bool = False,
+    hbm_cache_chunks: int = 0,
     _pallas_interpret: bool = False,
 ) -> NMFResult:
     """Out-of-core ``y ≈ x @ d`` with nonnegative factors.
@@ -98,6 +99,13 @@ def solve_streaming(
         Requires a callable ``y``, ``x_device=True``, and n_samples
         divisible by chunk_rows; the loader sees a TRACED ``lo`` and a
         chunk size that is static by construction.
+    hbm_cache_chunks : (jit_loader mode) keep the FIRST this-many chunks
+        resident in a read-only HBM buffer, prefetched once before the
+        first epoch: those chunks skip the loader entirely on every
+        subsequent pass. Size it to spare HBM (each cached chunk costs
+        chunk_rows * n_channels * itemsize); the biggest wins come when
+        the loader crosses a host link or regenerates data. The mask
+        loader (if any) is cached alongside.
 
     Returns NMFResult with ``x`` as a host numpy array (or device array
     with ``x_device``) and ``d`` on device.
@@ -238,14 +246,35 @@ def solve_streaming(
             and _pmu.fits_vmem(n_channels, rank,
                                jnp.dtype(y_dtype).itemsize, masked)
         )
+        n_cache = max(0, min(int(hbm_cache_chunks), n_chunks))
+        cache = mcache = None
+        if n_cache:
+            # Prefill once; the epoch treats the buffers as read-only
+            # inputs (no donation, no in-loop writes -> no copies).
+            cache = jnp.stack([
+                jnp.asarray(y_loader(i * chunk_rows,
+                                     (i + 1) * chunk_rows), y_dtype)
+                for i in range(n_cache)])
+            if mask_loader is not None:
+                mcache = jnp.stack([
+                    jnp.asarray(mask_loader(i * chunk_rows,
+                                            (i + 1) * chunk_rows),
+                                y_dtype)
+                    for i in range(n_cache)])
         # Cached per (loader, geometry, flags): repeat solve_streaming
         # calls (resume, chunked budgets, benchmarking) reuse the traced
         # + compiled epoch instead of re-jitting a fresh closure.
-        epoch = _fused_epoch(
+        epoch0 = _fused_epoch(
             y_loader, mask_loader, int(chunk_rows), int(n_chunks),
             int(rank), int(n_channels), method, masked, mixed,
             bool(record_objective), jnp.dtype(y_dtype), float(eps_f),
-            precision, use_pallas_chunk, bool(_pallas_interpret))
+            precision, use_pallas_chunk, bool(_pallas_interpret),
+            n_cache)
+        if n_cache:
+            def epoch(x, d):
+                return epoch0(x, d, cache, mcache)
+        else:
+            epoch = epoch0
 
         # tol == 0 with no callback: nothing needs the host per
         # iteration, so the loop just ENQUEUES epochs — on a
@@ -333,7 +362,7 @@ def solve_streaming(
 def _fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks, rank,
                  n_channels, method, masked, mixed, record_objective,
                  y_dtype, eps_f, precision, use_pallas_chunk=False,
-                 pallas_interpret=False):
+                 pallas_interpret=False, n_cache=0):
     """Build (and cache) the jitted fused-epoch function for jit_loader
     mode: one dispatched call runs the x updates and d-statistics over
     ALL chunks (lax.fori_loop + dynamic_update_slice on the resident x).
@@ -342,7 +371,7 @@ def _fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks, rank,
     acc_j = jnp.promote_types(jnp.float32, y_dtype)
 
     @jax.jit
-    def epoch(x, d):
+    def epoch(x, d, cache=None, mcache=None):
         with jax.default_matmul_precision(precision):
             num0 = jnp.zeros((rank, n_channels), acc_j)
             den0 = (jnp.zeros((rank, rank), acc_j) if not masked
@@ -355,10 +384,25 @@ def _fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks, rank,
             def body(i, carry):
                 x_, num, den, obj = carry
                 lo = i * chunk_rows
-                yc = y_loader(lo, lo + chunk_rows)
+
+                def load(buf, loader):
+                    def from_cache():
+                        return jax.lax.dynamic_slice(
+                            buf, (i, 0, 0),
+                            (1, chunk_rows, n_channels))[0]
+
+                    def from_loader():
+                        return jnp.asarray(loader(lo, lo + chunk_rows),
+                                           y_dtype)
+
+                    if buf is None:
+                        return from_loader()
+                    return jax.lax.cond(i < n_cache, from_cache,
+                                        from_loader)
+
+                yc = load(cache, y_loader)
                 mc = (None if mask_loader is None
-                      else jnp.asarray(mask_loader(lo, lo + chunk_rows),
-                                       yc.dtype))
+                      else load(mcache, mask_loader).astype(yc.dtype))
                 xc = jax.lax.dynamic_slice(x_, (lo, 0),
                                            (chunk_rows, rank))
                 if use_pallas_chunk:

@@ -274,3 +274,33 @@ def test_fused_epoch_pallas_chunk_matches_jnp(masked):
                                          _pallas_interpret=True, **kw)
     assert rel_err(res.d, ref.d) < 1e-5
     assert rel_err(res.x, ref.x) < 1e-5
+
+
+def test_hbm_cache_chunks_matches_uncached():
+    """hbm_cache_chunks: cached chunks skip the loader but the
+    trajectory is identical (the cache holds exactly what the loader
+    would return)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(98)
+    m, n, k, chunk = 512, 64, 4, 128
+    y = np.maximum(rng.uniform(0, 1, (m, k)) @ rng.uniform(0, 1, (k, n))
+                   + 0.01 * rng.normal(size=(m, n)), 0).astype(np.float32)
+    x0 = rng.uniform(0.1, 1, (m, k)).astype(np.float32)
+    d0 = rng.uniform(0.1, 1, (k, n)).astype(np.float32)
+    yd = jnp.asarray(y)
+    calls = []
+
+    def loader(lo, hi):
+        calls.append(1)
+        return jax.lax.dynamic_slice(yd, (lo, 0), (chunk, n))
+
+    kw = dict(tol=0.0, maxiter=10, chunk_rows=chunk, n_samples=m,
+              n_channels=n, dtype=np.float32, x_device=True,
+              jit_loader=True)
+    ref = decomp_tpu.nmf.solve_streaming(loader, d0, x=x0, **kw)
+    res = decomp_tpu.nmf.solve_streaming(loader, d0, x=x0,
+                                         hbm_cache_chunks=2, **kw)
+    np.testing.assert_array_equal(np.asarray(res.d), np.asarray(ref.d))
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
