@@ -54,6 +54,9 @@ def solve_streaming(
     record_objective: bool = False,
     jit_loader: bool = False,
     hbm_cache_chunks: int = 0,
+    stop: str = "rel_change",
+    heldout_frac: float = 0.05,
+    check_every: int = 5,
     _pallas_interpret: bool = False,
 ) -> NMFResult:
     """Out-of-core ``y ≈ x @ d`` with nonnegative factors.
@@ -99,6 +102,19 @@ def solve_streaming(
         Requires a callable ``y``, ``x_device=True``, and n_samples
         divisible by chunk_rows; the loader sees a TRACED ``lo`` and a
         chunk size that is static by construction.
+    stop : 'rel_change' (default) or 'heldout' (jit_loader + masked
+        only): as in ``nmf.solve`` — a ``heldout_frac`` fraction of each
+        chunk's observed entries is reserved (drawn deterministically
+        per chunk from ``random_seed``, so every epoch sees the same
+        validation set), training runs on the remainder, and iteration
+        stops when the validation error plateaus: its relative
+        improvement between CHECK epochs (every ``check_every``-th
+        epoch; checks cost one extra reconstruction per chunk) drops
+        below ``tol``. ``aux['heldout_rel_err']`` carries the final
+        validation error. This is the usable stopping rule for
+        POD-SCALE mixed-precision masked completion, where the
+        rel-change floor fires too early (BASELINE.md).
+    check_every : epochs between validation checks under stop='heldout'.
     hbm_cache_chunks : (jit_loader mode) keep the FIRST this-many chunks
         resident in a read-only HBM buffer, prefetched once before the
         first epoch: those chunks skip the loader entirely on every
@@ -246,6 +262,18 @@ def solve_streaming(
             and _pmu.fits_vmem(n_channels, rank,
                                jnp.dtype(y_dtype).itemsize, masked)
         )
+        heldout = stop == "heldout"
+        if stop not in ("rel_change", "heldout"):
+            raise DecompError(f"stop must be 'rel_change' or 'heldout', "
+                              f"got {stop!r}")
+        if heldout:
+            if not masked:
+                raise DecompError("stop='heldout' requires a mask loader")
+            if record_objective:
+                raise DecompError("stop='heldout' is incompatible with "
+                                  "record_objective")
+            if not 0.0 < float(heldout_frac) < 1.0:
+                raise DecompError("heldout_frac must be in (0, 1)")
         n_cache = max(0, min(int(hbm_cache_chunks), n_chunks))
         cache = mcache = None
         if n_cache:
@@ -264,26 +292,52 @@ def solve_streaming(
         # Cached per (loader, geometry, flags): repeat solve_streaming
         # calls (resume, chunked budgets, benchmarking) reuse the traced
         # + compiled epoch instead of re-jitting a fresh closure.
+        hd_key = (float(heldout_frac), int(random_seed)) if heldout \
+            else None
         epoch0 = _fused_epoch(
             y_loader, mask_loader, int(chunk_rows), int(n_chunks),
             int(rank), int(n_channels), method, masked, mixed,
             bool(record_objective), jnp.dtype(y_dtype), float(eps_f),
             precision, use_pallas_chunk, bool(_pallas_interpret),
-            n_cache)
+            n_cache, hd_key, False)
+        epoch0_val = (None if not heldout else _fused_epoch(
+            y_loader, mask_loader, int(chunk_rows), int(n_chunks),
+            int(rank), int(n_channels), method, masked, mixed,
+            bool(record_objective), jnp.dtype(y_dtype), float(eps_f),
+            precision, use_pallas_chunk, bool(_pallas_interpret),
+            n_cache, hd_key, True))
         if n_cache:
             def epoch(x, d):
                 return epoch0(x, d, cache, mcache)
+
+            def epoch_val(x, d):
+                return epoch0_val(x, d, cache, mcache)
         else:
             epoch = epoch0
+            epoch_val = epoch0_val
 
         # tol == 0 with no callback: nothing needs the host per
         # iteration, so the loop just ENQUEUES epochs — on a
         # high-latency control link the per-iteration float(diff) sync
         # otherwise dominates (each read is a full round trip).
-        need_diff = tol_f > 0.0 or callback is not None
+        need_diff = (not heldout) and (tol_f > 0.0 or callback is not None)
         objs_dev = []
+        prev_e, last_e = None, None
         with jax.default_matmul_precision(precision):
             for it in range(1, maxiter + 1):
+                if heldout and it % int(check_every) == 0:
+                    x, d, diff_dev, obj_dev, verr, vnorm = epoch_val(x, d)
+                    e = float(verr) / max(float(vnorm), 1e-300)
+                    last_e = e
+                    if callback is not None:
+                        callback(it, float(diff_dev))
+                    niter = it
+                    if prev_e is not None and (
+                            (prev_e - e) / max(prev_e, 1e-300) < tol_f):
+                        converged = True  # validation plateaued
+                        break
+                    prev_e = e
+                    continue
                 x, d, diff_dev, obj_dev = epoch(x, d)
                 if record_objective:
                     objs_dev.append(obj_dev)
@@ -301,9 +355,13 @@ def solve_streaming(
         objective = (jnp.asarray(obj_curve[:], jnp.float64
                                  if acc_dt == np.float64 else jnp.float32)
                      if record_objective else jnp.zeros((0,), jnp.float32))
+        aux = (None if last_e is None
+               else {"heldout_rel_err": jnp.asarray(np.sqrt(last_e),
+                                                    jnp.float32)})
         return NMFResult(
             x=x, d=d, niter=jnp.asarray(niter, jnp.int32),
-            converged=jnp.asarray(converged), objective=objective)
+            converged=jnp.asarray(converged), objective=objective,
+            aux=aux)
 
     with jax.default_matmul_precision(precision):
         for it in range(1, maxiter + 1):
@@ -362,13 +420,19 @@ def solve_streaming(
 def _fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks, rank,
                  n_channels, method, masked, mixed, record_objective,
                  y_dtype, eps_f, precision, use_pallas_chunk=False,
-                 pallas_interpret=False, n_cache=0):
+                 pallas_interpret=False, n_cache=0, heldout=None,
+                 with_val=False):
     """Build (and cache) the jitted fused-epoch function for jit_loader
     mode: one dispatched call runs the x updates and d-statistics over
     ALL chunks (lax.fori_loop + dynamic_update_slice on the resident x).
     Keyed by loader identity and geometry so repeat calls reuse the
     compiled executable."""
     acc_j = jnp.promote_types(jnp.float32, y_dtype)
+    if heldout is not None:
+        hd_frac = jnp.float32(heldout[0])
+        # same derivation root as nmf._solve: fold_in(PRNGKey(seed), 2)
+        hd_key = jax.random.fold_in(
+            jax.random.PRNGKey(np.uint32(heldout[1])), 2)
 
     @jax.jit
     def epoch(x, d, cache=None, mcache=None):
@@ -382,7 +446,7 @@ def _fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks, rank,
             db = d.astype(y_dtype) if use_pallas_chunk else None
 
             def body(i, carry):
-                x_, num, den, obj = carry
+                x_, num, den, obj = carry[:4]
                 lo = i * chunk_rows
 
                 def load(buf, loader):
@@ -403,6 +467,15 @@ def _fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks, rank,
                 yc = load(cache, y_loader)
                 mc = (None if mask_loader is None
                       else load(mcache, mask_loader).astype(yc.dtype))
+                val_c = None
+                if heldout is not None:
+                    # Deterministic per chunk and EPOCH-INDEPENDENT (keyed
+                    # by lo only): every pass reserves the same entries.
+                    kv = jax.random.fold_in(hd_key, lo)
+                    val_c = ((jax.random.uniform(
+                        kv, (chunk_rows, n_channels)) < hd_frac)
+                        .astype(yc.dtype) * mc)
+                    mc = mc - val_c      # train only on the remainder
                 xc = jax.lax.dynamic_slice(x_, (lo, 0),
                                            (chunk_rows, rank))
                 if use_pallas_chunk:
@@ -428,14 +501,40 @@ def _fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks, rank,
                         method=method, masked=masked, mixed=mixed,
                         with_obj=record_objective)
                 x_ = jax.lax.dynamic_update_slice(x_, xc, (lo, 0))
-                return (x_, num + nc, den + dc, obj + oc)
+                if not with_val:
+                    return (x_, num + nc, den + dc, obj + oc)
+                # Validation check (with_val epochs only): reconstruction
+                # error on the reserved entries, evaluated with the
+                # freshly-updated xc against the pre-update d — quantised
+                # compute-dtype products, f32 accumulation, matching the
+                # update path's convention.
+                verr, vnorm = carry[4], carry[5]
+                cdt_v = yc.dtype
+                recon_v = jax.lax.dot_general(
+                    xc.astype(cdt_v), d.astype(cdt_v),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=acc_j)
+                yv = (val_c * yc).astype(acc_j)
+                rv = yv - val_c.astype(acc_j) * recon_v
+                verr = verr + jnp.sum(rv * rv)
+                vnorm = vnorm + jnp.sum(yv * yv)
+                return (x_, num + nc, den + dc, obj + oc, verr, vnorm)
 
-            x, num, den, obj = jax.lax.fori_loop(
-                0, n_chunks, body, (x, num0, den0, obj0))
+            if with_val:
+                init = (x, num0, den0, obj0, jnp.zeros((), acc_j),
+                        jnp.zeros((), acc_j))
+                x, num, den, obj, verr, vnorm = jax.lax.fori_loop(
+                    0, n_chunks, body, init)
+            else:
+                x, num, den, obj = jax.lax.fori_loop(
+                    0, n_chunks, body, (x, num0, den0, obj0))
             d_new = _d_from_stats_impl(d, num, den,
                                        jnp.asarray(eps_f, acc_j),
                                        method=method, masked=masked,
                                        mixed=mixed)
+            if with_val:
+                return (x, d_new, _rel_diff_impl(d, d_new), obj, verr,
+                        vnorm)
             return x, d_new, _rel_diff_impl(d, d_new), obj
 
     return epoch

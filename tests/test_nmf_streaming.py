@@ -304,3 +304,45 @@ def test_hbm_cache_chunks_matches_uncached():
                                          hbm_cache_chunks=2, **kw)
     np.testing.assert_array_equal(np.asarray(res.d), np.asarray(ref.d))
     np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
+
+
+def test_streaming_heldout_stop():
+    """Out-of-core stop='heldout': validation entries are reserved per
+    chunk deterministically, iteration stops at the validation plateau,
+    and the reported error tracks the true missing-entry error."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(99)
+    m, n, k, chunk = 2048, 128, 6, 256
+    ytrue = (rng.uniform(0, 1, (m, k)) @ rng.uniform(0, 1, (k, n))
+             + 0.02 * rng.normal(size=(m, n))).astype(np.float32)
+    mask = (rng.random((m, n)) >= 0.3).astype(np.float32)
+    yd, md = jnp.asarray(ytrue * mask), jnp.asarray(mask)
+
+    def loader(lo, hi):
+        return jax.lax.dynamic_slice(yd, (lo, 0), (chunk, n))
+
+    def mloader(lo, hi):
+        return jax.lax.dynamic_slice(md, (lo, 0), (chunk, n))
+
+    res = decomp_tpu.nmf.solve_streaming(
+        loader, rank=k, mask=mloader, tol=1e-3, maxiter=3000,
+        chunk_rows=chunk, n_samples=m, n_channels=n, dtype=np.float32,
+        x_device=True, jit_loader=True, stop="heldout", check_every=10,
+        random_seed=3)
+    assert bool(res.converged)
+    assert int(res.niter) < 3000
+    ho_rep = float(np.asarray(res.aux["heldout_rel_err"]))
+    recon = np.asarray(res.x) @ np.asarray(res.d)
+    miss = np.asarray(mask) == 0
+    ho_true = (np.linalg.norm(recon[miss] - ytrue[miss])
+               / np.linalg.norm(ytrue[miss]))
+    assert ho_true < 0.1
+    assert abs(ho_rep - ho_true) < 0.5 * ho_true
+    # validations
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.nmf.solve_streaming(
+            loader, rank=k, tol=1e-3, maxiter=10, chunk_rows=chunk,
+            n_samples=m, n_channels=n, dtype=np.float32, x_device=True,
+            jit_loader=True, stop="heldout")  # no mask
