@@ -54,6 +54,8 @@ def solve(
     pallas_block_rows=None,
     _pallas_interpret: bool = False,
     complex_split="auto",
+    stop: str = "rel_change",
+    heldout_frac: float = 0.05,
 ) -> DictionaryLearningResult:
     """Learn a unit-atom dictionary ``d`` and sparse codes ``x`` for ``y``.
 
@@ -82,6 +84,15 @@ def solve(
         are zero-padded once to the kernels' 128-alignment (a fixed point
         of both updates) and the factors sliced back. 'auto' enables it
         on TPU for large real masked problems.
+    stop : 'rel_change' (default) or 'heldout' (masked real full-batch
+        problems): as in ``nmf.solve`` — reserve ``heldout_frac`` of the
+        observed entries as an on-device validation set, train the
+        alternation on the rest, stop when the validation reconstruction
+        error's per-outer-iteration relative improvement drops below
+        ``tol`` (checks are cheap here: one extra reconstruction per
+        OUTER iteration vs lasso_iter inner solves).
+        ``aux["heldout_rel_err"]`` carries the final validation error.
+    heldout_frac : reserved fraction under stop='heldout'.
     complex_split : True / False / 'auto'. Runs complex problems as
         (re, im) real pairs end-to-end — the inner sparse coding reuses
         the lasso split path, the BCD and masked projected-gradient
@@ -197,6 +208,31 @@ def solve(
             pallas_mode = "whole"
     use_pallas = pallas_mode == "masked"
 
+    if stop not in ("rel_change", "heldout"):
+        raise DecompError(f"stop must be 'rel_change' or 'heldout', "
+                          f"got {stop!r}")
+    hd = None
+    if stop == "heldout":
+        if mask is None:
+            raise DecompError("stop='heldout' requires a mask")
+        if minibatch is not None:
+            raise DecompError("stop='heldout' is incompatible with "
+                              "minibatch")
+        if is_complex:
+            raise DecompError("stop='heldout' supports real dtypes only")
+        if not 0.0 < float(heldout_frac) < 1.0:
+            raise DecompError("heldout_frac must be in (0, 1)")
+        kv = jax.random.fold_in(
+            jax.random.PRNGKey(jnp.asarray(random_seed, jnp.uint32)), 2)
+        acc_h = jnp.promote_types(jnp.float32, rdt)
+        val = ((jax.random.uniform(kv, y.shape) < float(heldout_frac))
+               .astype(rdt) * mask)
+        mask = mask - val                     # train mask
+        yv = (val * y).astype(acc_h)
+        vnorm = jnp.maximum(jnp.sum(yv * yv),
+                            jnp.asarray(jnp.finfo(acc_h).tiny, acc_h))
+        hd = (yv, val.astype(acc_h), vnorm)
+
     orig_m, orig_k, orig_n = n_samples, n_atoms, y.shape[1]
     if use_pallas:
         # Zero-pad once (see pallas_lasso module docstring): padded rows /
@@ -208,6 +244,9 @@ def solve(
         pallas_block_rows = br
         y = pallas_lasso.pad2(y, m_pad, n_pad)
         mask = pallas_lasso.pad2(mask, m_pad, n_pad)
+        if hd is not None:
+            hd = (pallas_lasso.pad2(hd[0], m_pad, n_pad),
+                  pallas_lasso.pad2(hd[1], m_pad, n_pad), hd[2])
         d = pallas_lasso.pad2(d, k_pad, n_pad)
         if x is not None:
             x = pallas_lasso.pad2(x, m_pad, k_pad)
@@ -225,6 +264,7 @@ def solve(
             maxiter=int(maxiter), lasso_method=lasso_method,
             lasso_iter=int(lasso_iter), minibatch=minibatch,
             record_objective=bool(record_objective),
+            hd=hd,
             use_pallas=use_pallas,
             whole_kernel=(pallas_mode == "whole"),
             whole_hi_lo=(precision == "high"),
@@ -247,8 +287,9 @@ def solve(
 )
 def _solve(y, d, x, mask, alpha, tol, lasso_tol, forget, seed, *, maxiter,
            lasso_method, lasso_iter, minibatch, record_objective,
-           use_pallas=False, whole_kernel=False, whole_hi_lo=False,
-           pallas_block_rows=None, pallas_interpret=False):
+           hd=None, use_pallas=False, whole_kernel=False,
+           whole_hi_lo=False, pallas_block_rows=None,
+           pallas_interpret=False):
     dtype = y.dtype
     rdt = real_dtype(dtype)
     tiny = jnp.asarray(jnp.finfo(rdt).tiny, rdt)
@@ -292,6 +333,22 @@ def _solve(y, d, x, mask, alpha, tol, lasso_tol, forget, seed, *, maxiter,
     def diff_fn(old, new):
         d_old, d_new = old[1], new[1]
         return l2_norm(d_new - d_old) / jnp.maximum(l2_norm(d_old), tiny)
+
+    val_sqerr = None
+    if hd is not None:
+        yv, val_a, vnorm = hd
+        acc_h = yv.dtype
+        tiny_h = jnp.asarray(jnp.finfo(acc_h).tiny, acc_h)
+
+        def val_sqerr(state):  # noqa: F811
+            recon = (state[0] @ state[1]).astype(acc_h)
+            r = yv - val_a * recon
+            return jnp.sum(r * r) / vnorm
+
+        def diff_fn(old, new):  # noqa: F811
+            e_old = val_sqerr(old)
+            e_new = val_sqerr(new)
+            return (e_old - e_new) / jnp.maximum(e_old, tiny_h)
 
     if minibatch is None:
         if mask is None:
@@ -350,10 +407,13 @@ def _solve(y, d, x, mask, alpha, tol, lasso_tol, forget, seed, *, maxiter,
         step, init, tol=tol, maxiter=maxiter, diff_fn=diff_fn,
         objective_fn=lambda s: objective(s[0], s[1]),
         record_objective=record_objective,
+        min_iter=10 if hd is not None else 0,
     )
+    aux = (None if val_sqerr is None
+           else {"heldout_rel_err": jnp.sqrt(val_sqerr(res.state))})
     return DictionaryLearningResult(
         x=res.state[0], d=res.state[1], niter=res.niter,
-        converged=res.converged, objective=res.objective,
+        converged=res.converged, objective=res.objective, aux=aux,
     )
 
 

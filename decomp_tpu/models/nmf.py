@@ -435,6 +435,7 @@ def _solve(y, d, x, mask, seed, tol, eps, forget, *, rank, maxiter,
         step, init, tol=tol, maxiter=maxiter, diff_fn=diff_fn,
         objective_fn=objective, record_objective=record_objective,
         check_every=check_every, verbose=verbose,
+        min_iter=2 * check_every if hd is not None else 0,
     )
     x_fin, d_fin = res.state[0], res.state[1]
     aux = (None if val_sqerr is None
@@ -446,7 +447,7 @@ def _solve(y, d, x, mask, seed, tol, eps, forget, *, rank, maxiter,
 
 def masked_completion(y, mask, rank=None, d=None, x=None, *, tol=1e-4,
                       maxiter=4000, heldout_frac=0.05, random_seed=0,
-                      mixed="auto", **kwargs):
+                      mixed="auto", refit=0, **kwargs):
     """Matrix-completion preset: masked MU-NMF at the measured-fastest
     operating point with a usable stopping rule (VERDICT.md round-2
     Missing #3 / Next #2 and #5).
@@ -463,9 +464,12 @@ def masked_completion(y, mask, rank=None, d=None, x=None, *, tol=1e-4,
     and the library's default 'highest' precision).
 
     Returns the usual NMFResult; ``aux["heldout_rel_err"]`` is the final
-    validation error. Validation entries are excluded from training —
-    for a final refit on all observed entries pass the factors back:
-    ``nmf.solve(y, res.d, x=res.x, mask=mask, maxiter=...)``.
+    validation error. Validation entries are excluded from training;
+    pass ``refit=N`` to follow the held-out-stopped solve with N
+    warm-started iterations on ALL observed entries (the returned aux
+    still carries the pre-refit validation error, which remains an
+    unbiased quality estimate — the refit only folds the reserved
+    entries back in).
     """
     y = jnp.asarray(y)
     if mixed == "auto":
@@ -475,10 +479,16 @@ def masked_completion(y, mask, rank=None, d=None, x=None, *, tol=1e-4,
         y = y.astype(jnp.bfloat16)
         kwargs.setdefault("factor_dtype", jnp.float32)
         kwargs.setdefault("precision", "default")
-    return solve(y, d, rank=rank, x=x, mask=mask, tol=tol,
-                 maxiter=maxiter, method="mu", stop="heldout",
-                 heldout_frac=heldout_frac, random_seed=random_seed,
-                 **kwargs)
+    res = solve(y, d, rank=rank, x=x, mask=mask, tol=tol,
+                maxiter=maxiter, method="mu", stop="heldout",
+                heldout_frac=heldout_frac, random_seed=random_seed,
+                **kwargs)
+    if refit:
+        refit_res = solve(y, res.d, x=res.x, mask=mask, tol=0.0,
+                          maxiter=int(refit), method="mu",
+                          random_seed=random_seed, **kwargs)
+        res = refit_res._replace(aux=res.aux)
+    return res
 
 
 def _heldout_machinery(hd, compute_dtype):
@@ -607,6 +617,7 @@ def _solve_pallas(my, d, x, mask, tol, eps, *, maxiter, method="mu",
         step, (x_p, d_p), tol=tol, maxiter=maxiter, diff_fn=diff_fn,
         objective_fn=objective, record_objective=record_objective,
         check_every=check_every, verbose=verbose,
+        min_iter=2 * check_every if hd is not None else 0,
     )
     aux = (None if val_sqerr is None
            else {"heldout_rel_err": jnp.sqrt(val_sqerr(res.state))})

@@ -322,17 +322,20 @@ def solve_streaming(
         # otherwise dominates (each read is a full round trip).
         need_diff = (not heldout) and (tol_f > 0.0 or callback is not None)
         objs_dev = []
-        prev_e, last_e = None, None
+        prev_e, last_e, checks = None, None, 0
         with jax.default_matmul_precision(precision):
             for it in range(1, maxiter + 1):
                 if heldout and it % int(check_every) == 0:
                     x, d, diff_dev, obj_dev, verr, vnorm = epoch_val(x, d)
                     e = float(verr) / max(float(vnorm), 1e-300)
                     last_e = e
+                    checks += 1
                     if callback is not None:
                         callback(it, float(diff_dev))
                     niter = it
-                    if prev_e is not None and (
+                    # warm-up: no plateau verdict before the 3rd check
+                    # ("no progress YET" is not "no progress ANYMORE")
+                    if prev_e is not None and checks >= 3 and (
                             (prev_e - e) / max(prev_e, 1e-300) < tol_f):
                         converged = True  # validation plateaued
                         break

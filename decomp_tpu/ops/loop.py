@@ -37,6 +37,7 @@ def run_iterations(
     objective_dtype=None,
     check_every: int = 1,
     verbose: bool = False,
+    min_iter: int = 0,
 ) -> IterationResult:
     """Run ``state <- step(state, it)`` until converged or ``maxiter``.
 
@@ -48,6 +49,12 @@ def run_iterations(
                    factor change). Compared against ``tol`` on device.
     objective_fn:  state -> real scalar; evaluated per iteration only when
                    ``record_objective`` (it usually costs an extra matmul).
+    min_iter:      suppress the convergence verdict before this many
+                   iterations have run (the loop still executes and
+                   ``diff_fn`` is still evaluated). Plateau-style criteria
+                   (held-out validation) need this: at a cold start the
+                   first steps can show no improvement YET, which is not
+                   "no improvement ANYMORE".
     check_every:   evaluate the convergence criterion only every this many
                    iterations (amortises the diff norms when they are a
                    visible fraction of the step cost). ``diff_fn`` then
@@ -113,6 +120,9 @@ def run_iterations(
             steps_done = n_steps
         diff = diff_fn(state, new_state)
         converged = diff < tol.astype(diff.dtype)
+        if min_iter > 0:
+            converged = jnp.logical_and(converged,
+                                        it + steps_done >= min_iter)
         if verbose:
             jax.debug.print("iter {it}: diff={diff}", it=it + steps_done,
                             diff=diff, ordered=False)

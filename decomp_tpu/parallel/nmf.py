@@ -407,6 +407,7 @@ def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter,
             step, (x_l, d_l), tol=tol, maxiter=maxiter, diff_fn=diff_fn,
             objective_fn=objective, record_objective=record_objective,
             check_every=check_every,
+            min_iter=2 * check_every if yv_l is not None else 0,
         )
         x_out, d_out = res.state[0], res.state[1]
         ho_err = (jnp.sqrt(val_sqerr(res.state)).astype(jnp.float32)

@@ -49,3 +49,4 @@ class DictionaryLearningResult(NamedTuple):
     niter: jax.Array
     converged: jax.Array
     objective: jax.Array
+    aux: Optional[Any] = None  # stop='heldout': {"heldout_rel_err": ...}

@@ -209,3 +209,33 @@ def test_solve_split_matches_native_complex():
     # unit atoms in split form
     norms = np.sqrt(np.asarray(cs.row_sum_abs2(res.d)))
     np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_heldout_stop_masked_dl():
+    """stop='heldout' for masked dictionary learning: stops at the
+    validation plateau with the reported error tracking the true
+    missing-entry error (sparse-coding completion)."""
+    rng = np.random.default_rng(72)
+    m, ch, k = 1500, 48, 12
+    d_true = rng.normal(size=(k, ch))
+    d_true /= np.linalg.norm(d_true, axis=1, keepdims=True)
+    xt = (rng.normal(size=(m, k)) * (rng.random((m, k)) < 0.3))
+    ytrue = (xt @ d_true + 0.01 * rng.normal(size=(m, ch))
+             ).astype(np.float32)
+    mask = (rng.random((m, ch)) >= 0.3).astype(np.float32)
+    d0 = rng.normal(size=(k, ch)).astype(np.float32)
+    res = decomp_tpu.dictionary_learning.solve(
+        ytrue * mask, d0, 0.02, mask=mask, tol=1e-3, maxiter=400,
+        lasso_iter=10, stop="heldout", random_seed=5)
+    assert bool(res.converged)
+    assert int(res.niter) < 400
+    ho_rep = float(np.asarray(res.aux["heldout_rel_err"]))
+    recon = np.asarray(res.x) @ np.asarray(res.d)
+    miss = np.asarray(mask) == 0
+    ho_true = (np.linalg.norm(recon[miss] - ytrue[miss])
+               / np.linalg.norm(ytrue[miss]))
+    assert ho_true < 0.3
+    assert abs(ho_rep - ho_true) < 0.5 * ho_true
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.dictionary_learning.solve(ytrue, d0, 0.02,
+                                             stop="heldout")  # no mask

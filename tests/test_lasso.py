@@ -572,3 +572,34 @@ def test_complex_solve_per_problem_state_resume():
                                 maxiter=300 - first, state=st, **kw)
     np.testing.assert_array_equal(np.asarray(r2.x), np.asarray(straight.x))
     np.testing.assert_array_equal(np.asarray(r2.niter), nit_s)
+
+
+def test_whole_kernel_edge_cases():
+    """Kernel edge shapes: single row (sub-stripe padding), tol=0 (runs
+    to maxiter), huge alpha (all-zero solution marks done), warm start
+    at the solution (immediate per-row stop)."""
+    rng = np.random.default_rng(54)
+    f, n = 128, 64
+    a = (rng.normal(size=(f, n)) / np.sqrt(n)).astype(np.float32)
+    y1 = rng.normal(size=(1, n)).astype(np.float32)
+    kw = dict(per_problem=True, use_pallas=True, _pallas_interpret=True)
+    r1 = decomp_tpu.lasso.solve(y1, a, 0.05, tol=1e-5, maxiter=200, **kw)
+    ref = decomp_tpu.lasso.solve(y1, a, 0.05, tol=1e-5, maxiter=200,
+                                 per_problem=True, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(ref.x))
+
+    y = rng.normal(size=(48, n)).astype(np.float32)
+    r0 = decomp_tpu.lasso.solve(y, a, 0.05, tol=0.0, maxiter=37, **kw)
+    np.testing.assert_array_equal(np.asarray(r0.niter), 37)
+    assert not np.asarray(r0.converged).any()
+
+    rh = decomp_tpu.lasso.solve(y, a, 1e6, tol=1e-6, maxiter=100, **kw)
+    assert np.asarray(rh.converged).all()
+    assert np.allclose(np.asarray(rh.x), 0.0)
+
+    sol = decomp_tpu.lasso.solve(y, a, 0.05, tol=1e-12, maxiter=20000,
+                                 method="fista")
+    rw = decomp_tpu.lasso.solve(y, a, 0.05, x=sol.x, tol=1e-6,
+                                maxiter=100, **kw)
+    assert np.asarray(rw.converged).all()
+    assert int(np.asarray(rw.niter).max()) <= 3

@@ -375,3 +375,29 @@ def test_masked_completion_preset_cpu():
     ho = (np.linalg.norm(recon[miss] - ytrue[miss])
           / np.linalg.norm(ytrue[miss]))
     assert ho < 0.1
+
+
+def test_masked_completion_refit():
+    """refit=N runs warm-started iterations on ALL observed entries
+    after the held-out stop; the pre-refit validation estimate rides
+    along in aux and the refit cannot hurt the fit."""
+    rng = np.random.default_rng(84)
+    m, n, k = 600, 80, 4
+    ytrue = (rng.uniform(0, 1, (m, k)) @ rng.uniform(0, 1, (k, n))
+             + 0.02 * rng.normal(size=(m, n))).astype(np.float32)
+    mask = (rng.random((m, n)) >= 0.3).astype(np.float32)
+    base = decomp_tpu.nmf.masked_completion(ytrue * mask, mask, rank=k,
+                                            maxiter=3000, tol=1e-3)
+    ref = decomp_tpu.nmf.masked_completion(ytrue * mask, mask, rank=k,
+                                           maxiter=3000, tol=1e-3,
+                                           refit=100)
+    assert ref.aux is not None  # pre-refit validation estimate kept
+    miss = np.asarray(mask) == 0
+
+    def ho(r):
+        recon = np.asarray(r.x) @ np.asarray(r.d)
+        return (np.linalg.norm(recon[miss] - ytrue[miss])
+                / np.linalg.norm(ytrue[miss]))
+
+    # refitting on all observed entries must not degrade completion
+    assert ho(ref) < ho(base) * 1.1
