@@ -443,3 +443,8 @@ def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter,
     aux = None if hd is None else {"heldout_rel_err": ho_err}
     return NMFResult(x=x_g, d=d_g, niter=niter, converged=converged,
                      objective=objective, aux=aux)
+
+
+# Sharded out-of-core variant — import at end of module (it reuses the
+# chunk machinery of models.nmf_streaming).
+from decomp_tpu.parallel.nmf_streaming import solve_streaming  # noqa: E402,F401
