@@ -191,9 +191,10 @@ def _sharded_epoch(y_loader, mask_loader, chunk_rows, n_chunks_local,
     )
 
     def body_shard(x_l, d_r):
-        # default int dtype (int64 under x64): loaders combine lo with
-        # python literals, which must promote consistently
-        row0 = (jax.lax.axis_index(row_axis) * n_local).astype(jnp.int_)
+        # default int dtype (int64 under x64, int32 otherwise): loaders
+        # combine lo with python literals, which must promote consistently
+        int_dt = jnp.asarray(0).dtype
+        row0 = (jax.lax.axis_index(row_axis) * n_local).astype(int_dt)
         db = d_r.astype(y_dtype) if use_pallas_chunk else None
         # fori carry types must be loop-invariant under shard_map's vma
         # checking: the stats become device-varying after one chunk (the
@@ -208,7 +209,7 @@ def _sharded_epoch(y_loader, mask_loader, chunk_rows, n_chunks_local,
 
         def body(i, carry):
             x_, num, den = carry
-            lo = row0 + jnp.asarray(i, jnp.int_) * chunk_rows  # GLOBAL
+            lo = row0 + jnp.asarray(i, int_dt) * chunk_rows  # GLOBAL
             yc = jnp.asarray(y_loader(lo, lo + chunk_rows), y_dtype)
             mc = (None if mask_loader is None
                   else jnp.asarray(mask_loader(lo, lo + chunk_rows),
