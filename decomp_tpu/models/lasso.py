@@ -154,6 +154,10 @@ def solve(
     """
     if method not in _METHODS:
         raise DecompError(f"method must be one of {_METHODS}, got {method!r}")
+    if int(maxiter) < 1:
+        # uniform across paths (the jnp loop raises this inside
+        # run_iterations; the whole-solve kernel path bypasses it)
+        raise ValueError(f"maxiter must be >= 1, got {maxiter}")
     if per_problem and method == "cd":
         raise DecompError("per_problem convergence does not support "
                           "method 'cd'")

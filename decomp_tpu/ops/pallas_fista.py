@@ -311,8 +311,10 @@ def solve_rows(yah, gram, x0, z0, t0, done0, nit0, stepsz, thresh, tol, *,
 
     grid = (m // block_rows,)
     # Cost estimate: the per-stripe trip count is data-dependent; expose
-    # the worst case so the scheduler never underestimates the kernel.
+    # a large-but-bounded figure (cap the trip count so a huge maxiter
+    # cannot overflow the estimate's int64).
     flops_per_iter = (6 if hi_lo else 2) * m * f * f
+    est_iters = min(max(int(maxiter), 1), 100_000)
     feat_in = [stepsz, thresh] if feat_vecs else []
     feat_specs = [feat, feat] if feat_vecs else []
     outs = pl.pallas_call(
@@ -334,7 +336,7 @@ def solve_rows(yah, gram, x0, z0, t0, done0, nit0, stepsz, thresh, tol, *,
             jax.ShapeDtypeStruct((m, 1), jnp.int32, vma=vma),  # niter
         ],
         cost_estimate=pl.CostEstimate(
-            flops=int(flops_per_iter * max(int(maxiter), 1)),
+            flops=int(flops_per_iter * est_iters),
             bytes_accessed=int(4 * (3 * m * f + 2 * m * f + 2 * f * f)),
             transcendentals=0,
         ),

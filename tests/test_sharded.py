@@ -456,3 +456,23 @@ def test_sharded_streaming_matches_single_device(mesh8, masked, pallas):
                                        **kw)
     assert rel_err(res.d, ref.d) < 1e-5
     assert rel_err(res.x, ref.x) < 1e-5
+
+
+def test_sharded_heldout_2d_mesh(mesh4x2):
+    """Held-out stopping on a 2-D (rows x cols) mesh: the validation
+    error allreduces over BOTH axes and still matches single-device."""
+    rng = np.random.default_rng(88)
+    m, n, k = 160, 64, 4
+    ytrue = (rng.uniform(0, 1, (m, k)) @ rng.uniform(0, 1, (k, n))
+             + 0.02 * rng.normal(size=(m, n))).astype(np.float32)
+    mask = (rng.random((m, n)) >= 0.3).astype(np.float32)
+    x0 = rng.uniform(0.1, 1, (m, k)).astype(np.float32)
+    d0 = rng.uniform(0.1, 1, (k, n)).astype(np.float32)
+    kw = dict(mask=mask, tol=1e-3, maxiter=2000, stop="heldout",
+              random_seed=3)
+    s = decomp_tpu.nmf.solve(ytrue * mask, d0, x=x0, **kw)
+    p = parallel.nmf.solve(ytrue * mask, d0, x=x0, mesh=mesh4x2,
+                           col_axis="cols", **kw)
+    assert int(p.niter) == int(s.niter)
+    np.testing.assert_allclose(float(p.aux["heldout_rel_err"]),
+                               float(s.aux["heldout_rel_err"]), rtol=1e-4)
