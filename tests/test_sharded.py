@@ -476,3 +476,37 @@ def test_sharded_heldout_2d_mesh(mesh4x2):
     assert int(p.niter) == int(s.niter)
     np.testing.assert_allclose(float(p.aux["heldout_rel_err"]),
                                float(s.aux["heldout_rel_err"]), rtol=1e-4)
+
+
+@pytest.mark.parametrize("variant", ["mixed", "kl"])
+def test_sharded_streaming_mixed_and_kl(mesh8, variant):
+    """Sharded streaming in the mixed operating point (bf16 chunks / f32
+    factors) and for KL-MU matches the single-device streamer."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(89)
+    m, n, k, chunk = 512, 64, 4, 64
+    y = np.maximum(rng.uniform(0, 1, (m, k)) @ rng.uniform(0, 1, (k, n))
+                   + 0.01 * rng.normal(size=(m, n)), 0).astype(np.float32)
+    x0 = rng.uniform(0.1, 1, (m, k)).astype(np.float32)
+    d0 = rng.uniform(0.1, 1, (k, n)).astype(np.float32)
+    if variant == "mixed":
+        yd = jnp.asarray(y, jnp.bfloat16)
+        kw = dict(dtype=jnp.bfloat16, factor_dtype=jnp.float32,
+                  precision="default", method="mu")
+    else:
+        yd = jnp.asarray(y)
+        kw = dict(dtype=np.float32, method="kl-mu")
+
+    def loader(lo, hi):
+        return jax.lax.dynamic_slice(yd, (lo, 0), (chunk, n))
+
+    base = dict(tol=0.0, maxiter=12, chunk_rows=chunk, n_samples=m,
+                n_channels=n, **kw)
+    ref = decomp_tpu.nmf.solve_streaming(loader, d0, x=x0, x_device=True,
+                                         jit_loader=True, **base)
+    res = parallel.nmf.solve_streaming(loader, d0, x=x0, mesh=mesh8,
+                                       **base)
+    assert rel_err(res.d, ref.d) < 1e-5
+    assert rel_err(res.x, ref.x) < 1e-5
