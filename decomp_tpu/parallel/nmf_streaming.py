@@ -23,10 +23,12 @@ The whole pass is ONE dispatched call per outer iteration per host.
 Measured caveat (single-chip rig, 1-device mesh): the shard_map-wrapped
 epoch runs ~3.5x slower per chunk than the identical single-device fused
 epoch at the same shape (110 vs 31 ms/iter at 262k x 10112 r128 with an
-on-device generator) — the in-core sharded solver shows NO such overhead
+on-device generator; the jnp and Pallas chunk paths BOTH show it, so it
+is not the kernel) — the in-core sharded solver shows NO such overhead
 (BASELINE.md config 5: sharded == unsharded per-iteration), so the gap
 is specific to the chunk-loop-inside-shard_map lowering on this
-platform, not to the collectives or the kernel. On one device prefer
+platform (likely lost pipelining of the per-chunk DMAs), not to the
+collectives. On one device prefer
 ``nmf.solve_streaming``; this entry exists for actual multi-chip meshes,
 where the per-device data and epoch time shrink by the device count.
 """
