@@ -251,10 +251,12 @@ def _sharded_epoch(y_loader, mask_loader, chunk_rows, n_chunks_local,
             x_ = jax.lax.dynamic_update_slice(x_, xc, (i * chunk_rows, 0))
             return (x_, num + nc, den + dc)
 
-        # NOTE: unrolling this loop was tried against the shard_map
-        # pipelining caveat (module docstring) — it makes every chunk's
-        # buffers live concurrently, which defeats the out-of-core
-        # memory contract at pod scale (observed OOM at the full shape).
+        # NOTE on the shard_map pipelining caveat (module docstring):
+        # unrolling this loop was tried and rejected — full unrolling
+        # makes every chunk's buffers live at once (OOM at pod scale),
+        # and even unroll=2 crashes this platform's remote compile
+        # helper on the duplicated kernel calls. The rolled form is
+        # correct everywhere; revisit on real multi-chip hardware.
         x_l, num, den = jax.lax.fori_loop(0, n_chunks_local, body,
                                           (x_l, num0, den0))
         # The ONLY cross-device traffic: K-sized statistics over ICI.
