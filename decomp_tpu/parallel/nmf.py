@@ -29,8 +29,6 @@ from decomp_tpu.ops import pallas_mu
 from decomp_tpu.ops.pallas_mu import calibrated_tpu as _calibrated_tpu
 
 from decomp_tpu.models.nmf import (
-    _hals_d_pass,
-    _init_factors,
     _kl_objective,
     _update_d,
     _update_d_hals,
