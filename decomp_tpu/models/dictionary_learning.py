@@ -407,7 +407,10 @@ def _solve(y, d, x, mask, alpha, tol, lasso_tol, forget, seed, *, maxiter,
         step, init, tol=tol, maxiter=maxiter, diff_fn=diff_fn,
         objective_fn=lambda s: objective(s[0], s[1]),
         record_objective=record_objective,
-        min_iter=10 if hd is not None else 0,
+        # Held-out warm-up floor, clamped so tiny maxiter budgets can
+        # still report convergence when validation genuinely plateaus
+        # (ADVICE round-3 #3).
+        min_iter=min(10, max(int(maxiter) - 1, 0)) if hd is not None else 0,
     )
     aux = (None if val_sqerr is None
            else {"heldout_rel_err": jnp.sqrt(val_sqerr(res.state))})

@@ -79,8 +79,13 @@ def solve_streaming(
     factor_dtype : as in ``nmf.solve`` — keep the x/d iterates in this
         wider dtype (e.g. f32 over streamed bf16 chunks) while the MXU
         contracts in y's dtype; method='mu' only.
-    callback : optional ``callback(it, diff)`` called once per outer
-        iteration (host-side observability hook).
+    callback : optional ``callback(it, diff)`` host-side observability
+        hook, called once per outer iteration — except under
+        ``stop='heldout'``, where it fires only on validation-check
+        epochs (every ``check_every``-th iteration): non-check epochs
+        are dispatched asynchronously with NO host sync, which is the
+        point of the amortised stopping rule, and a per-epoch callback
+        would reintroduce one round trip per iteration.
     x_device : keep the (n_samples, rank) activation matrix resident in
         device HBM and update it chunk-wise in place. At pod-scale
         shapes x is small (1M x 128 f32 = 512 MB) while y is not
@@ -102,6 +107,14 @@ def solve_streaming(
         Requires a callable ``y``, ``x_device=True``, and n_samples
         divisible by chunk_rows; the loader sees a TRACED ``lo`` and a
         chunk size that is static by construction.
+
+        CACHING PITFALL: the compiled epoch is cached per LOADER
+        IDENTITY (plus geometry/flags). Pass the SAME loader callable
+        across repeated calls (resume, chunked budgets, benchmarking) —
+        a fresh closure per call (e.g. an inline ``lambda lo, hi: ...``)
+        defeats the cache and re-traces + re-compiles the whole epoch
+        every call (tens of seconds at pod scale). ``epoch_cache_info()``
+        in this module reports hits/misses for debugging.
     stop : 'rel_change' (default) or 'heldout' (jit_loader + masked
         only): as in ``nmf.solve`` — a ``heldout_frac`` fraction of each
         chunk's observed entries is reserved (drawn deterministically
@@ -128,6 +141,20 @@ def solve_streaming(
     """
     if method not in ("mu", "kl-mu"):
         raise DecompError(f"method must be 'mu' or 'kl-mu', got {method!r}")
+    # Mode flags are validated up front, NOT inside the jit_loader branch:
+    # stop='heldout' or an HBM cache on the host-array path must raise, not
+    # silently fall back to the rel-change rule (ADVICE round-3 #1).
+    if stop not in ("rel_change", "heldout"):
+        raise DecompError(f"stop must be 'rel_change' or 'heldout', "
+                          f"got {stop!r}")
+    if not jit_loader:
+        if stop == "heldout":
+            raise DecompError("stop='heldout' requires jit_loader=True "
+                              "(the validation split is drawn inside the "
+                              "fused epoch)")
+        if hbm_cache_chunks:
+            raise DecompError("hbm_cache_chunks requires jit_loader=True "
+                              "(the cache is read inside the fused epoch)")
     if callable(y):
         if n_samples is None or n_channels is None or dtype is None:
             raise DecompError("a callable y requires explicit n_samples, "
@@ -263,9 +290,6 @@ def solve_streaming(
                                jnp.dtype(y_dtype).itemsize, masked)
         )
         heldout = stop == "heldout"
-        if stop not in ("rel_change", "heldout"):
-            raise DecompError(f"stop must be 'rel_change' or 'heldout', "
-                              f"got {stop!r}")
         if heldout:
             if not masked:
                 raise DecompError("stop='heldout' requires a mask loader")
@@ -417,6 +441,13 @@ def solve_streaming(
         converged=jnp.asarray(converged),
         objective=objective,
     )
+
+
+def epoch_cache_info():
+    """Hits/misses of the fused-epoch compile cache (debug hook for the
+    loader-identity pitfall: a fresh loader closure per call shows up
+    here as one miss per call)."""
+    return _fused_epoch.cache_info()
 
 
 @functools.lru_cache(maxsize=32)

@@ -84,6 +84,12 @@ def solve_streaming(
     ``decomp_tpu.nmf.solve_streaming`` (methods 'mu'/'kl-mu').
 
     Returns NMFResult with a row-sharded global ``x``.
+
+    CACHING PITFALL: the compiled sharded epoch is cached per LOADER
+    IDENTITY (plus geometry/flags). Pass the SAME loader callable across
+    repeated calls — a fresh closure per call re-traces + re-compiles
+    the epoch every time. ``epoch_cache_info()`` in this module reports
+    hits/misses for debugging.
     """
     if method not in ("mu", "kl-mu"):
         raise DecompError(f"method must be 'mu' or 'kl-mu', got {method!r}")
@@ -181,6 +187,12 @@ def solve_streaming(
         x=x, d=d, niter=jnp.asarray(niter, jnp.int32),
         converged=jnp.asarray(converged),
         objective=jnp.zeros((0,), jnp.float32))
+
+
+def epoch_cache_info():
+    """Hits/misses of the sharded-epoch compile cache (debug hook for
+    the loader-identity pitfall; see the solve_streaming docstring)."""
+    return _sharded_epoch.cache_info()
 
 
 @functools.lru_cache(maxsize=16)

@@ -239,3 +239,22 @@ def test_heldout_stop_masked_dl():
     with pytest.raises(decomp_tpu.utils.DecompError):
         decomp_tpu.dictionary_learning.solve(ytrue, d0, 0.02,
                                              stop="heldout")  # no mask
+
+
+def test_heldout_small_maxiter_can_converge():
+    """The held-out warm-up floor clamps to maxiter-1: with a tiny
+    iteration budget a genuine validation plateau can still be reported
+    as converged (ADVICE round-3 #3)."""
+    rng = np.random.default_rng(73)
+    m, ch, k = 300, 16, 4
+    ytrue = (rng.normal(size=(m, k)) @ rng.normal(size=(k, ch))
+             ).astype(np.float32)
+    mask = (rng.random((m, ch)) >= 0.3).astype(np.float32)
+    d0 = rng.normal(size=(k, ch)).astype(np.float32)
+    # tol=inf: ANY check after the warm-up floor counts as a plateau, so
+    # with maxiter=6 a converged verdict proves the floor is < maxiter.
+    res = decomp_tpu.dictionary_learning.solve(
+        ytrue * mask, d0, 0.02, mask=mask, tol=np.inf, maxiter=6,
+        lasso_iter=3, stop="heldout", random_seed=5)
+    assert bool(res.converged)
+    assert int(res.niter) <= 6

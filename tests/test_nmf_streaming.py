@@ -346,3 +346,51 @@ def test_streaming_heldout_stop():
             loader, rank=k, tol=1e-3, maxiter=10, chunk_rows=chunk,
             n_samples=m, n_channels=n, dtype=np.float32, x_device=True,
             jit_loader=True, stop="heldout")  # no mask
+
+
+def test_streaming_mode_flags_validated_on_host_path():
+    """stop/hbm_cache_chunks are validated up front: the host-array path
+    must raise instead of silently running the rel-change rule (ADVICE
+    round-3 #1)."""
+    rng = np.random.default_rng(100)
+    y = rng.uniform(0, 1, (64, 16)).astype(np.float32)
+    mask = (rng.random((64, 16)) >= 0.3).astype(np.float32)
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.nmf.solve_streaming(y, rank=4, stop="bogus")
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.nmf.solve_streaming(y, rank=4, mask=mask,
+                                       stop="heldout")
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.nmf.solve_streaming(y, rank=4, hbm_cache_chunks=2)
+
+
+def test_fused_epoch_reused_loader_no_recompile():
+    """Repeat solve_streaming calls with the SAME loader reuse the
+    compiled epoch (the loader-identity cache key pitfall, VERDICT
+    round-3 Weak #5): misses must not grow on the second call."""
+    import jax
+    import jax.numpy as jnp
+    from decomp_tpu.models import nmf_streaming as mns
+
+    rng = np.random.default_rng(101)
+    m, n, k, chunk = 256, 32, 4, 64
+    yd = jnp.asarray(rng.uniform(0, 1, (m, n)).astype(np.float32))
+    x0 = rng.uniform(0.1, 1, (m, k)).astype(np.float32)
+    d0 = rng.uniform(0.1, 1, (k, n)).astype(np.float32)
+
+    def loader(lo, hi):
+        return jax.lax.dynamic_slice(yd, (lo, 0), (chunk, n))
+
+    kw = dict(tol=0.0, maxiter=3, chunk_rows=chunk, n_samples=m,
+              n_channels=n, dtype=np.float32, x_device=True,
+              jit_loader=True)
+    decomp_tpu.nmf.solve_streaming(loader, d0, x=x0, **kw)
+    misses0 = mns.epoch_cache_info().misses
+    decomp_tpu.nmf.solve_streaming(loader, d0, x=x0, **kw)
+    info = mns.epoch_cache_info()
+    assert info.misses == misses0  # same loader -> cache hit
+    # and a FRESH closure is a miss (documents the pitfall)
+    decomp_tpu.nmf.solve_streaming(
+        lambda lo, hi: jax.lax.dynamic_slice(yd, (lo, 0), (chunk, n)),
+        d0, x=x0, **kw)
+    assert mns.epoch_cache_info().misses == misses0 + 1
