@@ -73,6 +73,131 @@ def flops_per_iter(m: int, n: int, k: int) -> float:
     return 4.0 * m * n * k + 4.0 * m * k * k + 4.0 * n * k * k
 
 
+def _fence_val(x):
+    """Value-read completion fence (block_until_ready does not block on
+    the axon platform)."""
+    return float(jnp.asarray(x, jnp.float32).sum())
+
+
+def _best_wall(fn, repeats=2):
+    _fence_val(fn())  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _fence_val(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_extra_configs(on_tpu: bool, small: bool) -> None:
+    """Compact driver-visible lines for graded configs 2/3/4/5'
+    (VERDICT round-3 Weak #6): one JSON line each in the driver schema,
+    with vs_baseline measured against the round-3 recorded numbers
+    (BASELINE.md) so regressions on the non-headline configs show up in
+    BENCH_rNN.json, not only in tests_tpu/. Full-size runs with richer
+    detail stay in benchmarks/run_configs.py."""
+    import numpy as np
+
+    import decomp_tpu
+
+    tiny = small or not on_tpu
+    rng = np.random.default_rng(1)
+
+    # --- config 2: batch lasso, whole-solve kernel, time-to-tol -------
+    n_prob, n_feat, n_ch = (256, 64, 48) if tiny else (10_000, 512, 256)
+    a = rng.normal(size=(n_feat, n_ch)).astype(np.float32)
+    x_true = (rng.normal(size=(n_prob, n_feat))
+              * (rng.random((n_prob, n_feat)) < 0.05)).astype(np.float32)
+    yl = jnp.asarray(x_true @ a
+                     + 0.01 * rng.normal(size=(n_prob, n_ch)
+                                         ).astype(np.float32))
+    ad = jnp.asarray(a)
+    pall = (dict(use_pallas=True) if on_tpu
+            else dict(use_pallas=True, _pallas_interpret=True))
+    t2 = _best_wall(lambda: decomp_tpu.lasso.solve(
+        yl, ad, 0.1, tol=1e-4, maxiter=4000, method="acc_ista",
+        precision="high", per_problem=True, **pall).x)
+    base2 = 0.074 if not tiny else None  # round-3 BASELINE.md config 2
+    print(json.dumps({
+        "metric": f"config2 batch-lasso whole-solve time-to-tol, "
+                  f"{n_prob}x{n_feat}",
+        "value": round(t2, 4), "unit": "s",
+        "vs_baseline": round(base2 / t2, 3) if base2 else None}))
+
+    # --- config 3: dictionary learning, 60 outer iters ----------------
+    n_samp, n_atoms, ch = (300, 32, 64) if tiny else (20_000, 256, 64)
+    d_true = rng.normal(size=(n_atoms, ch))
+    d_true /= np.linalg.norm(d_true, axis=1, keepdims=True)
+    xs = rng.normal(size=(n_samp, n_atoms)) * (
+        rng.random((n_samp, n_atoms)) < 0.1)
+    yd3 = jnp.asarray((xs @ d_true + 0.01 * rng.normal(
+        size=(n_samp, ch))).astype(np.float32))
+    d03 = jnp.asarray(rng.normal(size=(n_atoms, ch)).astype(np.float32))
+    t3 = _best_wall(lambda: decomp_tpu.dictionary_learning.solve(
+        yd3, d03, 0.05, tol=1e-5, maxiter=60, lasso_iter=15,
+        precision="high").d)
+    base3 = 0.126 if not tiny else None  # round-3 BASELINE.md config 3
+    print(json.dumps({
+        "metric": f"config3 dictionary-learning 60 outer iters, "
+                  f"{n_samp}x{ch} {n_atoms} atoms",
+        "value": round(t3, 4), "unit": "s",
+        "vs_baseline": round(base3 / t3, 3) if base3 else None}))
+
+    # --- config 4: masked completion preset (mixed + heldout stop) ----
+    m4, n4, k4 = (2000, 128, 8) if tiny else (100_000, 1000, 50)
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3 = jax.random.split(key, 3)
+    y4 = (jax.random.uniform(k1, (m4, k4))
+          @ jax.random.uniform(k2, (k4, n4))).astype(jnp.float32)
+    mask4 = (jax.random.uniform(k3, (m4, n4)) >= 0.3).astype(jnp.float32)
+    ym4 = y4 * mask4
+    t4 = _best_wall(lambda: decomp_tpu.nmf.masked_completion(
+        ym4, mask4, rank=k4, tol=1e-4, maxiter=4000, random_seed=4).d,
+        repeats=1)
+    base4 = 3.76 if not tiny else None  # round-3 BASELINE.md config 4
+    print(json.dumps({
+        "metric": f"config4 masked-completion preset time-to-stop, "
+                  f"{m4}x{n4} rank-{k4} 30% missing",
+        "value": round(t4, 4), "unit": "s",
+        "vs_baseline": round(base4 / t4, 3) if base4 else None}))
+
+    # --- config 5': full pod shape out-of-core on one chip ------------
+    m5, n5, k5, chunk5 = ((4096, 512, 128, 1024) if tiny
+                          else (1_048_576, 10_112, 128, 65_536))
+    dt5 = jnp.bfloat16 if on_tpu else jnp.float32
+
+    @jax.jit
+    def _dtrue5():
+        kd, _ = jax.random.split(jax.random.PRNGKey(7))
+        return jax.random.uniform(kd, (k5, n5), dtype=jnp.float32)
+
+    d_true5 = _dtrue5()
+
+    def loader5(lo, hi):
+        _, kx = jax.random.split(jax.random.PRNGKey(7))
+        kc = jax.random.fold_in(kx, lo)
+        xt = jax.random.uniform(kc, (chunk5, k5), dtype=jnp.float32)
+        return jnp.maximum(xt @ d_true5, 0.0).astype(dt5)
+
+    kw5 = dict(chunk_rows=chunk5, n_samples=m5, n_channels=n5, dtype=dt5,
+               factor_dtype=jnp.float32 if on_tpu else None,
+               precision="default" if on_tpu else "highest",
+               x_device=True, jit_loader=True, random_seed=11)
+    _fence_val(decomp_tpu.nmf.solve_streaming(
+        loader5, rank=k5, tol=0.0, maxiter=2, **kw5).d)  # warm
+    iters5 = 10
+    t0 = time.perf_counter()
+    _fence_val(decomp_tpu.nmf.solve_streaming(
+        loader5, rank=k5, tol=0.0, maxiter=iters5, **kw5).d)
+    r5 = iters5 / (time.perf_counter() - t0)
+    base5 = 11.1 if not tiny else None  # round-3 BASELINE.md row 5'
+    print(json.dumps({
+        "metric": f"config5' out-of-core streaming NMF, {m5}x{n5} "
+                  f"rank-{k5} fused epoch",
+        "value": round(r5, 3), "unit": "iters/sec",
+        "vs_baseline": round(r5 / base5, 3) if base5 else None}))
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--small", action="store_true",
@@ -83,6 +208,8 @@ def main() -> int:
     parser.add_argument("--iters", type=int, default=150)
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--profile", action="store_true")
+    parser.add_argument("--headline-only", action="store_true",
+                        help="skip the per-config lines")
     args = parser.parse_args()
     _enable_compile_cache()
 
@@ -151,6 +278,12 @@ def main() -> int:
     flops = flops_per_iter(m, n, k) * iters_per_sec
     frac_peak = (flops / peak) if (on_tpu and peak) else None
     vs_baseline = (frac_peak / 0.5) if frac_peak is not None else None
+
+    # Per-config lines first (driver artifacts tail the full stdout);
+    # the HEADLINE line stays LAST so a last-JSON-line parser still
+    # records the primary metric.
+    if not args.headline_only:
+        bench_extra_configs(on_tpu, args.small)
 
     fd_tag = "/f32-factors" if factor_dtype is not None else ""
     result = {

@@ -78,11 +78,18 @@ def main():
     dtype = jnp.bfloat16
     n_chunks = m // chunk
 
-    key = jax.random.PRNGKey(7)
-    kd, kx = jax.random.split(key)
-    d_true = jax.random.uniform(kd, (k, n), dtype=jnp.float32)
+    # ALL setup inside jit: eager ops each remote-compile on this
+    # platform (~tens of seconds per op) — an unjitted setup block can
+    # take longer than the measurements.
+    @jax.jit
+    def make_d_true():
+        kd, _ = jax.random.split(jax.random.PRNGKey(7))
+        return jax.random.uniform(kd, (k, n), dtype=jnp.float32)
+
+    d_true = make_d_true()
 
     def gen_chunk(lo):
+        _, kx = jax.random.split(jax.random.PRNGKey(7))
         kc = jax.random.fold_in(kx, lo)
         xt = jax.random.uniform(kc, (chunk, k), dtype=jnp.float32)
         return jnp.maximum(xt @ d_true, 0.0).astype(dtype)
@@ -94,9 +101,13 @@ def main():
     mesh = make_mesh((1,), ("rows",))
     x_shard = NamedSharding(mesh, P("rows", None))
 
-    kxi = jax.random.PRNGKey(3)
-    x0 = (0.5 * jax.random.uniform(kxi, (m, k), jnp.float32))
-    x0s = jax.device_put(x0, x_shard)
+    @functools.partial(jax.jit, out_shardings=x_shard)
+    def make_x0():
+        return 0.5 * jax.random.uniform(jax.random.PRNGKey(3), (m, k),
+                                        jnp.float32)
+
+    x0s = make_x0()
+    x0 = jnp.asarray(x0s)
     d0 = jnp.asarray(
         np.random.default_rng(0).uniform(size=(k, n)), jnp.float32)
 
@@ -112,9 +123,10 @@ def main():
         return d
 
     # --- 2. sharded epoch on the 1-device mesh (the slow twin) ---------
-    ep_shard = pns._sharded_epoch(
-        loader, None, chunk, n_chunks, m, k, n, "mu", False, True,
-        jnp.dtype(dtype), 1e-15, "default", mesh, "rows", False)
+    ep_shard = mns._fused_epoch(
+        loader, None, chunk, n_chunks, k, n, "mu", False, True, False,
+        jnp.dtype(dtype), 1e-15, "default", True, False, 0, None, False,
+        None, mesh, "rows")
 
     def run_shard():
         x, d, diff = ep_shard(x0s, d0)
@@ -144,7 +156,7 @@ def main():
                              out_specs=P())(d)
 
     # --- 4. kernel-only epochs (one resident chunk re-processed) -------
-    yc_res = jax.device_put(gen_chunk(0))
+    yc_res = jax.jit(lambda: gen_chunk(0))()
     eps32 = jnp.asarray(1e-15, jnp.float32)
 
     @jax.jit

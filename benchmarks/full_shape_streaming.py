@@ -44,6 +44,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--cache", type=int, default=0,
+                    help="hbm_cache_chunks for the fused epoch")
     args = ap.parse_args()
 
     if args.small:
@@ -66,10 +68,21 @@ def main():
         work (measured: it dropped the whole run to ~9% of peak), and
         the bf16 quantisation of the product already provides a noise
         floor. The planted factorisation keeps the convergence evidence
-        meaningful (objective decays toward the quantisation floor)."""
+        meaningful (objective decays toward the quantisation floor).
+
+        bf16-NATIVE (round 4, VERDICT round-3 Missing #3): the planted
+        matmul writes bf16 DIRECTLY (preferred_element_type; the MXU
+        still accumulates in f32 internally) instead of materialising a
+        2.65 GB f32 chunk in HBM and converting — the f32 intermediates
+        were what left no spare HBM for ``hbm_cache_chunks`` at the
+        21 GB full shape."""
         kc = jax.random.fold_in(kx, lo)
-        xt = jax.random.uniform(kc, (rows, k), dtype=jnp.float32)
-        return jnp.maximum(xt @ d_true, 0.0).astype(dtype)
+        xt = jax.random.uniform(kc, (rows, k), dtype=jnp.float32
+                                ).astype(dtype)
+        prod = jax.lax.dot_general(
+            xt, d_true.astype(dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=dtype)
+        return jnp.maximum(prod, 0)
 
     def loader(lo, hi):
         del hi  # chunk size is static under jit_loader
@@ -99,14 +112,16 @@ def main():
         loader, rank=k, tol=0.0, maxiter=2, chunk_rows=chunk,
         n_samples=m, n_channels=n, dtype=dtype,
         factor_dtype=jnp.float32, precision="default",
-        x_device=True, jit_loader=True, random_seed=11)
+        x_device=True, jit_loader=True, random_seed=11,
+        hbm_cache_chunks=args.cache)
     float(jnp.asarray(warm.d, jnp.float32).sum())
     t0 = time.perf_counter()
     res2 = decomp_tpu.nmf.solve_streaming(
         loader, rank=k, tol=0.0, maxiter=iters2, chunk_rows=chunk,
         n_samples=m, n_channels=n, dtype=dtype,
         factor_dtype=jnp.float32, precision="default",
-        x_device=True, jit_loader=True, random_seed=11)
+        x_device=True, jit_loader=True, random_seed=11,
+        hbm_cache_chunks=args.cache)
     float(jnp.asarray(res2.d, jnp.float32).sum())
     wall2 = time.perf_counter() - t0
 
@@ -122,6 +137,7 @@ def main():
         "config": "c5_full_shape_streaming_1Mx10112_r128",
         "shape": [m, n, k],
         "chunk_rows": chunk,
+        "hbm_cache_chunks": args.cache,
         "operating_point": "bf16 data stream / f32 factors, x device-resident, fused jit epoch",
         "iters": niter,
         "wall_s_first": round(wall, 2),

@@ -49,6 +49,10 @@ def solve_streaming(
     chunk_rows: int = 65536,
     precision: str = "highest",
     callback=None,
+    stop: str = "rel_change",
+    heldout_frac: float = 0.05,
+    check_every: int = 5,
+    random_seed: int = 0,
 ) -> DictionaryLearningResult:
     """Out-of-core ``decomp_tpu.dictionary_learning.solve``.
 
@@ -57,6 +61,19 @@ def solve_streaming(
     diff)`` fires once per outer iteration. Masked problems use the
     projected-gradient dictionary step from chunk-accumulated Gram and
     gradient statistics (identical to the in-core masked update).
+
+    stop : 'rel_change' (default) or 'heldout' (masked real problems):
+        as in ``dictionary_learning.solve`` — a ``heldout_frac``
+        fraction of each chunk's observed entries is reserved (drawn
+        deterministically per chunk from ``random_seed``, so every
+        epoch sees the same validation set), sparse coding and the
+        dictionary step train on the remainder, and iteration stops
+        when the validation error plateaus: its relative improvement
+        between CHECK epochs (every ``check_every``-th) drops below
+        ``tol``. ``aux['heldout_rel_err']`` carries the final
+        validation error. This is the usable stopping rule for
+        out-of-core masked completion, where the rel-change floor can
+        fire too early (BASELINE.md).
     """
     y = np.asarray(y)
     assertion.assert_ndim("y", y, 2)
@@ -67,12 +84,23 @@ def solve_streaming(
     if lasso_method == "cd":
         raise DecompError("lasso_method 'cd' is not supported inside "
                           "dictionary learning; use 'fista'/'parallel_cd'")
+    if stop not in ("rel_change", "heldout"):
+        raise DecompError(f"stop must be 'rel_change' or 'heldout', "
+                          f"got {stop!r}")
     chunk_rows = int(chunk_rows)
     if chunk_rows < 1:
         raise DecompError("chunk_rows must be >= 1")
     if mask is not None:
         mask = np.asarray(mask)
         assertion.assert_same_shape("mask", mask, "y", y)
+    heldout = stop == "heldout"
+    if heldout:
+        if mask is None:
+            raise DecompError("stop='heldout' requires a mask")
+        if np.iscomplexobj(y):
+            raise DecompError("stop='heldout' supports real dtypes only")
+        if not 0.0 < float(heldout_frac) < 1.0:
+            raise DecompError("heldout_frac must be in (0, 1)")
     n_samples = y.shape[0]
     n_atoms = d.shape[0]
     dtype = np.result_type(y.dtype, np.asarray(d).dtype)
@@ -88,22 +116,46 @@ def solve_streaming(
     lasso_tol_j = jnp.asarray(lasso_tol, rdt)
     d = l2_normalize(d.astype(dtype), axis=1)
 
+    hd_key = None
+    if heldout:
+        # same derivation root as the in-core solvers:
+        # fold_in(PRNGKey(seed), 2); per-chunk keys fold in the chunk
+        # offset so every epoch reserves the SAME entries
+        hd_key = jax.random.fold_in(
+            jax.random.PRNGKey(np.uint32(random_seed)), 2)
+        hd_frac = jnp.float32(heldout_frac)
+    ce = max(1, int(check_every))
+    prev_e, last_e, checks = None, None, 0
     niter, converged, diff = 0, False, np.inf
     with jax.default_matmul_precision(precision):
         for it in range(1, maxiter + 1):
             d_old = d
+            is_check = heldout and it % ce == 0
             stats_a = jnp.zeros((n_atoms, n_atoms), dtype)
             stats_b = jnp.zeros((n_atoms, y.shape[1]), dtype)
+            verr = vnorm = jnp.zeros((), jnp.float32)
             for lo in range(0, n_samples, chunk_rows):
                 hi = min(lo + chunk_rows, n_samples)
                 yc = jnp.asarray(y[lo:hi])
                 xc = jnp.asarray(x[lo:hi])
                 mc = (None if mask is None
                       else jnp.asarray(mask[lo:hi], real_dtype(yc.dtype)))
+                if heldout:
+                    val_c = _chunk_val_mask(hd_key, lo, mc, hd_frac)
+                    mc_t = mc - val_c       # train on the remainder
+                else:
+                    mc_t = mc
                 xc, a_c, b_c = _chunk_code_and_stats(
-                    yc, d, xc, alpha_j, lasso_tol_j, mc,
+                    yc, d, xc, alpha_j, lasso_tol_j, mc_t,
                     lasso_method=lasso_method, lasso_iter=lasso_iter,
                     masked=mask is not None)
+                if is_check:
+                    # validation error with the freshly-coded xc against
+                    # the pre-update d (matching nmf.solve_streaming's
+                    # convention)
+                    ve, vn = _val_err_chunk(yc, val_c, xc, d)
+                    verr = verr + ve
+                    vnorm = vnorm + vn
                 x[lo:hi] = np.asarray(xc)
                 stats_a = stats_a + a_c
                 stats_b = stats_b + b_c
@@ -118,14 +170,30 @@ def solve_streaming(
             niter = it
             if callback is not None:
                 callback(it, diff)
-            if diff < float(tol):
+            if heldout:
+                if is_check:
+                    e = float(verr) / max(float(vnorm), 1e-300)
+                    last_e = e
+                    checks += 1
+                    # warm-up: no plateau verdict before the 3rd check
+                    if prev_e is not None and checks >= 3 and (
+                            (prev_e - e) / max(prev_e, 1e-300)
+                            < float(tol)):
+                        converged = True  # validation plateaued
+                        break
+                    prev_e = e
+            elif diff < float(tol):
                 converged = True
                 break
 
+    aux = (None if last_e is None
+           else {"heldout_rel_err": jnp.asarray(np.sqrt(last_e),
+                                                jnp.float32)})
     return DictionaryLearningResult(
         x=x, d=d, niter=jnp.asarray(niter, jnp.int32),
         converged=jnp.asarray(converged),
         objective=jnp.zeros((0,), jnp.float32),
+        aux=aux,
     )
 
 
@@ -149,6 +217,27 @@ def _chunk_code_and_stats(yc, d, xc, alpha, lasso_tol, mc=None, *,
     myc = mc * yc
     resid = mc * (xc @ d) - myc
     return xc, gram, xc.conj().T @ resid
+
+
+@jax.jit
+def _chunk_val_mask(key, lo, mc, frac):
+    """Per-chunk validation mask: deterministic (keyed by the chunk
+    offset only, so every epoch reserves the same entries) and <= mc
+    elementwise."""
+    kv = jax.random.fold_in(key, lo)
+    bern = (jax.random.uniform(kv, mc.shape) < frac).astype(mc.dtype)
+    return bern * mc
+
+
+@jax.jit
+def _val_err_chunk(yc, val_c, xc, d):
+    """Chunk contribution to (sum val*(y - x@d)^2, sum (val*y)^2)."""
+    acc = jnp.promote_types(jnp.float32, real_dtype(yc.dtype))
+    recon = (xc @ d).astype(acc)
+    yv = (val_c * yc).astype(acc)
+    r = yv - val_c.astype(acc) * recon
+    return (jnp.sum(r * r).astype(jnp.float32),
+            jnp.sum(yv * yv).astype(jnp.float32))
 
 
 @jax.jit

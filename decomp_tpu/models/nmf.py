@@ -104,7 +104,10 @@ def solve(
         resolution (measured, benchmarks/headline_convergence.py), while
         f32 iterates integrate them and track the f32/'highest' objective
         curve to <1%. Combine with precision='default'. Full-batch 'mu'
-        only. None (default) = factors in y.dtype.
+        and 'kl-mu' (the KL ratio my/(x@d+eps) is formed in f32 and only
+        the MXU operands quantise — measured to track the f32-'highest'
+        KL objective at the config-4 shape, BASELINE.md round 4). None
+        (default) = factors in y.dtype.
     stop : 'rel_change' (default; reference-parity relative change of
         ``d``) or 'heldout': reserve ``heldout_frac`` of the OBSERVED
         entries as an on-device validation set, train on the rest, and
@@ -158,9 +161,9 @@ def solve(
             raise DecompError(
                 "factor_dtype must be at least as wide as y's dtype "
                 f"(got {factor_dtype} factors for {y.dtype} data)")
-        if method != "mu":
-            raise DecompError("factor_dtype currently supports "
-                              "method='mu' only")
+        if method not in ("mu", "kl-mu"):
+            raise DecompError("factor_dtype supports methods 'mu' and "
+                              "'kl-mu' only")
         if minibatch is not None:
             raise DecompError("factor_dtype is incompatible with "
                               "minibatch")
@@ -359,7 +362,10 @@ def _solve(y, d, x, mask, seed, tol, eps, forget, *, rank, maxiter,
                 my_a - mask.astype(acc_dt) * recon)
             return 0.5 * jnp.sum(resid * resid)
     else:  # kl-mu
-        upd_x, upd_d = _update_x_kl, _update_d_kl
+        if factor_dtype is not None:
+            upd_x, upd_d = _update_x_kl_mixed, _update_d_kl_mixed
+        else:
+            upd_x, upd_d = _update_x_kl, _update_d_kl
 
         def objective(state):
             return _kl_objective(my, state[0], state[1], mask, eps)
@@ -708,6 +714,40 @@ def _update_d_mixed(my, x, d, mask, eps, psum_rows=_identity):
         recon = _mixed_dot(xb, d.astype(cdt), ((1,), (0,)))
         recon_m = (mask.astype(jnp.float32) * recon).astype(cdt)
         den = psum_rows(_mixed_dot(xb, recon_m, ((0,), (0,))))
+    return d * num / (den + eps)
+
+
+def _update_x_kl_mixed(my, x, d, mask, eps, psum_cols=_identity):
+    """Mixed-precision KL x update (factor_dtype mode). Same policy as
+    _update_x_mixed: iterates in f32, every MXU contraction on
+    compute-dtype operands with f32 accumulation. The KL-specific
+    ratio my / (x@d + eps) is formed in f32 (the division is VPU work,
+    not MXU) and quantised back to the compute dtype only as the next
+    contraction's operand — measured at the config-4 shape to track the
+    f32-'highest' KL objective (see BASELINE.md round 4)."""
+    cdt = my.dtype
+    db = d.astype(cdt)
+    r = _mixed_dot(x.astype(cdt), db, ((1,), (0,))) + eps
+    ratio = (my.astype(jnp.float32) / r).astype(cdt)
+    num = psum_cols(_mixed_dot(ratio, db, ((1,), (1,))))
+    if mask is None:
+        den = psum_cols(jnp.sum(d.astype(jnp.float32), axis=1))
+    else:
+        den = psum_cols(_mixed_dot(mask.astype(cdt), db, ((1,), (1,))))
+    return x * num / (den + eps)
+
+
+def _update_d_kl_mixed(my, x, d, mask, eps, psum_rows=_identity):
+    """Mixed-precision KL d update; see _update_x_kl_mixed."""
+    cdt = my.dtype
+    xb = x.astype(cdt)
+    r = _mixed_dot(xb, d.astype(cdt), ((1,), (0,))) + eps
+    ratio = (my.astype(jnp.float32) / r).astype(cdt)
+    num = psum_rows(_mixed_dot(xb, ratio, ((0,), (0,))))
+    if mask is None:
+        den = psum_rows(jnp.sum(x.astype(jnp.float32), axis=0))[:, None]
+    else:
+        den = psum_rows(_mixed_dot(xb, mask.astype(cdt), ((0,), (0,))))
     return d * num / (den + eps)
 
 

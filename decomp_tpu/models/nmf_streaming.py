@@ -22,8 +22,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from decomp_tpu.models.nmf import (
+    _mixed_dot,
     _update_x,
     _update_x_kl,
+    _update_x_kl_mixed,
     _update_x_mixed,
 )
 from decomp_tpu.utils import assertion
@@ -78,7 +80,7 @@ def solve_streaming(
         chunk_rows * n_channels * itemsize fits comfortably in HBM.
     factor_dtype : as in ``nmf.solve`` — keep the x/d iterates in this
         wider dtype (e.g. f32 over streamed bf16 chunks) while the MXU
-        contracts in y's dtype; method='mu' only.
+        contracts in y's dtype; methods 'mu' and 'kl-mu'.
     callback : optional ``callback(it, diff)`` host-side observability
         hook, called once per outer iteration — except under
         ``stop='heldout'``, where it fires only on validation-check
@@ -104,9 +106,12 @@ def solve_streaming(
         host-driven dispatches per chunk — on a high-latency control
         link the host-driven loop is dispatch-bound at pod scale
         (measured ~50 ms/chunk on the axon tunnel vs ~4 ms of compute).
-        Requires a callable ``y``, ``x_device=True``, and n_samples
-        divisible by chunk_rows; the loader sees a TRACED ``lo`` and a
-        chunk size that is static by construction.
+        Requires a callable ``y`` and ``x_device=True``; the loader sees
+        a TRACED ``lo`` and a chunk size that is static by construction.
+        ``n_samples`` need NOT divide ``chunk_rows``: the trailing chunk
+        reads a clamped loader window [n_samples - chunk_rows,
+        n_samples) and masks the rows already covered (ragged tails;
+        requires chunk_rows <= n_samples).
 
         CACHING PITFALL: the compiled epoch is cached per LOADER
         IDENTITY (plus geometry/flags). Pass the SAME loader callable
@@ -127,7 +132,14 @@ def solve_streaming(
         validation error. This is the usable stopping rule for
         POD-SCALE mixed-precision masked completion, where the
         rel-change floor fires too early (BASELINE.md).
-    check_every : epochs between validation checks under stop='heldout'.
+    check_every : (jit_loader mode) epochs between host-side convergence
+        checks — validation passes under ``stop='heldout'``, rel-change
+        scalar reads under ``stop='rel_change'`` with ``tol > 0``. The
+        epochs between checks are enqueued with NO host round trip
+        (they chain asynchronously on device), so convergence may be
+        detected up to ``check_every - 1`` epochs late; ``niter``
+        counts the epochs actually executed. The callback fires on
+        check epochs only. Set ``check_every=1`` for per-epoch checks.
     hbm_cache_chunks : (jit_loader mode) keep the FIRST this-many chunks
         resident in a read-only HBM buffer, prefetched once before the
         first epoch: those chunks skip the loader entirely on every
@@ -184,9 +196,9 @@ def solve_streaming(
         if factor_dtype == y_dtype:
             factor_dtype = None
     if factor_dtype is not None:
-        if method != "mu":
-            raise DecompError("factor_dtype currently supports "
-                              "method='mu' only")
+        if method not in ("mu", "kl-mu"):
+            raise DecompError("factor_dtype supports methods 'mu' and "
+                              "'kl-mu' only")
         if jnp.finfo(factor_dtype).bits < jnp.finfo(jnp.dtype(y_dtype)).bits:
             raise DecompError("factor_dtype must be at least as wide as "
                               "y's dtype")
@@ -230,11 +242,13 @@ def solve_streaming(
     if x is None:
         scale = _init_scale(rank)
         if x_device:
-            # Generate on device: a 1M-row random init should not ride
-            # the host link.
+            # Generate on device (a 1M-row random init should not ride
+            # the host link), through a cached jit: eager op-by-op
+            # generation costs several tunnel dispatches per call.
             kx = jax.random.PRNGKey(np.uint32(random_seed))
-            x = (scale * jax.random.uniform(kx, (n_samples, rank)
-                                            )).astype(fdt)
+            x = _x_init_device(int(n_samples), int(rank),
+                               jnp.dtype(fdt).name)(
+                kx, jnp.float32(scale))
         else:
             x = (scale * rng.uniform(size=(n_samples, rank))).astype(fdt)
     else:
@@ -267,10 +281,22 @@ def solve_streaming(
         if not x_device:
             raise DecompError("jit_loader=True requires x_device=True "
                               "(x lives in the fused epoch's carry)")
-        if n_samples % chunk_rows:
-            raise DecompError("jit_loader=True requires n_samples "
-                              "divisible by chunk_rows")
-        n_chunks = n_samples // chunk_rows
+        if chunk_rows > n_samples:
+            raise DecompError(
+                f"chunk_rows={chunk_rows} exceeds n_samples={n_samples}; "
+                "reduce chunk_rows (the fused epoch reads fixed-size "
+                "loader windows inside the data)")
+        # Ragged tails are handled by the epoch itself: the trailing
+        # chunk reads a clamped loader window and masks the rows at/after
+        # n_samples (zero rows are MU fixed points), so n_samples need
+        # NOT divide chunk_rows. x is padded to the chunk grid and
+        # sliced back on return.
+        n_chunks = -(-n_samples // chunk_rows)
+        n_pad = n_chunks * chunk_rows
+        if n_pad != n_samples:
+            x = jnp.concatenate(
+                [jnp.asarray(x, fdt),
+                 jnp.zeros((n_pad - n_samples, rank), fdt)], axis=0)
         mixed = factor_dtype is not None
         # Fused-kernel chunk step: the Pallas dense-MU stats kernel reads
         # each chunk ONCE (x update + both d statistics in one pass)
@@ -303,33 +329,36 @@ def solve_streaming(
         if n_cache:
             # Prefill once; the epoch treats the buffers as read-only
             # inputs (no donation, no in-loop writes -> no copies).
+            # Cached windows use the same CLAMPED offsets the epoch
+            # would pass to the loader (identical for aligned chunks).
+            offs = [min(i * chunk_rows, n_samples - chunk_rows)
+                    for i in range(n_cache)]
             cache = jnp.stack([
-                jnp.asarray(y_loader(i * chunk_rows,
-                                     (i + 1) * chunk_rows), y_dtype)
-                for i in range(n_cache)])
+                jnp.asarray(y_loader(lo, lo + chunk_rows), y_dtype)
+                for lo in offs])
             if mask_loader is not None:
                 mcache = jnp.stack([
-                    jnp.asarray(mask_loader(i * chunk_rows,
-                                            (i + 1) * chunk_rows),
+                    jnp.asarray(mask_loader(lo, lo + chunk_rows),
                                 y_dtype)
-                    for i in range(n_cache)])
+                    for lo in offs])
         # Cached per (loader, geometry, flags): repeat solve_streaming
         # calls (resume, chunked budgets, benchmarking) reuse the traced
         # + compiled epoch instead of re-jitting a fresh closure.
         hd_key = (float(heldout_frac), int(random_seed)) if heldout \
             else None
+        n_true = n_samples if n_pad != n_samples else None
         epoch0 = _fused_epoch(
             y_loader, mask_loader, int(chunk_rows), int(n_chunks),
             int(rank), int(n_channels), method, masked, mixed,
             bool(record_objective), jnp.dtype(y_dtype), float(eps_f),
             precision, use_pallas_chunk, bool(_pallas_interpret),
-            n_cache, hd_key, False)
+            n_cache, hd_key, False, n_true)
         epoch0_val = (None if not heldout else _fused_epoch(
             y_loader, mask_loader, int(chunk_rows), int(n_chunks),
             int(rank), int(n_channels), method, masked, mixed,
             bool(record_objective), jnp.dtype(y_dtype), float(eps_f),
             precision, use_pallas_chunk, bool(_pallas_interpret),
-            n_cache, hd_key, True))
+            n_cache, hd_key, True, n_true))
         if n_cache:
             def epoch(x, d):
                 return epoch0(x, d, cache, mcache)
@@ -343,13 +372,19 @@ def solve_streaming(
         # tol == 0 with no callback: nothing needs the host per
         # iteration, so the loop just ENQUEUES epochs — on a
         # high-latency control link the per-iteration float(diff) sync
-        # otherwise dominates (each read is a full round trip).
+        # otherwise dominates (each read is a full round trip). With
+        # tol > 0 the same amortisation applies through check_every:
+        # the rel-change scalar is only READ on check epochs, so the
+        # epochs in between chain asynchronously (VERDICT round-3
+        # Missing #5; measured ~25 ms per non-chained dispatch on the
+        # axon tunnel vs a 90 ms full-shape epoch).
         need_diff = (not heldout) and (tol_f > 0.0 or callback is not None)
+        ce = max(1, int(check_every))
         objs_dev = []
         prev_e, last_e, checks = None, None, 0
         with jax.default_matmul_precision(precision):
             for it in range(1, maxiter + 1):
-                if heldout and it % int(check_every) == 0:
+                if heldout and it % ce == 0:
                     x, d, diff_dev, obj_dev, verr, vnorm = epoch_val(x, d)
                     e = float(verr) / max(float(vnorm), 1e-300)
                     last_e = e
@@ -369,8 +404,8 @@ def solve_streaming(
                 if record_objective:
                     objs_dev.append(obj_dev)
                 niter = it
-                if need_diff:
-                    diff = float(diff_dev)  # one sync per outer iteration
+                if need_diff and (it % ce == 0 or it == maxiter):
+                    diff = float(diff_dev)  # one sync per CHECK epoch
                     if callback is not None:
                         callback(it, diff)
                     if diff < tol_f:
@@ -385,6 +420,8 @@ def solve_streaming(
         aux = (None if last_e is None
                else {"heldout_rel_err": jnp.asarray(np.sqrt(last_e),
                                                     jnp.float32)})
+        if n_pad != n_samples:
+            x = x[:n_samples]
         return NMFResult(
             x=x, d=d, niter=jnp.asarray(niter, jnp.int32),
             converged=jnp.asarray(converged), objective=objective,
@@ -450,128 +487,264 @@ def epoch_cache_info():
     return _fused_epoch.cache_info()
 
 
+@functools.lru_cache(maxsize=16)
+def _x_init_device(n_rows, rank, fdt_name):
+    """Cached jitted device-resident x initialiser (a per-call jit or
+    eager generation costs tunnel dispatches / persistent-cache round
+    trips on every solve call)."""
+    @jax.jit
+    def init(key, scale):
+        return (scale * jax.random.uniform(key, (n_rows, rank))
+                ).astype(jnp.dtype(fdt_name))
+
+    return init
+
+
 @functools.lru_cache(maxsize=32)
 def _fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks, rank,
                  n_channels, method, masked, mixed, record_objective,
                  y_dtype, eps_f, precision, use_pallas_chunk=False,
                  pallas_interpret=False, n_cache=0, heldout=None,
-                 with_val=False):
+                 with_val=False, n_true=None, mesh=None, row_axis=None):
     """Build (and cache) the jitted fused-epoch function for jit_loader
     mode: one dispatched call runs the x updates and d-statistics over
     ALL chunks (lax.fori_loop + dynamic_update_slice on the resident x).
     Keyed by loader identity and geometry so repeat calls reuse the
-    compiled executable."""
+    compiled executable.
+
+    ``n_true``: the true global sample count when it is NOT a multiple
+    of the (per-device) chunk grid — the trailing chunk(s) then read a
+    clamped loader window [n_true - chunk_rows, n_true), roll it back
+    into x alignment, and zero the rows at/after ``n_true`` (zero rows
+    are MU fixed points: their x stays 0 and they contribute nothing to
+    the d statistics — the library's standard padding argument).
+
+    ``mesh``/``row_axis``: sharded mode. ``x`` is row-sharded over the
+    mesh (padded to n_dev * n_chunks * chunk_rows rows), ``d``
+    replicated; each device streams its global row range (the loader is
+    called with GLOBAL offsets) and the K-sized d statistics (plus the
+    objective / validation scalars) are the only psum traffic. The d
+    update runs replicated on every device, so sharded and single-device
+    trajectories agree to psum reduction order.
+    """
     acc_j = jnp.promote_types(jnp.float32, y_dtype)
+    n_dev = 1 if mesh is None else mesh.shape[row_axis]
+    n_local = n_chunks * chunk_rows          # padded rows per device
+    ragged = n_true is not None and int(n_true) < n_dev * n_local
     if heldout is not None:
         hd_frac = jnp.float32(heldout[0])
         # same derivation root as nmf._solve: fold_in(PRNGKey(seed), 2)
         hd_key = jax.random.fold_in(
             jax.random.PRNGKey(np.uint32(heldout[1])), 2)
+    if mesh is not None:
+        # fori carry types must be loop-invariant under shard_map's vma
+        # checking: the stats become device-varying after one chunk (the
+        # loader offset depends on axis_index), so the zero inits are
+        # marked varying up front.
+        vaxes = functools.partial(jax.lax.pcast, axis_name=row_axis,
+                                  to="varying")
+    else:
+        def vaxes(t):
+            return t
+
+    def local_pass(x_l, d, cache, mcache, row0):
+        """x updates + local d statistics over this device's chunks."""
+        num0 = vaxes(jnp.zeros((rank, n_channels), acc_j))
+        den0 = vaxes(jnp.zeros((rank, rank), acc_j) if not masked
+                     and method == "mu"
+                     else jnp.zeros((rank, n_channels), acc_j))
+        obj0 = vaxes(jnp.zeros((), acc_j))
+
+        db = d.astype(y_dtype) if use_pallas_chunk else None
+
+        def body(i, carry):
+            x_, num, den, obj = carry[:4]
+            lo_local = i * chunk_rows        # x offset (device-local)
+            # default int dtype (int64 under x64, int32 otherwise):
+            # loaders combine lo with python literals, which must
+            # promote consistently
+            lo = row0 + jnp.asarray(lo_local, jnp.asarray(0).dtype)
+            if ragged:
+                # tail chunk: shift the loader window back so it stays
+                # inside the true data, realign below
+                s = jnp.clip(lo + chunk_rows - n_true, 0, chunk_rows)
+                lo_eff = lo - s
+                is_tail = s > 0
+                valid = (jax.lax.broadcasted_iota(
+                    jnp.int32, (chunk_rows, 1), 0)
+                    < jnp.asarray(chunk_rows, jnp.int32)
+                    - s.astype(jnp.int32))
+            else:
+                lo_eff = lo
+
+            def load(buf, loader):
+                def from_cache():
+                    return jax.lax.dynamic_slice(
+                        buf, (i, 0, 0),
+                        (1, chunk_rows, n_channels))[0]
+
+                def from_loader():
+                    return jnp.asarray(loader(lo_eff,
+                                              lo_eff + chunk_rows),
+                                       y_dtype)
+
+                if buf is None:
+                    return from_loader()
+                return jax.lax.cond(i < n_cache, from_cache,
+                                    from_loader)
+
+            def tail_align(c):
+                # Roll the clamped window into x alignment and zero the
+                # rows at/after n_true. Guarded by lax.cond so aligned
+                # chunks pay nothing; only ONE kernel instance exists
+                # either way (the cond wraps the data, not the kernel —
+                # duplicated Pallas calls crash this platform's remote
+                # compile helper, commit 36196ce).
+                if not ragged:
+                    return c
+                return jax.lax.cond(
+                    is_tail,
+                    lambda t: jnp.where(valid, jnp.roll(t, -s, axis=0),
+                                        jnp.zeros_like(t)),
+                    lambda t: t, c)
+
+            yc = tail_align(load(cache, y_loader))
+            mc = (None if mask_loader is None
+                  else tail_align(load(mcache, mask_loader)
+                                  .astype(yc.dtype)))
+            val_c = None
+            if heldout is not None:
+                # Deterministic per chunk and EPOCH-INDEPENDENT (keyed
+                # by the ALIGNED global offset lo, identical between the
+                # sharded and single-device epochs): every pass reserves
+                # the same entries. val_c <= mc elementwise, so tail
+                # rows (mc = 0) reserve nothing.
+                kv = jax.random.fold_in(hd_key, lo.astype(jnp.uint32))
+                val_c = ((jax.random.uniform(
+                    kv, (chunk_rows, n_channels)) < hd_frac)
+                    .astype(yc.dtype) * mc)
+                mc = mc - val_c      # train only on the remainder
+            xc_prev = jax.lax.dynamic_slice(x_, (lo_local, 0),
+                                            (chunk_rows, rank))
+            if use_pallas_chunk:
+                from decomp_tpu.ops import pallas_mu
+
+                if masked:
+                    xc, nc, dc = pallas_mu.mu_stats_masked(
+                        mc * yc, mc, xc_prev, db,
+                        jnp.asarray(eps_f, jnp.float32),
+                        interpret=pallas_interpret)
+                else:
+                    xc, nc, dc = pallas_mu.mu_stats_dense(
+                        yc, xc_prev, db,
+                        jnp.asarray(eps_f, jnp.float32),
+                        interpret=pallas_interpret)
+                nc = nc.astype(acc_j)
+                dc = dc.astype(acc_j)
+                oc = jnp.zeros((), acc_j)
+            else:
+                xc, nc, dc, oc = _chunk_step_impl(
+                    yc, xc_prev, d, mc, jnp.asarray(
+                        eps_f, acc_j if mixed else y_dtype),
+                    method=method, masked=masked, mixed=mixed,
+                    with_obj=record_objective)
+            if ragged:
+                # tail rows' x must keep its (zero-padded) previous
+                # values: their update ran against zeroed data
+                xc = jax.lax.cond(
+                    is_tail,
+                    lambda a, b: jnp.where(valid, a, b),
+                    lambda a, b: a, xc, xc_prev)
+            x_ = jax.lax.dynamic_update_slice(x_, xc, (lo_local, 0))
+            if not with_val:
+                return (x_, num + nc, den + dc, obj + oc)
+            # Validation check (with_val epochs only): reconstruction
+            # error on the reserved entries, evaluated with the
+            # freshly-updated xc against the pre-update d — quantised
+            # compute-dtype products, f32 accumulation, matching the
+            # update path's convention.
+            verr, vnorm = carry[4], carry[5]
+            cdt_v = yc.dtype
+            recon_v = jax.lax.dot_general(
+                xc.astype(cdt_v), d.astype(cdt_v),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=acc_j)
+            yv = (val_c * yc).astype(acc_j)
+            rv = yv - val_c.astype(acc_j) * recon_v
+            verr = verr + jnp.sum(rv * rv)
+            vnorm = vnorm + jnp.sum(yv * yv)
+            return (x_, num + nc, den + dc, obj + oc, verr, vnorm)
+
+        if with_val:
+            init = (x_l, num0, den0, obj0, vaxes(jnp.zeros((), acc_j)),
+                    vaxes(jnp.zeros((), acc_j)))
+        else:
+            init = (x_l, num0, den0, obj0)
+        return jax.lax.fori_loop(0, n_chunks, body, init)
+
+    def finish(d, num, den):
+        d_new = _d_from_stats_impl(d, num, den,
+                                   jnp.asarray(eps_f, acc_j),
+                                   method=method, masked=masked,
+                                   mixed=mixed)
+        return d_new, _rel_diff_impl(d, d_new)
+
+    if mesh is None:
+        @jax.jit
+        def epoch(x, d, cache=None, mcache=None):
+            with jax.default_matmul_precision(precision):
+                row0 = jnp.asarray(0, jnp.asarray(0).dtype)
+                out = local_pass(x, d, cache, mcache, row0)
+                x, num, den, obj = out[:4]
+                d_new, rd = finish(d, num, den)
+                if with_val:
+                    return (x, d_new, rd, obj, out[4], out[5])
+                return x, d_new, rd, obj
+
+        return epoch
+
+    from jax.sharding import PartitionSpec as P
+
+    def body_shard(x_l, d_r, cache_l=None, mcache_l=None):
+        int_dt = jnp.asarray(0).dtype
+        row0 = (jax.lax.axis_index(row_axis) * n_local).astype(int_dt)
+        out = local_pass(x_l, d_r, cache_l, mcache_l, row0)
+        x_l, num, den, obj = out[:4]
+        # The ONLY cross-device traffic: K-sized statistics (+ scalars).
+        num = jax.lax.psum(num, row_axis)
+        den = jax.lax.psum(den, row_axis)
+        obj = jax.lax.psum(obj, row_axis)
+        d_new, rd = finish(d_r, num, den)
+        if with_val:
+            verr = jax.lax.psum(out[4], row_axis)
+            vnorm = jax.lax.psum(out[5], row_axis)
+            return x_l, d_new, rd, obj, verr, vnorm
+        return x_l, d_new, rd, obj
+
+    cache_spec = P(row_axis, None, None)
+    in_specs = (P(row_axis, None), P(None, None))
+    out_specs = (P(row_axis, None), P(None, None), P(), P())
+    if with_val:
+        out_specs = out_specs + (P(), P())
 
     @jax.jit
-    def epoch(x, d, cache=None, mcache=None):
+    def sharded_epoch(x, d, cache=None, mcache=None):
         with jax.default_matmul_precision(precision):
-            num0 = jnp.zeros((rank, n_channels), acc_j)
-            den0 = (jnp.zeros((rank, rank), acc_j) if not masked
-                    and method == "mu"
-                    else jnp.zeros((rank, n_channels), acc_j))
-            obj0 = jnp.zeros((), acc_j)
+            specs = in_specs
+            args = (x, d)
+            if cache is not None:
+                specs = specs + (cache_spec,)
+                args = args + (cache,)
+            if mcache is not None:
+                specs = specs + (cache_spec,)
+                args = args + (mcache,)
+            return jax.shard_map(
+                body_shard, mesh=mesh, in_specs=specs,
+                out_specs=out_specs,
+                check_vma=not use_pallas_chunk,
+            )(*args)
 
-            db = d.astype(y_dtype) if use_pallas_chunk else None
-
-            def body(i, carry):
-                x_, num, den, obj = carry[:4]
-                lo = i * chunk_rows
-
-                def load(buf, loader):
-                    def from_cache():
-                        return jax.lax.dynamic_slice(
-                            buf, (i, 0, 0),
-                            (1, chunk_rows, n_channels))[0]
-
-                    def from_loader():
-                        return jnp.asarray(loader(lo, lo + chunk_rows),
-                                           y_dtype)
-
-                    if buf is None:
-                        return from_loader()
-                    return jax.lax.cond(i < n_cache, from_cache,
-                                        from_loader)
-
-                yc = load(cache, y_loader)
-                mc = (None if mask_loader is None
-                      else load(mcache, mask_loader).astype(yc.dtype))
-                val_c = None
-                if heldout is not None:
-                    # Deterministic per chunk and EPOCH-INDEPENDENT (keyed
-                    # by lo only): every pass reserves the same entries.
-                    kv = jax.random.fold_in(hd_key, lo)
-                    val_c = ((jax.random.uniform(
-                        kv, (chunk_rows, n_channels)) < hd_frac)
-                        .astype(yc.dtype) * mc)
-                    mc = mc - val_c      # train only on the remainder
-                xc = jax.lax.dynamic_slice(x_, (lo, 0),
-                                           (chunk_rows, rank))
-                if use_pallas_chunk:
-                    from decomp_tpu.ops import pallas_mu
-
-                    if masked:
-                        xc, nc, dc = pallas_mu.mu_stats_masked(
-                            mc * yc, mc, xc, db,
-                            jnp.asarray(eps_f, jnp.float32),
-                            interpret=pallas_interpret)
-                    else:
-                        xc, nc, dc = pallas_mu.mu_stats_dense(
-                            yc, xc, db,
-                            jnp.asarray(eps_f, jnp.float32),
-                            interpret=pallas_interpret)
-                    nc = nc.astype(acc_j)
-                    dc = dc.astype(acc_j)
-                    oc = jnp.zeros((), acc_j)
-                else:
-                    xc, nc, dc, oc = _chunk_step_impl(
-                        yc, xc, d, mc, jnp.asarray(
-                            eps_f, acc_j if mixed else y_dtype),
-                        method=method, masked=masked, mixed=mixed,
-                        with_obj=record_objective)
-                x_ = jax.lax.dynamic_update_slice(x_, xc, (lo, 0))
-                if not with_val:
-                    return (x_, num + nc, den + dc, obj + oc)
-                # Validation check (with_val epochs only): reconstruction
-                # error on the reserved entries, evaluated with the
-                # freshly-updated xc against the pre-update d — quantised
-                # compute-dtype products, f32 accumulation, matching the
-                # update path's convention.
-                verr, vnorm = carry[4], carry[5]
-                cdt_v = yc.dtype
-                recon_v = jax.lax.dot_general(
-                    xc.astype(cdt_v), d.astype(cdt_v),
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=acc_j)
-                yv = (val_c * yc).astype(acc_j)
-                rv = yv - val_c.astype(acc_j) * recon_v
-                verr = verr + jnp.sum(rv * rv)
-                vnorm = vnorm + jnp.sum(yv * yv)
-                return (x_, num + nc, den + dc, obj + oc, verr, vnorm)
-
-            if with_val:
-                init = (x, num0, den0, obj0, jnp.zeros((), acc_j),
-                        jnp.zeros((), acc_j))
-                x, num, den, obj, verr, vnorm = jax.lax.fori_loop(
-                    0, n_chunks, body, init)
-            else:
-                x, num, den, obj = jax.lax.fori_loop(
-                    0, n_chunks, body, (x, num0, den0, obj0))
-            d_new = _d_from_stats_impl(d, num, den,
-                                       jnp.asarray(eps_f, acc_j),
-                                       method=method, masked=masked,
-                                       mixed=mixed)
-            if with_val:
-                return (x, d_new, _rel_diff_impl(d, d_new), obj, verr,
-                        vnorm)
-            return x, d_new, _rel_diff_impl(d, d_new), obj
-
-    return epoch
+    return sharded_epoch
 
 
 @functools.partial(jax.jit,
@@ -601,7 +774,7 @@ def _chunk_step_impl(yc, xc, d, mc, eps, *, method, masked, mixed=False,
     eps = jnp.asarray(eps, acc_dt if mixed else yc.dtype)
     myc = yc if mc is None else mc * yc
     if mixed:
-        upd = _update_x_mixed
+        upd = _update_x_mixed if method == "mu" else _update_x_kl_mixed
     else:
         upd = _update_x if method == "mu" else _update_x_kl
     xc = upd(myc, xc, d, mc, eps)
@@ -620,6 +793,21 @@ def _chunk_step_impl(yc, xc, d, mc, eps, *, method, masked, mixed=False,
                          preferred_element_type=acc_dt)).astype(cdt)
             den = jax.lax.dot_general(xc_c, recon, (((0,), (0,)), ((), ())),
                                       preferred_element_type=acc_dt)
+    elif mixed:
+        # mixed KL statistics: the ratio forms in f32, MXU operands
+        # quantise to the compute dtype (see nmf._update_x_kl_mixed)
+        r = _mixed_dot(xc_c, d.astype(cdt), ((1,), (0,))) + eps
+        ratio = (myc.astype(jnp.float32) / r).astype(cdt)
+        num = jax.lax.dot_general(xc_c, ratio, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=acc_dt)
+        if not masked:
+            den = jnp.broadcast_to(
+                jnp.sum(xc.astype(acc_dt), axis=0)[:, None],
+                (xc.shape[1], d.shape[1]))
+        else:
+            den = jax.lax.dot_general(
+                xc_c, mc.astype(cdt), (((0,), (0,)), ((), ())),
+                preferred_element_type=acc_dt)
     else:
         r = xc @ d + eps
         num = jax.lax.dot_general(xc, myc / r, (((0,), (0,)), ((), ())),

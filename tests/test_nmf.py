@@ -197,11 +197,62 @@ def test_factor_dtype_noop_and_validation():
     with pytest.raises(decomp_tpu.utils.DecompError):
         decomp_tpu.nmf.solve(y, d0, factor_dtype=jnp.bfloat16)  # narrower
     with pytest.raises(decomp_tpu.utils.DecompError):
-        decomp_tpu.nmf.solve(y.astype(jnp.bfloat16), d0, method="kl-mu",
+        decomp_tpu.nmf.solve(y.astype(jnp.bfloat16), d0, method="hals",
                              factor_dtype=jnp.float32)
     with pytest.raises(decomp_tpu.utils.DecompError):
         decomp_tpu.nmf.solve(y.astype(jnp.bfloat16), d0, minibatch=8,
                              factor_dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_mixed_precision_kl_tracks_f32(masked):
+    """factor_dtype=f32 with bf16 data for method='kl-mu' (round 4,
+    VERDICT round-3 Weak #3): the mixed KL objective curve tracks the
+    all-f32 run — the ratio my/(x@d+eps) forms in f32, only MXU
+    operands quantise."""
+    import jax.numpy as jnp
+
+    y, *_ = planted_nmf(seed=49, n_samples=300, n_channels=200, rank=6)
+    y = y.astype(np.float32)
+    mask = (random_mask(50, y.shape).astype(np.float32) if masked
+            else None)
+    x0, d0 = _init(51, 300, 200, 6)
+    x0, d0 = x0.astype(np.float32), d0.astype(np.float32)
+    ref32 = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=40,
+                                 mask=mask, method="kl-mu",
+                                 record_objective=True,
+                                 precision="highest")
+    mixed = decomp_tpu.nmf.solve(
+        y.astype(jnp.bfloat16), d0, x=x0, tol=0.0, maxiter=40,
+        mask=None if mask is None else mask.astype(jnp.bfloat16),
+        method="kl-mu", factor_dtype=jnp.float32, record_objective=True,
+        precision="default")
+    assert mixed.x.dtype == jnp.float32 and mixed.d.dtype == jnp.float32
+    o32 = np.asarray(ref32.objective, np.float64)
+    om = np.asarray(mixed.objective, np.float64)
+    # KL objective evaluation is a cancelling sum (~1e-3-conditioned in
+    # f32, BASELINE.md); bf16 input quantisation widens the envelope
+    np.testing.assert_allclose(om, o32, rtol=1e-1)
+    assert om[-1] < om[0] * 0.7  # genuinely descending
+
+
+def test_streamed_mixed_kl_matches_in_core():
+    """Streamed mixed KL (factor_dtype over bf16 chunks) matches the
+    in-core mixed KL solve to bf16-quantisation order."""
+    import jax.numpy as jnp
+
+    y, *_ = planted_nmf(seed=52, n_samples=96, n_channels=40, rank=4)
+    y16 = y.astype(np.float32).astype(jnp.bfloat16)
+    x0, d0 = _init(53, 96, 40, 4)
+    x0, d0 = x0.astype(np.float32), d0.astype(np.float32)
+    full = decomp_tpu.nmf.solve(y16, d0, x=x0, tol=0.0, maxiter=20,
+                                method="kl-mu", factor_dtype=jnp.float32,
+                                precision="default")
+    stream = decomp_tpu.nmf.solve_streaming(
+        np.asarray(y16), d0, x=x0, tol=0.0, maxiter=20, method="kl-mu",
+        factor_dtype=jnp.float32, precision="default", chunk_rows=32)
+    assert rel_err(stream.d, full.d) < 2e-2
+    assert rel_err(stream.x, full.x) < 2e-2
 
 
 def test_dtype_preserved_f32():

@@ -324,3 +324,76 @@ def test_pallas_minibatch_rejected():
     y, *_ = planted_nmf(seed=9)
     with pytest.raises(decomp_tpu.utils.DecompError):
         decomp_tpu.nmf.solve(y, rank=3, minibatch=8, use_pallas=True)
+
+
+@pytest.mark.parametrize("method", ["fista", "acc_ista", "ista",
+                                    "parallel_cd"])
+def test_whole_kernel_split_complex_matches_jnp(method):
+    """group_fc mode (round 4): the split-complex whole-solve kernel
+    (real 2Fc x 2Fc Gram embedding + paired-magnitude soft-threshold)
+    matches the jnp split path — per-row stops identical, solutions to
+    reduction order."""
+    from decomp_tpu.ops import complex_split as cs
+
+    rng = np.random.default_rng(77)
+    m, f, c = 48, 24, 32
+    a = (rng.normal(size=(f, c))
+         + 1j * rng.normal(size=(f, c))).astype(np.complex64)
+    xt = ((rng.normal(size=(m, f)) + 1j * rng.normal(size=(m, f)))
+          * (rng.random((m, f)) < 0.15)).astype(np.complex64)
+    y = (xt @ a + 0.01 * (rng.normal(size=(m, c))
+                          + 1j * rng.normal(size=(m, c)))
+         ).astype(np.complex64)
+    ys, a_s = cs.from_numpy(y), cs.from_numpy(a)
+    kw = dict(tol=1e-5, maxiter=500, method=method, per_problem=True)
+    ref = decomp_tpu.lasso.solve_split(ys, a_s, 0.1, **kw)
+    res = decomp_tpu.lasso.solve_split(ys, a_s, 0.1, use_pallas=True,
+                                       _pallas_interpret=True, **kw)
+
+    def as_c(s):
+        return np.asarray(s.re) + 1j * np.asarray(s.im)
+
+    # The kernel contracts the 2F-wide embedding in ONE matmul while
+    # the jnp split path sums four F-wide matmuls — reduction order
+    # differs, so a stray row may legitimately cross tol one iteration
+    # apart (observed compiled on TPU; interpret mode usually agrees
+    # exactly). Oracle: near-total per-row agreement + solution match.
+    nr, nk = np.asarray(ref.niter), np.asarray(res.niter)
+    assert (nr == nk).mean() >= 0.98, (nr != nk).sum()
+    assert np.abs(nr - nk).max() <= 2
+    assert (np.linalg.norm(as_c(res.x) - as_c(ref.x))
+            / max(np.linalg.norm(as_c(ref.x)), 1e-30)) < 1e-3
+
+
+def test_whole_kernel_split_complex_resume_and_validation():
+    """Exact per-row state resume through the split kernel, plus the
+    contract validations."""
+    from decomp_tpu.ops import complex_split as cs
+
+    rng = np.random.default_rng(78)
+    m, f, c = 32, 16, 24
+    a = (rng.normal(size=(f, c))
+         + 1j * rng.normal(size=(f, c))).astype(np.complex64)
+    y = (rng.normal(size=(m, c))
+         + 1j * rng.normal(size=(m, c))).astype(np.complex64)
+    ys, a_s = cs.from_numpy(y), cs.from_numpy(a)
+    kw = dict(method="acc_ista", per_problem=True, use_pallas=True,
+              _pallas_interpret=True)
+    full = decomp_tpu.lasso.solve_split(ys, a_s, 0.1, tol=1e-5,
+                                        maxiter=400, **kw)
+    part = decomp_tpu.lasso.solve_split(ys, a_s, 0.1, tol=1e-5,
+                                        maxiter=50, return_state=True,
+                                        **kw)
+    state = {"z": part.aux["z"], "t": part.aux["t"],
+             "done": part.converged, "niter": part.niter}
+    rest = decomp_tpu.lasso.solve_split(
+        ys, a_s, 0.1, x=part.x, tol=1e-5, maxiter=350, state=state, **kw)
+    total_nit = np.asarray(rest.niter)
+    np.testing.assert_array_equal(total_nit, np.asarray(full.niter))
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.lasso.solve_split(ys, a_s, 0.1, use_pallas=True,
+                                     per_problem=False)
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.lasso.solve_split(ys, a_s, 0.1, use_pallas=True,
+                                     per_problem=True,
+                                     record_objective=True)

@@ -252,3 +252,39 @@ def test_solve_split_jit_on_tpu():
     # at optimum, |grad| <= alpha (+ tol slack) on zero coords
     zero = np.abs(x) < 1e-7
     assert np.abs(grad[zero]).max() < 0.05 + 2e-2
+
+
+@requires_tpu
+@pytest.mark.parametrize("precision", ["highest", "high"])
+def test_whole_solve_split_complex_compiled(precision):
+    """Split-complex whole-solve kernel (group_fc mode, round 4) vs the
+    jnp split path, compiled through Mosaic: near-total per-row stop
+    agreement (reduction order differs — one 2F-wide contraction vs
+    four F-wide ones) and solution match."""
+    import decomp_tpu
+    from decomp_tpu.ops import complex_split as cs
+
+    rng = np.random.default_rng(62)
+    m, f, c = 512, 128, 128
+    a = ((rng.normal(size=(f, c)) + 1j * rng.normal(size=(f, c)))
+         / np.sqrt(2 * c)).astype(np.complex64)
+    xt = ((rng.normal(size=(m, f)) + 1j * rng.normal(size=(m, f)))
+          * (rng.random((m, f)) < 0.1)).astype(np.complex64)
+    y = (xt @ a + 0.01 * (rng.normal(size=(m, c))
+                          + 1j * rng.normal(size=(m, c)))
+         ).astype(np.complex64)
+    ys, a_s = cs.from_numpy(y), cs.from_numpy(a)
+    kw = dict(tol=1e-4, maxiter=2000, method="acc_ista",
+              per_problem=True, precision=precision)
+    ref = decomp_tpu.lasso.solve_split(ys, a_s, 0.05, **kw)
+    ker = decomp_tpu.lasso.solve_split(ys, a_s, 0.05, use_pallas=True,
+                                       **kw)
+    xr = np.asarray(ref.x.re) + 1j * np.asarray(ref.x.im)
+    xk = np.asarray(ker.x.re) + 1j * np.asarray(ker.x.im)
+    tol_x = 1e-4 if precision == "highest" else 1e-2
+    assert (np.linalg.norm(xk - xr)
+            / max(np.linalg.norm(xr), 1e-300)) < tol_x
+    if precision == "highest":
+        nr, nk = np.asarray(ref.niter), np.asarray(ker.niter)
+        assert (nr == nk).mean() > 0.95
+    assert np.asarray(ker.converged).all()
