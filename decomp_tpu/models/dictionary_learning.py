@@ -222,8 +222,10 @@ def solve(
             raise DecompError("stop='heldout' supports real dtypes only")
         if not 0.0 < float(heldout_frac) < 1.0:
             raise DecompError("heldout_frac must be in (0, 1)")
+        from decomp_tpu.models.nmf import _HELDOUT_SALT
         kv = jax.random.fold_in(
-            jax.random.PRNGKey(jnp.asarray(random_seed, jnp.uint32)), 2)
+            jax.random.PRNGKey(jnp.asarray(random_seed, jnp.uint32)),
+            _HELDOUT_SALT)
         acc_h = jnp.promote_types(jnp.float32, rdt)
         val = ((jax.random.uniform(kv, y.shape) < float(heldout_frac))
                .astype(rdt) * mask)

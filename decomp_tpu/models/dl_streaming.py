@@ -53,6 +53,10 @@ def solve_streaming(
     heldout_frac: float = 0.05,
     check_every: int = 5,
     random_seed: int = 0,
+    n_samples: Optional[int] = None,
+    n_channels: Optional[int] = None,
+    dtype=None,
+    jit_loader: bool = False,
 ) -> DictionaryLearningResult:
     """Out-of-core ``decomp_tpu.dictionary_learning.solve``.
 
@@ -61,6 +65,18 @@ def solve_streaming(
     diff)`` fires once per outer iteration. Masked problems use the
     projected-gradient dictionary step from chunk-accumulated Gram and
     gradient statistics (identical to the in-core masked update).
+
+    FUSED MODE (round 4): pass a jit-traceable CALLABLE loader
+    ``y(lo, hi) -> chunk`` with ``jit_loader=True`` (plus explicit
+    ``n_samples``/``n_channels``/``dtype``; ``mask`` likewise callable)
+    and the whole epoch — per-chunk sparse coding, statistic
+    accumulation, dictionary update — compiles into ONE dispatched call
+    per outer iteration, with x device-resident; ragged ``n_samples``
+    is handled by the clamped-trailing-window scheme of
+    ``nmf.solve_streaming`` and convergence reads amortise over
+    ``check_every``. The returned ``x`` is then a device array. The
+    compiled epoch is cached per LOADER IDENTITY — pass the same
+    callable across calls (``epoch_cache_info()`` debugs this).
 
     stop : 'rel_change' (default) or 'heldout' (masked real problems):
         as in ``dictionary_learning.solve`` — a ``heldout_frac``
@@ -75,6 +91,20 @@ def solve_streaming(
         out-of-core masked completion, where the rel-change floor can
         fire too early (BASELINE.md).
     """
+    if callable(y):
+        if not jit_loader:
+            raise DecompError("a callable y requires jit_loader=True "
+                              "(host-array DL streaming slices arrays)")
+        return _solve_streaming_fused(
+            y, d, alpha, x, tol=tol, maxiter=maxiter,
+            lasso_method=lasso_method, lasso_iter=lasso_iter,
+            lasso_tol=lasso_tol, mask_loader=mask,
+            chunk_rows=chunk_rows, precision=precision,
+            callback=callback, stop=stop, heldout_frac=heldout_frac,
+            check_every=check_every, random_seed=random_seed,
+            n_samples=n_samples, n_channels=n_channels, dtype=dtype)
+    if jit_loader:
+        raise DecompError("jit_loader=True requires a callable y loader")
     y = np.asarray(y)
     assertion.assert_ndim("y", y, 2)
     d = jnp.asarray(d)
@@ -119,10 +149,11 @@ def solve_streaming(
     hd_key = None
     if heldout:
         # same derivation root as the in-core solvers:
-        # fold_in(PRNGKey(seed), 2); per-chunk keys fold in the chunk
-        # offset so every epoch reserves the SAME entries
+        # fold_in(PRNGKey(seed), _HELDOUT_SALT); per-chunk keys fold in
+        # the chunk offset so every epoch reserves the SAME entries
+        from decomp_tpu.models.nmf import _HELDOUT_SALT
         hd_key = jax.random.fold_in(
-            jax.random.PRNGKey(np.uint32(random_seed)), 2)
+            jax.random.PRNGKey(np.uint32(random_seed)), _HELDOUT_SALT)
         hd_frac = jnp.float32(heldout_frac)
     ce = max(1, int(check_every))
     prev_e, last_e, checks = None, None, 0
@@ -201,12 +232,23 @@ def solve_streaming(
                                               "masked"))
 def _chunk_code_and_stats(yc, d, xc, alpha, lasso_tol, mc=None, *,
                           lasso_method, lasso_iter, masked=False):
+    return _chunk_code_and_stats_impl(
+        yc, d, xc, alpha, lasso_tol, mc, lasso_method=lasso_method,
+        lasso_iter=lasso_iter, masked=masked)
+
+
+def _chunk_code_and_stats_impl(yc, d, xc, alpha, lasso_tol, mc=None, *,
+                               lasso_method, lasso_iter, masked=False,
+                               vary_rows=None):
     """Sparse-code one row chunk and return its dictionary-update
     statistic partials: (x^H x, x^H my) for the unmasked BCD step, or
     (x^H x, x^H (mask*(x@d) - my)) for the masked projected-gradient
-    step."""
+    step. ``vary_rows`` marks freshly-created row-shaped lasso carries
+    device-varying when traced inside a shard_map body (the fused
+    sharded epoch)."""
     step, init, diff_fn, obj_fn = _lasso.build_solver(
-        yc, d, alpha, xc, mc, None, method=lasso_method)
+        yc, d, alpha, xc, mc, None, method=lasso_method,
+        vary_rows=vary_rows)
     res = run_iterations(step, init, tol=lasso_tol, maxiter=lasso_iter,
                          diff_fn=diff_fn, objective_fn=obj_fn,
                          record_objective=False)
@@ -252,6 +294,186 @@ def _masked_d_step(gram, grad, d):
 
 @jax.jit
 def _rel_diff(d_old, d_new):
+    return _rel_diff_impl(d_old, d_new)
+
+
+def epoch_cache_info():
+    """Hits/misses of the fused DL-epoch compile cache (loader-identity
+    pitfall debug hook; see nmf_streaming)."""
+    return _dl_fused_epoch.cache_info()
+
+
+@functools.lru_cache(maxsize=16)
+def _dl_fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks,
+                    n_atoms, n_channels, lasso_method, lasso_iter,
+                    masked, dtype, precision, heldout=None,
+                    with_val=False, n_true=None, mesh=None,
+                    row_axis=None):
+    """Fused dictionary-learning epoch for jit-traceable loaders: ONE
+    dispatched call sparse-codes every chunk (fixed ``lasso_iter``
+    budget, warm-started from the resident x), accumulates the
+    dictionary statistics A += x^T x and B += x^T my (or the masked
+    projected-gradient ingredients), and applies one dictionary update.
+    Mirrors nmf_streaming._fused_epoch, including the sharded mode
+    (mesh: per-device global row ranges, psum'd statistics, replicated
+    d update), ragged tails (clamped+realigned trailing loader window;
+    tail rows hold zero x/data and are exact no-ops of the coding and
+    statistics), and the per-chunk held-out validation reserve.
+
+    Note the per-chunk sparse coding recomputes the K x K dictionary
+    Gram each chunk (build_solver derives it from d); at DL's typical
+    K << chunk_rows this is noise next to the coding matmuls.
+    """
+    dtype = jnp.dtype(dtype)
+    acc = jnp.promote_types(jnp.float32, dtype)
+    if heldout is not None:
+        from decomp_tpu.models.nmf import _HELDOUT_SALT
+        hd_frac = jnp.float32(heldout[0])
+        hd_key = jax.random.fold_in(
+            jax.random.PRNGKey(np.uint32(heldout[1])), _HELDOUT_SALT)
+    n_dev = 1 if mesh is None else mesh.shape[row_axis]
+    n_local = n_chunks * chunk_rows
+    ragged = n_true is not None and int(n_true) < n_dev * n_local
+    if mesh is not None:
+        vaxes = functools.partial(jax.lax.pcast, axis_name=row_axis,
+                                  to="varying")
+    else:
+        vaxes = None
+
+    def vmark(t):
+        return t if vaxes is None else vaxes(t)
+
+    def local_pass(x_l, d, alpha, lasso_tol, row0):
+        sa0 = vmark(jnp.zeros((n_atoms, n_atoms), dtype))
+        sb0 = vmark(jnp.zeros((n_atoms, n_channels), dtype))
+
+        def body(i, carry):
+            x_, sa, sb = carry[:3]
+            lo_local = i * chunk_rows
+            lo = row0 + jnp.asarray(lo_local, jnp.asarray(0).dtype)
+            if ragged:
+                s = jnp.clip(lo + chunk_rows - n_true, 0, chunk_rows)
+                lo_eff = lo - s
+                is_tail = s > 0
+                valid = (jax.lax.broadcasted_iota(
+                    jnp.int32, (chunk_rows, 1), 0)
+                    < jnp.asarray(chunk_rows, jnp.int32)
+                    - s.astype(jnp.int32))
+            else:
+                lo_eff = lo
+
+            def tail_align(c):
+                if not ragged:
+                    return c
+                return jax.lax.cond(
+                    is_tail,
+                    lambda t: jnp.where(valid, jnp.roll(t, -s, axis=0),
+                                        jnp.zeros_like(t)),
+                    lambda t: t, c)
+
+            yc = tail_align(jnp.asarray(
+                y_loader(lo_eff, lo_eff + chunk_rows), dtype))
+            mc = (None if mask_loader is None
+                  else tail_align(jnp.asarray(
+                      mask_loader(lo_eff, lo_eff + chunk_rows), dtype)))
+            val_c = None
+            if heldout is not None:
+                kv = jax.random.fold_in(hd_key, lo.astype(jnp.uint32))
+                val_c = ((jax.random.uniform(
+                    kv, (chunk_rows, n_channels)) < hd_frac)
+                    .astype(dtype) * mc)
+                mc = mc - val_c
+            xc_prev = jax.lax.dynamic_slice(
+                x_, (lo_local, 0), (chunk_rows, n_atoms))
+            xc, a_c, b_c = _chunk_code_and_stats_impl(
+                yc, d, xc_prev, alpha, lasso_tol, mc,
+                lasso_method=lasso_method, lasso_iter=lasso_iter,
+                masked=masked, vary_rows=vaxes)
+            if ragged:
+                # tail rows hold zero data AND zero x, so the coding is
+                # an exact no-op there (grad 0 at x 0, soft-threshold of
+                # 0 is 0) — the select is belt-and-braces against a
+                # nonzero warm start in the padding
+                xc = jax.lax.cond(
+                    is_tail,
+                    lambda a_, b_: jnp.where(valid, a_, b_),
+                    lambda a_, b_: a_, xc, xc_prev)
+            x_ = jax.lax.dynamic_update_slice(x_, xc, (lo_local, 0))
+            if not with_val:
+                return (x_, sa + a_c, sb + b_c)
+            verr, vnorm = carry[3], carry[4]
+            recon_v = (xc @ d).astype(acc)
+            yv = (val_c * yc).astype(acc)
+            rv = yv - val_c.astype(acc) * recon_v
+            return (x_, sa + a_c, sb + b_c,
+                    verr + jnp.sum(rv * rv), vnorm + jnp.sum(yv * yv))
+
+        if with_val:
+            init = (x_l, sa0, sb0, vmark(jnp.zeros((), acc)),
+                    vmark(jnp.zeros((), acc)))
+        else:
+            init = (x_l, sa0, sb0)
+        return jax.lax.fori_loop(0, n_chunks, body, init)
+
+    def finish(d, sa, sb):
+        if masked:
+            d_new = _masked_d_step(sa, sb, d)
+        else:
+            d_new = _bcd_dict_update(sa, sb, d)
+        return d_new, _rel_diff_impl(d, d_new)
+
+    if mesh is None:
+        @functools.partial(jax.jit, donate_argnums=())
+        def epoch(x, d, alpha, lasso_tol):
+            with jax.default_matmul_precision(precision):
+                int_dt = jnp.asarray(0).dtype
+                out = local_pass(x, d, alpha, lasso_tol,
+                                 jnp.asarray(0, int_dt))
+                x, sa, sb = out[:3]
+                d_new, rd = finish(d, sa, sb)
+                if with_val:
+                    return (x, d_new, rd, out[3], out[4])
+                return x, d_new, rd
+
+        return epoch
+
+    from jax.sharding import PartitionSpec as P
+
+    def body_shard(x_l, d_r, alpha, lasso_tol):
+        int_dt = jnp.asarray(0).dtype
+        row0 = (jax.lax.axis_index(row_axis) * n_local).astype(int_dt)
+        out = local_pass(x_l, d_r, alpha, lasso_tol, row0)
+        x_l, sa, sb = out[:3]
+        sa = jax.lax.psum(sa, row_axis)
+        sb = jax.lax.psum(sb, row_axis)
+        d_new, rd = finish(d_r, sa, sb)
+        if with_val:
+            return (x_l, d_new, rd, jax.lax.psum(out[3], row_axis),
+                    jax.lax.psum(out[4], row_axis))
+        return x_l, d_new, rd
+
+    out_specs = (P(row_axis, None), P(None, None), P())
+    if with_val:
+        out_specs = out_specs + (P(), P())
+
+    @jax.jit
+    def sharded_epoch(x, d, alpha, lasso_tol):
+        with jax.default_matmul_precision(precision):
+            # check_vma off: the inner lasso's convergence scalars are
+            # deliberately CHUNK-LOCAL (each device codes different
+            # global chunks; a psum'd inner stop would change semantics
+            # vs single-device), so its while_loop carries are
+            # device-varying by design.
+            return jax.shard_map(
+                body_shard, mesh=mesh,
+                in_specs=(P(row_axis, None), P(None, None), P(), P()),
+                out_specs=out_specs, check_vma=False)(x, d, alpha,
+                                                      lasso_tol)
+
+    return sharded_epoch
+
+
+def _rel_diff_impl(d_old, d_new):
     acc_dt = jnp.promote_types(jnp.float32, real_dtype(d_old.dtype))
     num = jnp.linalg.norm((d_new - d_old).astype(
         jnp.promote_types(acc_dt, d_old.dtype)))
@@ -260,3 +482,124 @@ def _rel_diff(d_old, d_new):
                                                        d_old.dtype))),
         jnp.asarray(jnp.finfo(acc_dt).tiny, acc_dt))
     return jnp.real(num) / den
+
+
+def _solve_streaming_fused(y_loader, d, alpha, x, *, tol, maxiter,
+                           lasso_method, lasso_iter, lasso_tol,
+                           mask_loader, chunk_rows, precision, callback,
+                           stop, heldout_frac, check_every, random_seed,
+                           n_samples, n_channels, dtype, mesh=None,
+                           row_axis=None):
+    """Driver for the fused (jit-loader) DL epochs — single-device when
+    ``mesh`` is None, sharded otherwise (the parallel entry wraps this).
+    """
+    if lasso_method not in ("ista", "fista", "acc_ista", "parallel_cd"):
+        raise DecompError("the fused DL epoch supports the gradient "
+                          f"lasso methods, got {lasso_method!r}")
+    if n_samples is None or n_channels is None or dtype is None:
+        raise DecompError("a callable y requires explicit n_samples, "
+                          "n_channels and dtype")
+    dtype = jnp.dtype(dtype)
+    if jnp.issubdtype(dtype, jnp.complexfloating):
+        raise DecompError("the fused DL epoch supports real dtypes only "
+                          "(complex problems stream via the host path "
+                          "or run in-core via solve_split)")
+    if mask_loader is not None and not callable(mask_loader):
+        raise DecompError("with a callable y, mask must also be a "
+                          "callable (lo, hi) -> chunk")
+    if stop not in ("rel_change", "heldout"):
+        raise DecompError(f"stop must be 'rel_change' or 'heldout', "
+                          f"got {stop!r}")
+    masked = mask_loader is not None
+    heldout = stop == "heldout"
+    if heldout and not masked:
+        raise DecompError("stop='heldout' requires a mask loader")
+    if heldout and not 0.0 < float(heldout_frac) < 1.0:
+        raise DecompError("heldout_frac must be in (0, 1)")
+    n_samples, n_channels = int(n_samples), int(n_channels)
+    chunk_rows = int(chunk_rows)
+    if chunk_rows < 1:
+        raise DecompError("chunk_rows must be >= 1")
+    if chunk_rows > n_samples:
+        raise DecompError(
+            f"chunk_rows={chunk_rows} exceeds n_samples={n_samples}")
+    if np.asarray(alpha).ndim:
+        raise DecompError("the fused DL epoch supports scalar alpha")
+    n_dev = 1 if mesh is None else mesh.shape[row_axis]
+    n_chunks_local = -(-n_samples // (n_dev * chunk_rows))
+    n_local = n_chunks_local * chunk_rows
+    n_pad = n_dev * n_local
+
+    d = jnp.asarray(d, dtype)
+    assertion.assert_ndim("d", d, 2)
+    assertion.assert_axis_size("d", d, 1, n_channels, "n_channels")
+    assertion.assert_nonnegative("alpha", alpha)
+    d = l2_normalize(d, axis=1)
+    n_atoms = d.shape[0]
+    alpha_j = jnp.asarray(float(alpha), dtype)
+    lasso_tol_j = jnp.asarray(lasso_tol, dtype)
+
+    if x is None:
+        x = jnp.zeros((n_pad, n_atoms), dtype)
+    else:
+        x = jnp.asarray(x, dtype)
+        assertion.assert_axis_size("x", x, 0, n_samples, "n_samples")
+        assertion.assert_axis_size("x", x, 1, n_atoms, "n_atoms")
+        if n_pad != n_samples:
+            x = jnp.concatenate(
+                [x, jnp.zeros((n_pad - n_samples, n_atoms), dtype)],
+                axis=0)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        x = jax.device_put(x, NamedSharding(mesh, P(row_axis, None)))
+
+    n_true = n_samples if n_pad != n_samples else None
+    hd_key = (float(heldout_frac), int(random_seed)) if heldout else None
+    common = (y_loader, mask_loader, chunk_rows, n_chunks_local,
+              int(n_atoms), n_channels, lasso_method, int(lasso_iter),
+              masked, dtype, precision)
+    epoch = _dl_fused_epoch(*common, hd_key, False, n_true, mesh,
+                            row_axis)
+    epoch_val = (None if not heldout else _dl_fused_epoch(
+        *common, hd_key, True, n_true, mesh, row_axis))
+
+    tol_f = float(tol)
+    need_diff = (not heldout) and (tol_f > 0.0 or callback is not None)
+    ce = max(1, int(check_every))
+    prev_e, last_e, checks = None, None, 0
+    niter, converged = 0, False
+    with jax.default_matmul_precision(precision):
+        for it in range(1, int(maxiter) + 1):
+            if heldout and it % ce == 0:
+                x, d, diff_dev, verr, vnorm = epoch_val(
+                    x, d, alpha_j, lasso_tol_j)
+                e = float(verr) / max(float(vnorm), 1e-300)
+                last_e = e
+                checks += 1
+                if callback is not None:
+                    callback(it, float(diff_dev))
+                niter = it
+                if prev_e is not None and checks >= 3 and (
+                        (prev_e - e) / max(prev_e, 1e-300) < tol_f):
+                    converged = True  # validation plateaued
+                    break
+                prev_e = e
+                continue
+            x, d, diff_dev = epoch(x, d, alpha_j, lasso_tol_j)
+            niter = it
+            if need_diff and (it % ce == 0 or it == maxiter):
+                diff = float(diff_dev)  # one sync per CHECK epoch
+                if callback is not None:
+                    callback(it, diff)
+                if diff < tol_f:
+                    converged = True
+                    break
+    aux = (None if last_e is None
+           else {"heldout_rel_err": jnp.asarray(np.sqrt(last_e),
+                                                jnp.float32)})
+    if n_pad != n_samples:
+        x = x[:n_samples]
+    return DictionaryLearningResult(
+        x=x, d=d, niter=jnp.asarray(niter, jnp.int32),
+        converged=jnp.asarray(converged),
+        objective=jnp.zeros((0,), jnp.float32), aux=aux)

@@ -884,7 +884,7 @@ def _solve_whole_split(ys, a_s, alpha, xs, lipschitz, tol, z0s, t0,
     f_pad = -(-f // 128) * 128
     f2 = 2 * f_pad
     br = block_rows or pallas_fista.default_block_rows(f2, momentum,
-                                                       hi_lo)
+                                                       hi_lo, group=True)
     br = min(br, -(-m // 16) * 16)
     m_pad = -(-m // br) * br
 

@@ -32,6 +32,8 @@ from decomp_tpu.utils.exceptions import DecompError
 from decomp_tpu.utils.normalize import l2_norm
 from decomp_tpu.utils.result import NMFResult
 
+_HELDOUT_SALT = 0x68656C64  # ascii 'held'; see _solve's kv comment
+
 _METHODS = ("mu", "kl-mu", "hals")
 
 
@@ -314,7 +316,13 @@ def _solve(y, d, x, mask, seed, tol, eps, forget, *, rank, maxiter,
         # on-device validation set; TRAIN only on the remainder. The
         # validation statistics accumulate at >= f32 like every other
         # convergence quantity.
-        kv = jax.random.fold_in(key, 2)
+        # _HELDOUT_SALT, not a small int: fold_in shares split's
+        # derivation, so fold_in(key, 2) collides with user keys
+        # taken from split(PRNGKey(seed)) of the SAME seed — the
+        # validation draw then reuses the data's own uniforms
+        # (observed: a mask drawn as u >= 0.3 makes the u < 0.05
+        # validation reserve EXACTLY empty).
+        kv = jax.random.fold_in(key, _HELDOUT_SALT)
         acc_h = jnp.promote_types(jnp.float32, rdt)
         val = ((jax.random.uniform(kv, y.shape) < heldout_frac)
                .astype(y.dtype) * mask)

@@ -533,9 +533,12 @@ def _fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks, rank,
     ragged = n_true is not None and int(n_true) < n_dev * n_local
     if heldout is not None:
         hd_frac = jnp.float32(heldout[0])
-        # same derivation root as nmf._solve: fold_in(PRNGKey(seed), 2)
+        # same derivation root as nmf._solve (the _HELDOUT_SALT keeps
+        # the validation stream clear of user keys split from the same
+        # seed — see nmf._solve)
+        from decomp_tpu.models.nmf import _HELDOUT_SALT
         hd_key = jax.random.fold_in(
-            jax.random.PRNGKey(np.uint32(heldout[1])), 2)
+            jax.random.PRNGKey(np.uint32(heldout[1])), _HELDOUT_SALT)
     if mesh is not None:
         # fori carry types must be loop-invariant under shard_map's vma
         # checking: the stats become device-varying after one chunk (the

@@ -74,39 +74,45 @@ _CHECK = 8
 
 
 def _resident_bytes(f: int, momentum: bool, hi_lo: bool,
-                    block_rows: int) -> int:
+                    block_rows: int, group: bool = False) -> int:
     """Estimated VMEM residents: the Gram (f32, or two bf16 halves = the
     same 4*F^2 bytes), the (1, F) step/threshold rows, and the stripe's
     streamed/carried state. The while_loop carries (x, z, t, done, nit)
     live alongside the input/output blocks, so the (br, F) planes count
     roughly twice; the whole sum is then scaled by the measured
-    _CALIBRATION factor (see above)."""
+    _CALIBRATION factor (see above). ``group`` (split-complex prox):
+    the magnitude/scale temporaries and the halves concat add ~2 more
+    (br, F) planes, and the measured Mosaic overhead factor is higher —
+    calibration point: F=1024 hi_lo momentum at br=64 reported 16.11M
+    scoped against a ~7.7M raw estimate (2.09x)."""
     gram = 4 * f * f
     planes = (3 + (2 if momentum else 0))  # yah, x, z carried + x,z out
+    if group:
+        planes += 2                        # mag/scale halves + concat
     per_row = planes * 2 * 4 * f + 6 * 4   # x2: pipeline in/out + carry
     extra = 2 * block_rows * f * 2 if hi_lo else 0  # per-iter bf16 splits
     raw = gram + block_rows * per_row + extra + 2 * 4 * f
-    return int(raw * _CALIBRATION)
+    return int(raw * (2.1 if group else _CALIBRATION))
 
 
 def default_block_rows(f: int, momentum: bool = True,
-                       hi_lo: bool = False) -> int:
+                       hi_lo: bool = False, group: bool = False) -> int:
     """Stripe height: large enough to fill the MXU row dimension, small
     enough that a stripe's whole solver state fits VMEM. Smaller stripes
     also retire earlier under per-row stopping (less lock-step waste), so
     cap at 512 even when more would fit."""
     block = 512
     while block > 16 and _resident_bytes(f, momentum, hi_lo,
-                                         block) > _VMEM_LIMIT:
+                                         block, group) > _VMEM_LIMIT:
         block //= 2
     return block
 
 
 def fits_vmem(f_pad: int, momentum: bool = True, hi_lo: bool = False,
-              block_rows=None) -> bool:
+              block_rows=None, group: bool = False) -> bool:
     """Gate for use_pallas='auto': some viable stripe height must fit."""
-    br = block_rows or default_block_rows(f_pad, momentum, hi_lo)
-    return _resident_bytes(f_pad, momentum, hi_lo, max(br, 16)) \
+    br = block_rows or default_block_rows(f_pad, momentum, hi_lo, group)
+    return _resident_bytes(f_pad, momentum, hi_lo, max(br, 16), group) \
         <= _VMEM_LIMIT
 
 
@@ -292,7 +298,8 @@ def solve_rows(yah, gram, x0, z0, t0, done0, nit0, stepsz, thresh, tol, *,
     """
     m, f = yah.shape
     if block_rows is None:
-        block_rows = min(default_block_rows(f, momentum, hi_lo), m)
+        block_rows = min(default_block_rows(f, momentum, hi_lo,
+                                            bool(group_fc)), m)
     if m % block_rows:
         raise ValueError(f"M={m} must be a multiple of block_rows="
                          f"{block_rows} (pre-pad outside)")

@@ -227,3 +227,63 @@ def _solve_sharded(y, d, x, mask, alpha, tol, lasso_tol, *, maxiter,
     return DictionaryLearningResult(x=x_g, d=d_g, niter=niter,
                                     converged=converged,
                                     objective=objective)
+
+
+def solve_streaming(
+    y,
+    d,
+    alpha,
+    x=None,
+    *,
+    mesh,
+    row_axis: str = "rows",
+    tol=1e-4,
+    maxiter: int = 100,
+    lasso_method: str = "fista",
+    lasso_iter: int = 10,
+    lasso_tol=1e-6,
+    mask=None,
+    chunk_rows: int = 65536,
+    precision: str = "highest",
+    callback=None,
+    stop: str = "rel_change",
+    heldout_frac: float = 0.05,
+    check_every: int = 5,
+    random_seed: int = 0,
+    n_samples=None,
+    n_channels=None,
+    dtype=None,
+):
+    """Sharded out-of-core dictionary learning (round 4): the sample
+    axis shards over ``mesh[row_axis]`` AND each device streams its
+    global row range in chunks through the fused DL epoch — per-chunk
+    sparse coding against the replicated dictionary, psum'd A/B (or
+    masked projected-gradient) statistics, replicated dictionary update.
+    One dispatched call per outer iteration.
+
+    ``y`` MUST be a jit-traceable callable ``(lo, hi) -> chunk`` taking
+    GLOBAL row offsets (``mask`` likewise); pass explicit
+    ``n_samples``/``n_channels``/``dtype``. Ragged ``n_samples``,
+    ``stop='heldout'`` (lockstep with the single-device fused streamer)
+    and ``check_every`` amortisation follow
+    ``models.dl_streaming._solve_streaming_fused``. Returns a
+    DictionaryLearningResult with a row-sharded global ``x``.
+    """
+    from decomp_tpu.models.dl_streaming import _solve_streaming_fused
+    from decomp_tpu.utils.exceptions import DecompError
+
+    if not callable(y):
+        raise DecompError("the sharded streaming DL solver requires a "
+                          "callable y loader")
+    if row_axis not in mesh.axis_names:
+        raise DecompError(f"row_axis {row_axis!r} not in mesh axes "
+                          f"{mesh.axis_names}")
+    return _solve_streaming_fused(
+        y, d, alpha, x, tol=tol, maxiter=maxiter,
+        lasso_method=lasso_method, lasso_iter=lasso_iter,
+        lasso_tol=lasso_tol, mask_loader=mask, chunk_rows=chunk_rows,
+        precision=precision, callback=callback, stop=stop,
+        heldout_frac=heldout_frac, check_every=check_every,
+        random_seed=random_seed, n_samples=n_samples,
+        n_channels=n_channels, dtype=dtype, mesh=mesh,
+        row_axis=row_axis)

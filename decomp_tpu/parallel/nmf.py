@@ -202,8 +202,9 @@ def solve(
         # SAME derivation as models.nmf._solve: the sharded and
         # single-device held-out runs then use the identical validation
         # set (exact parity; tested).
+        from decomp_tpu.models.nmf import _HELDOUT_SALT
         kv = jax.random.fold_in(jax.random.PRNGKey(
-            jnp.asarray(random_seed, jnp.uint32)), 2)
+            jnp.asarray(random_seed, jnp.uint32)), _HELDOUT_SALT)
         acc_h = jnp.promote_types(jnp.float32, real_dtype(y.dtype))
         val = ((jax.random.uniform(kv, y.shape) < float(heldout_frac))
                .astype(y.dtype) * mask)

@@ -452,3 +452,29 @@ def test_masked_completion_refit():
 
     # refitting on all observed entries must not degrade completion
     assert ho(ref) < ho(base) * 1.1
+
+
+def test_heldout_reserve_survives_user_key_collision():
+    """The held-out validation stream must not collide with user keys
+    split from the SAME seed (round 4): fold_in(key, small_int) shares
+    split's derivation, so a mask drawn from split(PRNGKey(seed))[i]
+    with the old fold_in(key, 2) root made the u < frac validation
+    reserve provably EMPTY whenever the mask was drawn as u >= miss.
+    The salted root must reserve ~heldout_frac of observed entries."""
+    import jax
+    import jax.numpy as jnp
+    from decomp_tpu.models.nmf import _HELDOUT_SALT
+
+    key = jax.random.PRNGKey(0)
+    km = jax.random.split(key, 3)[2]     # user's mask key, seed 0
+    mask = (jax.random.uniform(km, (512, 256)) >= 0.3).astype(jnp.float32)
+    kv = jax.random.fold_in(jax.random.PRNGKey(0), _HELDOUT_SALT)
+    val = ((jax.random.uniform(kv, mask.shape) < 0.05)
+           .astype(jnp.float32) * mask)
+    frac = float(val.sum() / mask.sum())
+    assert 0.03 < frac < 0.07, frac
+    # and the old derivation really was the trap (documents the bug)
+    kv_old = jax.random.fold_in(jax.random.PRNGKey(0), 2)
+    val_old = ((jax.random.uniform(kv_old, mask.shape) < 0.05)
+               .astype(jnp.float32) * mask)
+    assert float(val_old.sum()) == 0.0

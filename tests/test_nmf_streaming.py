@@ -507,3 +507,108 @@ def test_streamed_dl_heldout_stop():
     with pytest.raises(decomp_tpu.utils.DecompError):
         decomp_tpu.dictionary_learning.solve_streaming(
             ytrue, d0, 0.02, mask=mask, stop="nope")
+
+
+def _dl_problem(seed, m, ch, k, masked=False):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    d_true = rng.normal(size=(k, ch))
+    d_true /= np.linalg.norm(d_true, axis=1, keepdims=True)
+    xt = rng.normal(size=(m, k)) * (rng.random((m, k)) < 0.3)
+    y = (xt @ d_true + 0.01 * rng.normal(size=(m, ch))).astype(np.float32)
+    mask = ((rng.random((m, ch)) >= 0.3).astype(np.float32)
+            if masked else None)
+    d0 = rng.normal(size=(k, ch)).astype(np.float32)
+    ym = y if mask is None else y * mask
+    yd = jnp.asarray(ym)
+    md = None if mask is None else jnp.asarray(mask)
+    return ym, mask, d0, yd, md
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_fused_dl_epoch_matches_host_streaming(masked):
+    """jit_loader DL streaming (round 4): the fused single-dispatch
+    epoch reproduces the host-streamed trajectory (same per-chunk
+    coding, same accumulated statistics)."""
+    import jax
+
+    m, ch, k, chunk = 512, 32, 6, 128
+    ym, mask, d0, yd, md = _dl_problem(105, m, ch, k, masked)
+
+    def loader(lo, hi):
+        return jax.lax.dynamic_slice(yd, (lo, 0), (chunk, ch))
+
+    mloader = (None if md is None else
+               (lambda lo, hi: jax.lax.dynamic_slice(md, (lo, 0),
+                                                     (chunk, ch))))
+    kw = dict(tol=0.0, maxiter=10, lasso_iter=6, chunk_rows=chunk)
+    host = decomp_tpu.dictionary_learning.solve_streaming(
+        ym, d0, 0.03, mask=mask, **kw)
+    fused = decomp_tpu.dictionary_learning.solve_streaming(
+        loader, d0, 0.03, mask=mloader, jit_loader=True,
+        n_samples=m, n_channels=ch, dtype=np.float32, **kw)
+    assert rel_err(fused.d, host.d) < 1e-5
+    assert rel_err(fused.x, host.x) < 1e-5
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_sharded_dl_streaming_matches_single(masked):
+    """parallel.dictionary_learning.solve_streaming: psum'd statistics
+    over the CPU mesh == single-device fused epoch, incl. a ragged
+    (prime) sample count."""
+    import jax
+    from decomp_tpu import parallel
+
+    m, ch, k, chunk = 1021, 32, 6, 64  # prime rows: ragged tail
+    ym, mask, d0, yd, md = _dl_problem(106, m, ch, k, masked)
+
+    def loader(lo, hi):
+        return jax.lax.dynamic_slice(yd, (lo, 0), (chunk, ch))
+
+    mloader = (None if md is None else
+               (lambda lo, hi: jax.lax.dynamic_slice(md, (lo, 0),
+                                                     (chunk, ch))))
+    mesh = parallel.make_mesh(axis_names=("rows",))
+    kw = dict(tol=0.0, maxiter=8, lasso_iter=5, chunk_rows=chunk,
+              n_samples=m, n_channels=ch, dtype=np.float32,
+              mask=mloader)
+    single = decomp_tpu.dictionary_learning.solve_streaming(
+        loader, d0, 0.03, jit_loader=True, **kw)
+    shard = parallel.dictionary_learning.solve_streaming(
+        loader, d0, 0.03, mesh=mesh, **kw)
+    assert np.asarray(single.x).shape == (m, k)
+    assert np.asarray(shard.x).shape == (m, k)
+    assert rel_err(shard.d, single.d) < 1e-5
+    assert rel_err(shard.x, single.x) < 1e-5
+
+
+def test_fused_dl_heldout_lockstep():
+    """stop='heldout' through the fused DL epochs: sharded and
+    single-device stop on the same iteration with the same error."""
+    import jax
+    from decomp_tpu import parallel
+
+    m, ch, k, chunk = 1024, 32, 6, 128
+    ym, mask, d0, yd, md = _dl_problem(107, m, ch, k, masked=True)
+
+    def loader(lo, hi):
+        return jax.lax.dynamic_slice(yd, (lo, 0), (chunk, ch))
+
+    def mloader(lo, hi):
+        return jax.lax.dynamic_slice(md, (lo, 0), (chunk, ch))
+
+    mesh = parallel.make_mesh(axis_names=("rows",))
+    kw = dict(tol=5e-3, maxiter=400, lasso_iter=8, chunk_rows=chunk,
+              n_samples=m, n_channels=ch, dtype=np.float32,
+              mask=mloader, stop="heldout", check_every=5,
+              random_seed=9)
+    single = decomp_tpu.dictionary_learning.solve_streaming(
+        loader, d0, 0.03, jit_loader=True, **kw)
+    shard = parallel.dictionary_learning.solve_streaming(
+        loader, d0, 0.03, mesh=mesh, **kw)
+    assert bool(single.converged) and bool(shard.converged)
+    assert int(shard.niter) == int(single.niter)
+    np.testing.assert_allclose(
+        float(shard.aux["heldout_rel_err"]),
+        float(single.aux["heldout_rel_err"]), rtol=1e-4)
