@@ -306,3 +306,117 @@ def _solve_sharded_whole(y, a, alpha, x, lipschitz, tol, *, method,
     )(y, a, alpha, x, lipschitz, tol)
     return LassoResult(x=x_g, niter=niter, converged=converged,
                        objective=jnp.zeros((0,), jnp.float32))
+
+
+def solve_streaming(
+    y,
+    a,
+    alpha,
+    x=None,
+    *,
+    mesh: Mesh,
+    axis: str = "rows",
+    tol=1e-5,
+    maxiter: int = 1000,
+    method: str = "fista",
+    mask=None,
+    chunk_rows: int = 65536,
+    precision: str = "highest",
+    per_problem: bool = False,
+    use_pallas="auto",
+) -> LassoResult:
+    """Out-of-core SHARDED batch lasso (round 4): a larger-than-mesh-HBM
+    problem batch streams in ``chunk_rows`` row blocks, and each block
+    solves through ``parallel.lasso.solve`` — row-sharded over
+    ``mesh[axis]`` with the per-device whole-solve kernel when
+    ``per_problem=True`` (zero collectives: the batch rows are
+    independent problems, so sharding is pure partitioning; SURVEY.md
+    §2a row 2). The Gram/Lipschitz precompute is shared across chunks,
+    so every chunk runs the identical iteration the in-core sharded
+    solver would.
+
+    Host-driven chunk loop (host arrays cannot stream inside one jit);
+    parameters otherwise as in ``parallel.lasso.solve``. Returns host
+    ``x`` with in-core per-problem semantics when ``per_problem=True``
+    (rows are independent, so per-chunk solves ARE the global solve).
+    """
+    import numpy as np
+
+    y = np.asarray(y)
+    a_np = np.asarray(a)
+    assertion.assert_ndim("y", y, 2)
+    assertion.assert_ndim("a", a_np, 2)
+    assertion.assert_axis_size("a", a_np, 1, y.shape[1], "n_channels")
+    if mask is not None:
+        mask = np.asarray(mask)
+        assertion.assert_same_shape("mask", mask, "y", y)
+    if x is not None:
+        x = np.asarray(x)
+        assertion.assert_axis_size("x", x, 0, y.shape[0], "n_samples")
+        assertion.assert_axis_size("x", x, 1, a_np.shape[0],
+                                   "n_features")
+    chunk_rows = int(chunk_rows)
+    if chunk_rows < 1:
+        raise DecompError("chunk_rows must be >= 1")
+    n_dev = mesh.shape[axis]
+    if chunk_rows % n_dev:
+        raise DecompError(
+            f"chunk_rows={chunk_rows} must divide evenly over "
+            f"mesh[{axis!r}]={n_dev} (each chunk row-shards)")
+    alpha_np = np.asarray(alpha)
+    if alpha_np.ndim == 2:
+        if alpha_np.shape[0] != y.shape[0]:
+            raise DecompError(
+                f"2-D alpha must have n_samples={y.shape[0]} rows, got "
+                f"{alpha_np.shape}")
+        alpha_rows = alpha_np
+    else:
+        alpha_rows = None
+
+    from decomp_tpu.ops.spectral import lipschitz_gram
+
+    lip = float(lipschitz_gram(jnp.asarray(a_np)))
+    n = y.shape[0]
+    out = np.empty((n, a_np.shape[0]),
+                   dtype=np.result_type(y.dtype, a_np.dtype))
+    niter_max, all_converged = 0, True
+    if per_problem:
+        niter_rows = np.zeros((n,), np.int32)
+        conv_rows = np.zeros((n,), bool)
+    for lo in range(0, n, chunk_rows):
+        hi = min(lo + chunk_rows, n)
+        rows = hi - lo
+        # the final ragged chunk zero-pads to a mesh multiple (zero
+        # rows solve to x=0 immediately and are sliced back off)
+        pad = (-rows) % n_dev
+
+        def padded(v, fill=0.0):
+            if v is None or pad == 0:
+                return v
+            return np.concatenate(
+                [v, np.full((pad,) + v.shape[1:], fill, v.dtype)])
+
+        res = solve(
+            padded(y[lo:hi]), a_np,
+            alpha if alpha_rows is None else padded(alpha_rows[lo:hi]),
+            None if x is None else padded(x[lo:hi]),
+            mesh=mesh, axis=axis, tol=tol, maxiter=maxiter,
+            method=method,
+            mask=None if mask is None else padded(mask[lo:hi]),
+            lipschitz=lip, precision=precision,
+            per_problem=per_problem, use_pallas=use_pallas)
+        out[lo:hi] = np.asarray(res.x)[:rows]
+        if per_problem:
+            niter_rows[lo:hi] = np.asarray(res.niter)[:rows]
+            conv_rows[lo:hi] = np.asarray(res.converged)[:rows]
+        else:
+            niter_max = max(niter_max, int(res.niter))
+            all_converged = all_converged and bool(res.converged)
+
+    if per_problem:
+        return LassoResult(x=out, niter=niter_rows, converged=conv_rows,
+                           objective=jnp.zeros((0,), jnp.float32))
+    return LassoResult(
+        x=out, niter=jnp.asarray(niter_max, jnp.int32),
+        converged=jnp.asarray(all_converged),
+        objective=jnp.zeros((0,), jnp.float32))

@@ -641,3 +641,32 @@ def test_sharded_streaming_check_every_amortised(mesh8):
     assert bool(per_epoch.converged) and bool(amort.converged)
     assert n6 % 6 == 0 or n6 == 2000
     assert n1 <= n6 < n1 + 6
+
+
+@pytest.mark.parametrize("per_problem", [False, True])
+def test_sharded_streaming_lasso_matches_in_core(mesh8, per_problem):
+    """parallel.lasso.solve_streaming (round 4): out-of-core sharded
+    batch lasso == the in-core solve (rows are independent problems, so
+    chunked sharded solves with a shared Lipschitz constant ARE the
+    global solve), incl. a ragged final chunk."""
+    rng = np.random.default_rng(96)
+    m, f, ch = 300, 24, 32  # 300 % 128 ragged final chunk
+    a = rng.normal(size=(f, ch)).astype(np.float32)
+    xt = (rng.normal(size=(m, f)) * (rng.random((m, f)) < 0.2)
+          ).astype(np.float32)
+    y = (xt @ a + 0.01 * rng.normal(size=(m, ch))).astype(np.float32)
+    core = decomp_tpu.lasso.solve(y, a, 0.05, tol=1e-5, maxiter=600,
+                                  method="fista",
+                                  per_problem=per_problem)
+    stream = parallel.lasso.solve_streaming(
+        y, a, 0.05, mesh=mesh8, tol=1e-5, maxiter=600, method="fista",
+        chunk_rows=128, per_problem=per_problem, use_pallas=False)
+    # per-row math is identical, but different matmul SHAPES (16-row
+    # device blocks vs the 300-row batch) legitimately tile reductions
+    # differently, so a stray row may cross tol one iteration apart
+    assert rel_err(stream.x, core.x) < 1e-4
+    if per_problem:
+        ns, nc = np.asarray(stream.niter), np.asarray(core.niter)
+        assert (ns == nc).mean() > 0.95
+        assert np.abs(ns - nc).max() <= 2
+        assert np.asarray(stream.converged).all()
