@@ -8,7 +8,7 @@ lowering, not the kernel or the collectives.
 
 This script isolates WHERE the time goes by timing a ladder of epochs:
   1. single-device fused epoch (nmf.solve_streaming jit_loader path)
-  2. the parallel._sharded_epoch on a 1-device mesh (the slow case)
+  2. the sharded _fused_epoch on a 1-device mesh (the then-slow case)
   3. generator-only epoch (sum of chunks), in and out of shard_map
   4. kernel-only epoch (pre-resident chunk), in and out of shard_map
   5. a plain-jit auto-SPMD formulation (no shard_map)
@@ -32,7 +32,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import decomp_tpu  # noqa: E402
 from decomp_tpu.parallel import make_mesh  # noqa: E402
-from decomp_tpu.parallel import nmf_streaming as pns  # noqa: E402
 from decomp_tpu.models import nmf_streaming as mns  # noqa: E402
 from decomp_tpu.ops import pallas_mu  # noqa: E402
 
@@ -129,7 +128,7 @@ def main():
         None, mesh, "rows")
 
     def run_shard():
-        x, d, diff = ep_shard(x0s, d0)
+        x, d, diff, obj = ep_shard(x0s, d0)
         return d
 
     # --- 3. generator-only epochs --------------------------------------
@@ -144,7 +143,8 @@ def main():
     def gen_only_shard(d):
         def body_shard(d_r):
             def body(i, acc):
-                row0 = jax.lax.axis_index("rows") * m
+                n_dev = jax.lax.axis_size("rows")
+                row0 = jax.lax.axis_index("rows") * (m // n_dev)
                 yc = loader(row0 + i * chunk, None)
                 return acc + jnp.sum(yc.astype(jnp.float32))
             acc = jax.lax.fori_loop(

@@ -156,6 +156,12 @@ def solve_streaming(
             jax.random.PRNGKey(np.uint32(random_seed)), _HELDOUT_SALT)
         hd_frac = jnp.float32(heldout_frac)
     ce = max(1, int(check_every))
+    # warm-up floor clamped to the budget: with maxiter < 3
+    # check blocks the fixed 'checks >= 3' could never fire
+    # (ADVICE round-3 #3's clamp, applied to the streaming
+    # drivers — code-review round-4 finding #4); two checks
+    # is the minimum that can compare a validation pair
+    _warmup = min(3, max(2, int(maxiter) // ce))
     prev_e, last_e, checks = None, None, 0
     niter, converged, diff = 0, False, np.inf
     with jax.default_matmul_precision(precision):
@@ -207,7 +213,7 @@ def solve_streaming(
                     last_e = e
                     checks += 1
                     # warm-up: no plateau verdict before the 3rd check
-                    if prev_e is not None and checks >= 3 and (
+                    if prev_e is not None and checks >= _warmup and (
                             (prev_e - e) / max(prev_e, 1e-300)
                             < float(tol)):
                         converged = True  # validation plateaued
@@ -352,8 +358,11 @@ def _dl_fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks,
             lo_local = i * chunk_rows
             lo = row0 + jnp.asarray(lo_local, jnp.asarray(0).dtype)
             if ragged:
-                s = jnp.clip(lo + chunk_rows - n_true, 0, chunk_rows)
-                lo_eff = lo - s
+                # clamp the loader window into the true data (see
+                # nmf_streaming: the sharded grid's padding can exceed
+                # one chunk)
+                lo_eff = jnp.clip(lo, 0, n_true - chunk_rows)
+                s = lo - lo_eff
                 is_tail = s > 0
                 valid = (jax.lax.broadcasted_iota(
                     jnp.int32, (chunk_rows, 1), 0)
@@ -566,6 +575,12 @@ def _solve_streaming_fused(y_loader, d, alpha, x, *, tol, maxiter,
     tol_f = float(tol)
     need_diff = (not heldout) and (tol_f > 0.0 or callback is not None)
     ce = max(1, int(check_every))
+    # warm-up floor clamped to the budget: with maxiter < 3
+    # check blocks the fixed 'checks >= 3' could never fire
+    # (ADVICE round-3 #3's clamp, applied to the streaming
+    # drivers — code-review round-4 finding #4); two checks
+    # is the minimum that can compare a validation pair
+    _warmup = min(3, max(2, int(maxiter) // ce))
     prev_e, last_e, checks = None, None, 0
     niter, converged = 0, False
     with jax.default_matmul_precision(precision):
@@ -579,7 +594,7 @@ def _solve_streaming_fused(y_loader, d, alpha, x, *, tol, maxiter,
                 if callback is not None:
                     callback(it, float(diff_dev))
                 niter = it
-                if prev_e is not None and checks >= 3 and (
+                if prev_e is not None and checks >= _warmup and (
                         (prev_e - e) / max(prev_e, 1e-300) < tol_f):
                     converged = True  # validation plateaued
                     break

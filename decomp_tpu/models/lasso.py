@@ -892,7 +892,7 @@ def _solve_whole_split(ys, a_s, alpha, xs, lipschitz, tol, z0s, t0,
         return jnp.pad(v, ((0, rows - v.shape[0]),
                            (0, cols - v.shape[1])))
 
-    def split2(s, fill=None):
+    def split2(s):
         """(m, f) SplitComplex -> padded (m_pad, 2 f_pad) [re | im]."""
         return jnp.concatenate(
             [pad(s.re.astype(f32), m_pad, f_pad),

@@ -380,6 +380,12 @@ def solve_streaming(
         # axon tunnel vs a 90 ms full-shape epoch).
         need_diff = (not heldout) and (tol_f > 0.0 or callback is not None)
         ce = max(1, int(check_every))
+        # warm-up floor clamped to the budget: with maxiter < 3 check
+        # blocks the fixed 'checks >= 3' could never fire (ADVICE
+        # round-3 #3's clamp, applied to the streaming drivers —
+        # code-review round-4 finding #4); two checks is the minimum
+        # that can compare a validation pair
+        _warmup = min(3, max(2, int(maxiter) // ce))
         objs_dev = []
         prev_e, last_e, checks = None, None, 0
         with jax.default_matmul_precision(precision):
@@ -394,7 +400,7 @@ def solve_streaming(
                     niter = it
                     # warm-up: no plateau verdict before the 3rd check
                     # ("no progress YET" is not "no progress ANYMORE")
-                    if prev_e is not None and checks >= 3 and (
+                    if prev_e is not None and checks >= _warmup and (
                             (prev_e - e) / max(prev_e, 1e-300) < tol_f):
                         converged = True  # validation plateaued
                         break
@@ -568,10 +574,14 @@ def _fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks, rank,
             # promote consistently
             lo = row0 + jnp.asarray(lo_local, jnp.asarray(0).dtype)
             if ragged:
-                # tail chunk: shift the loader window back so it stays
-                # inside the true data, realign below
-                s = jnp.clip(lo + chunk_rows - n_true, 0, chunk_rows)
-                lo_eff = lo - s
+                # tail chunk: clamp the loader window into the true
+                # data (NOT just a one-chunk shift: with a sharded grid
+                # the padding can exceed one chunk, and a chunk whose
+                # offset lies entirely past n_true must still read an
+                # in-range window — its rows are then fully masked),
+                # realign below
+                lo_eff = jnp.clip(lo, 0, n_true - chunk_rows)
+                s = lo - lo_eff
                 is_tail = s > 0
                 valid = (jax.lax.broadcasted_iota(
                     jnp.int32, (chunk_rows, 1), 0)

@@ -263,6 +263,12 @@ def solve_streaming(
     # asynchronously (VERDICT round-3 Missing #5).
     need_diff = (not heldout) and (tol_f > 0.0 or callback is not None)
     ce = max(1, int(check_every))
+    # warm-up floor clamped to the budget: with maxiter < 3
+    # check blocks the fixed 'checks >= 3' could never fire
+    # (ADVICE round-3 #3's clamp, applied to the streaming
+    # drivers — code-review round-4 finding #4); two checks
+    # is the minimum that can compare a validation pair
+    _warmup = min(3, max(2, int(maxiter) // ce))
     obj_curve = (np.full((int(maxiter),), np.nan, np.float64)
                  if record_objective else None)
     objs_dev = []
@@ -280,7 +286,7 @@ def solve_streaming(
                 niter = it
                 # warm-up: no plateau verdict before the 3rd check ("no
                 # progress YET" is not "no progress ANYMORE")
-                if prev_e is not None and checks >= 3 and (
+                if prev_e is not None and checks >= _warmup and (
                         (prev_e - e) / max(prev_e, 1e-300) < tol_f):
                     converged = True  # validation plateaued
                     break
@@ -323,8 +329,11 @@ def _x_init_fn(n_pad, rank, fdt_name, mesh, row_axis):
 
     @_functools.partial(jax.jit, out_shardings=sharding)
     def init(key, scale):
+        # trailing cast: the strongly-typed f32 scale would otherwise
+        # promote a bf16 init to f32 (code-review round-4 finding #2)
         return (scale * jax.random.uniform(
-            key, (n_pad, rank), dtype=jnp.dtype(fdt_name)))
+            key, (n_pad, rank), dtype=jnp.dtype(fdt_name))
+        ).astype(jnp.dtype(fdt_name))
 
     return init
 

@@ -15,11 +15,16 @@ for an 8-virtual-device CPU mesh).
     python examples/sharded_streaming_completion.py
 """
 
+import os
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from decomp_tpu import parallel
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from decomp_tpu import parallel  # noqa: E402
 
 # A mesh over all available devices, rows = the sample axis.
 mesh = parallel.make_mesh((len(jax.devices()),), ("rows",))

@@ -612,3 +612,34 @@ def test_fused_dl_heldout_lockstep():
     np.testing.assert_allclose(
         float(shard.aux["heldout_rel_err"]),
         float(single.aux["heldout_rel_err"]), rtol=1e-4)
+
+
+def test_streaming_heldout_small_budget_can_converge():
+    """The streaming heldout warm-up floor clamps to the budget
+    (code-review round-4 finding #4): maxiter allowing only two checks
+    can still report a genuine plateau as converged."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(110)
+    m, n, k, chunk = 512, 64, 4, 128
+    ytrue = (rng.uniform(0, 1, (m, k)) @ rng.uniform(0, 1, (k, n))
+             ).astype(np.float32)
+    mask = (rng.random((m, n)) >= 0.3).astype(np.float32)
+    yd, md = jnp.asarray(ytrue * mask), jnp.asarray(mask)
+
+    def loader(lo, hi):
+        return jax.lax.dynamic_slice(yd, (lo, 0), (chunk, n))
+
+    def mloader(lo, hi):
+        return jax.lax.dynamic_slice(md, (lo, 0), (chunk, n))
+
+    # tol=inf: the second check ALWAYS reads as a plateau, so converged
+    # proves the clamped floor fired within the 10-epoch budget
+    res = decomp_tpu.nmf.solve_streaming(
+        loader, rank=k, mask=mloader, tol=np.inf, maxiter=10,
+        chunk_rows=chunk, n_samples=m, n_channels=n, dtype=np.float32,
+        x_device=True, jit_loader=True, stop="heldout", check_every=5,
+        random_seed=3)
+    assert bool(res.converged)
+    assert int(res.niter) == 10

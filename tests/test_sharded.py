@@ -670,3 +670,68 @@ def test_sharded_streaming_lasso_matches_in_core(mesh8, per_problem):
         assert (ns == nc).mean() > 0.95
         assert np.abs(ns - nc).max() <= 2
         assert np.asarray(stream.converged).all()
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_sharded_streaming_padding_beyond_one_chunk(mesh8, masked):
+    """Ragged sharded grid where SEVERAL devices hold only padding
+    (n_samples=257 over 8 devices x 64-row chunks -> devices 5..7 are
+    entirely past the data): loader windows stay clamped inside
+    [0, n_samples - chunk_rows] (code-review round-4 finding #1) and
+    the result equals the in-core solve."""
+    import jax
+    import jax.numpy as jnp
+
+    m, n, k, chunk = 257, 48, 4, 64
+    rng = np.random.default_rng(108)
+    y = np.maximum(rng.uniform(0, 1, (m, k)) @ rng.uniform(0, 1, (k, n))
+                   + 0.01 * rng.normal(size=(m, n)), 0).astype(np.float32)
+    mask_arr = ((rng.random((m, n)) >= 0.3).astype(np.float32)
+                if masked else None)
+    x0 = rng.uniform(0.1, 1, (m, k)).astype(np.float32)
+    d0 = rng.uniform(0.1, 1, (k, n)).astype(np.float32)
+    yd = jnp.asarray(y if mask_arr is None else y * mask_arr)
+    md = None if mask_arr is None else jnp.asarray(mask_arr)
+
+    def loader(lo, hi):
+        # y has EXACTLY n_samples rows: any out-of-contract offset
+        # (lo > n_samples - chunk_rows) would make this slice clamp and
+        # read rows already covered — the solver must never ask for one
+        return jax.lax.dynamic_slice(yd, (lo, 0), (chunk, n))
+
+    mloader = (None if md is None else
+               (lambda lo, hi: jax.lax.dynamic_slice(md, (lo, 0),
+                                                     (chunk, n))))
+    res = parallel.nmf.solve_streaming(
+        loader, d0, x=x0, mesh=mesh8, tol=0.0, maxiter=10,
+        chunk_rows=chunk, n_samples=m, n_channels=n, dtype=np.float32,
+        mask=mloader)
+    core = decomp_tpu.nmf.solve(
+        y if mask_arr is None else y * mask_arr, d0, x=x0,
+        mask=mask_arr, tol=0.0, maxiter=10, use_pallas=False)
+    assert np.asarray(res.x).shape == (m, k)
+    assert rel_err(res.d, core.d) < 1e-5
+    assert rel_err(res.x, core.x) < 1e-5
+
+
+def test_sharded_streaming_bf16_init_stays_bf16(mesh8):
+    """Random x init with bf16 data and no factor_dtype must stay bf16
+    (code-review round-4 finding #2: a strongly-typed f32 scale was
+    promoting the sharded init — 2x HBM for x at pod scale)."""
+    import jax
+    import jax.numpy as jnp
+
+    m, n, k, chunk = 512, 32, 4, 64
+    rng = np.random.default_rng(109)
+    yd = jnp.asarray(rng.uniform(0, 1, (m, n)).astype(np.float32)
+                     ).astype(jnp.bfloat16)
+
+    def loader(lo, hi):
+        return jax.lax.dynamic_slice(yd, (lo, 0), (chunk, n))
+
+    res = parallel.nmf.solve_streaming(
+        loader, rank=k, mesh=mesh8, tol=0.0, maxiter=2,
+        chunk_rows=chunk, n_samples=m, n_channels=n,
+        dtype=jnp.bfloat16, precision="default", random_seed=1)
+    assert res.x.dtype == jnp.bfloat16
+    assert res.d.dtype == jnp.bfloat16
