@@ -82,9 +82,13 @@ def _resident_bytes(f: int, momentum: bool, hi_lo: bool,
     roughly twice; the whole sum is then scaled by the measured
     _CALIBRATION factor (see above). ``group`` (split-complex prox):
     the magnitude/scale temporaries and the halves concat add ~2 more
-    (br, F) planes, and the measured Mosaic overhead factor is higher —
-    calibration point: F=1024 hi_lo momentum at br=64 reported 16.11M
-    scoped against a ~7.7M raw estimate (2.09x)."""
+    (br, F) planes. Measured at F=1024 hi_lo momentum with the group
+    unroll (4 steps per exit check): br=64 compiles and runs (227 ms at
+    the config-2-complex shape, the fastest stripe), br=128 is rejected
+    by Mosaic — the 1.6x calibration with the +2 planes reproduces
+    exactly that frontier. (History: with the full 8-step unroll br=64
+    itself OOM'd at 16.11M scoped and each compile took ~20 min through
+    the remote helper; the halved unroll fixed both.)"""
     gram = 4 * f * f
     planes = (3 + (2 if momentum else 0))  # yah, x, z carried + x,z out
     if group:
@@ -92,7 +96,7 @@ def _resident_bytes(f: int, momentum: bool, hi_lo: bool,
     per_row = planes * 2 * 4 * f + 6 * 4   # x2: pipeline in/out + carry
     extra = 2 * block_rows * f * 2 if hi_lo else 0  # per-iter bf16 splits
     raw = gram + block_rows * per_row + extra + 2 * 4 * f
-    return int(raw * (2.1 if group else _CALIBRATION))
+    return int(raw * _CALIBRATION)
 
 
 def default_block_rows(f: int, momentum: bool = True,
@@ -233,14 +237,20 @@ def _kernel(momentum, restart, maxiter, hi_lo, feat_vecs, group_fc,
             return (it + 1, x_new, z_new, t_new, done_new, nit_new)
         return (it + 1, x_new, done_new, nit_new)
 
-    # Exit checks are grouped: each while iteration runs _CHECK single
+    # Exit checks are grouped: each while iteration runs `check` single
     # steps (frozen rows and past-maxiter steps are exact no-ops, so
     # per-row results and niter are IDENTICAL to checking every step —
-    # only the stripe's exit is up to _CHECK-1 no-op iterations later).
+    # only the stripe's exit is up to check-1 no-op iterations later).
     # This amortises the scalar all-done reduction between steps, and the
-    # STATIC trip count lets Mosaic unroll the block.
+    # STATIC trip count lets Mosaic unroll the block. Group mode halves
+    # the unroll: its per-step body is ~2x the ops (half-slices, the
+    # magnitude prox, the concat) and the 8-step unroll at 2Fc=1024 both
+    # blows the scoped-VMEM stack and multiplies the (already ~20 min)
+    # remote-compile time.
+    check = _CHECK // 2 if group_fc else _CHECK
+
     def block(carry):
-        return jax.lax.fori_loop(0, _CHECK, lambda j, c: body(c), carry,
+        return jax.lax.fori_loop(0, check, lambda j, c: body(c), carry,
                                  unroll=True)
 
     def cond(carry):

@@ -735,3 +735,69 @@ def test_sharded_streaming_bf16_init_stays_bf16(mesh8):
         dtype=jnp.bfloat16, precision="default", random_seed=1)
     assert res.x.dtype == jnp.bfloat16
     assert res.d.dtype == jnp.bfloat16
+
+
+def test_sharded_streaming_ragged_heldout_cache_combined(mesh8):
+    """The round-4 features compose: ragged sample count + heldout stop
+    + per-device HBM cache in one sharded run, in lockstep with the
+    single-device fused streamer."""
+    import jax
+    import jax.numpy as jnp
+
+    m, n, k, chunk = 1993, 64, 4, 128  # prime
+    rng = np.random.default_rng(111)
+    ytrue = (rng.uniform(0, 1, (m, k)) @ rng.uniform(0, 1, (k, n))
+             + 0.02 * rng.normal(size=(m, n))).astype(np.float32)
+    mask = (rng.random((m, n)) >= 0.3).astype(np.float32)
+    x0 = rng.uniform(0.1, 1, (m, k)).astype(np.float32)
+    d0 = rng.uniform(0.1, 1, (k, n)).astype(np.float32)
+    yd, md = jnp.asarray(ytrue * mask), jnp.asarray(mask)
+
+    def loader(lo, hi):
+        return jax.lax.dynamic_slice(yd, (lo, 0), (chunk, n))
+
+    def mloader(lo, hi):
+        return jax.lax.dynamic_slice(md, (lo, 0), (chunk, n))
+
+    kw = dict(mask=mloader, tol=5e-3, maxiter=3000, chunk_rows=chunk,
+              n_samples=m, n_channels=n, dtype=np.float32,
+              stop="heldout", check_every=10, hbm_cache_chunks=1,
+              random_seed=7)
+    s = decomp_tpu.nmf.solve_streaming(loader, d0, x=x0, x_device=True,
+                                       jit_loader=True, **kw)
+    p = parallel.nmf.solve_streaming(loader, d0, x=x0, mesh=mesh8, **kw)
+    assert bool(s.converged) and bool(p.converged)
+    assert int(p.niter) == int(s.niter)
+    np.testing.assert_allclose(float(p.aux["heldout_rel_err"]),
+                               float(s.aux["heldout_rel_err"]),
+                               rtol=1e-4)
+    assert np.asarray(p.x).shape == (m, k)
+
+
+def test_sharded_streaming_mixed_kl_matches_single(mesh8):
+    """Mixed-precision KL through the SHARDED streaming epoch == the
+    single-device fused streamer (round-4 factor_dtype extension)."""
+    import jax
+    import jax.numpy as jnp
+
+    m, n, k, chunk = 1024, 64, 4, 128
+    rng = np.random.default_rng(112)
+    y16 = jnp.asarray(np.maximum(
+        rng.uniform(0, 1, (m, k)) @ rng.uniform(0, 1, (k, n))
+        + 0.01 * rng.normal(size=(m, n)), 0).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    x0 = rng.uniform(0.1, 1, (m, k)).astype(np.float32)
+    d0 = rng.uniform(0.1, 1, (k, n)).astype(np.float32)
+
+    def loader(lo, hi):
+        return jax.lax.dynamic_slice(y16, (lo, 0), (chunk, n))
+
+    kw = dict(tol=0.0, maxiter=10, method="kl-mu", chunk_rows=chunk,
+              n_samples=m, n_channels=n, dtype=jnp.bfloat16,
+              factor_dtype=jnp.float32, precision="default")
+    s = decomp_tpu.nmf.solve_streaming(loader, d0, x=x0, x_device=True,
+                                       jit_loader=True, **kw)
+    p = parallel.nmf.solve_streaming(loader, d0, x=x0, mesh=mesh8, **kw)
+    assert p.x.dtype == jnp.float32 and p.d.dtype == jnp.float32
+    assert rel_err(p.d, s.d) < 1e-5
+    assert rel_err(p.x, s.x) < 1e-5

@@ -46,7 +46,7 @@ def run_on(device, fn):
         return fn()
 
 
-def _mixed_vs_f32(y, x0, d0, maxiter):
+def _mixed_vs_f32(y, x0, d0, maxiter, method="mu"):
     """The mixed point runs bf16 data on whatever device is active; its
     comparison baseline is the same-device run too, so the metric stays
     'mixed vs f32-exact' on both backends (the cross-backend comparison
@@ -56,7 +56,7 @@ def _mixed_vs_f32(y, x0, d0, maxiter):
     return decomp_tpu.nmf.solve(
         y.astype(jnp.bfloat16), d0.astype(np.float32),
         x=x0.astype(np.float32), tol=0.0, maxiter=maxiter,
-        factor_dtype=jnp.float32, precision="default",
+        method=method, factor_dtype=jnp.float32, precision="default",
         record_objective=True, use_pallas=False)
 
 
@@ -117,6 +117,9 @@ def main():
         # input-quantisation scale (~1%, BASELINE.md) — regression-guard
         # it so the headline's convergence claim stays true.
         "nmf_mixed": lambda: _mixed_vs_f32(y, x0, d0, args.maxiter),
+        # round 4: the mixed KL point (same policy, KL ratio in f32)
+        "nmf_kl_mixed": lambda: _mixed_vs_f32(y, x0, d0, args.maxiter,
+                                              method="kl-mu"),
     }
 
     # Budgets: l2-based objectives are well-conditioned -> curves agree to
@@ -127,7 +130,8 @@ def main():
     # (HALS drives the objective to the noise floor within tens of
     # iterations, where pointwise-relative comparison is cancellation-
     # limited, like KL.)
-    curve_budget = {"nmf_kl": 1e-2, "nmf_hals": 1e-2, "nmf_mixed": 3e-2}
+    curve_budget = {"nmf_kl": 1e-2, "nmf_hals": 1e-2, "nmf_mixed": 3e-2,
+                    "nmf_kl_mixed": 5e-2}
     default_curve_budget = 1e-4
     factor_budget = {"nmf_mixed": 5e-2}
     default_factor_budget = 1e-4
