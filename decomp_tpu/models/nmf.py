@@ -880,4 +880,7 @@ def _init_factors(key, y, d, x, rank, factor_dtype=None):
 
 # Out-of-core variant (host-streamed row chunks) — import at end of module
 # because nmf_streaming reuses this module's update rules.
-from decomp_tpu.models.nmf_streaming import solve_streaming  # noqa: E402,F401
+from decomp_tpu.models.nmf_streaming import (  # noqa: E402,F401
+    masked_completion_streaming,
+    solve_streaming,
+)

@@ -880,3 +880,64 @@ def _rel_diff_impl(d_old, d_new):
     den = jnp.maximum(jnp.linalg.norm(d_old.astype(acc_dt)),
                       jnp.asarray(jnp.finfo(acc_dt).tiny, acc_dt))
     return num / den
+
+
+def masked_completion_streaming(y, mask, rank=None, d=None, x=None, *,
+                                n_samples, n_channels, dtype,
+                                chunk_rows=65536, tol=1e-4,
+                                maxiter=4000, heldout_frac=0.05,
+                                check_every=25, random_seed=0,
+                                mixed="auto", mesh=None,
+                                row_axis="rows", **kwargs):
+    """Out-of-core matrix-completion preset: the ``nmf.masked_completion``
+    recipe (mixed operating point + held-out plateau stopping) over
+    CALLABLE chunk loaders — single-device fused epochs, or sharded over
+    a ``mesh`` (then in heldout LOCKSTEP with the single-device run).
+
+    ``y``/``mask`` are jit-traceable loaders ``(lo, hi) -> chunk``
+    (``y`` pre-masked: missing entries zero, as everywhere in the
+    library); ``n_samples``/``n_channels``/``dtype`` are the loader
+    contract. On TPU with f32 chunks the mixed point casts each chunk to
+    bf16 INSIDE the epoch (wrapping the loader) and keeps f32 factor
+    iterates — the measured completion operating point (BASELINE.md).
+    Loaders that already yield bf16 pass through unchanged.
+
+    NOTE the wrapped loader is cached per (your loader, mixed) identity:
+    pass the same callables across calls (see the cache-key pitfall in
+    ``solve_streaming``).
+    """
+    dtype = jnp.dtype(dtype)
+    if mixed == "auto":
+        mixed = (jax.default_backend() == "tpu"
+                 and dtype == jnp.float32)
+    y_loader, mask_loader = y, mask
+    if mixed and dtype == jnp.float32:
+        y_loader = _bf16_wrap(y)
+        mask_loader = _bf16_wrap(mask)
+        dtype = jnp.dtype(jnp.bfloat16)
+    if mixed:
+        kwargs.setdefault("factor_dtype", jnp.float32)
+        kwargs.setdefault("precision", "default")
+    common = dict(rank=rank, x=x, mask=mask_loader, tol=tol,
+                  maxiter=maxiter, method="mu", stop="heldout",
+                  heldout_frac=heldout_frac, check_every=check_every,
+                  random_seed=random_seed, chunk_rows=chunk_rows,
+                  n_samples=n_samples, n_channels=n_channels,
+                  dtype=dtype, **kwargs)
+    if mesh is not None:
+        from decomp_tpu.parallel import nmf_streaming as _pns
+
+        return _pns.solve_streaming(y_loader, d, mesh=mesh,
+                                    row_axis=row_axis, **common)
+    return solve_streaming(y_loader, d, x_device=True, jit_loader=True,
+                           **common)
+
+
+@functools.lru_cache(maxsize=32)
+def _bf16_wrap(loader):
+    """Cached bf16-casting loader wrapper (cached so repeat preset calls
+    with the same user loader reuse the compiled epoch)."""
+    def wrapped(lo, hi):
+        return jnp.asarray(loader(lo, hi)).astype(jnp.bfloat16)
+
+    return wrapped

@@ -643,3 +643,45 @@ def test_streaming_heldout_small_budget_can_converge():
         random_seed=3)
     assert bool(res.converged)
     assert int(res.niter) == 10
+
+
+@pytest.mark.parametrize("sharded", [False, True])
+def test_masked_completion_streaming_preset(sharded):
+    """The out-of-core completion preset (round 4): heldout-stopped
+    masked MU over callable loaders, single-device or sharded, with the
+    reported validation error tracking the true missing-entry error."""
+    import jax
+    import jax.numpy as jnp
+    from decomp_tpu import parallel
+
+    rng = np.random.default_rng(113)
+    m, n, k, chunk = 2048, 64, 4, 128
+    ytrue = (rng.uniform(0, 1, (m, k)) @ rng.uniform(0, 1, (k, n))
+             + 0.02 * rng.normal(size=(m, n))).astype(np.float32)
+    mask = (rng.random((m, n)) >= 0.3).astype(np.float32)
+    yd, md = jnp.asarray(ytrue * mask), jnp.asarray(mask)
+
+    def loader(lo, hi):
+        return jax.lax.dynamic_slice(yd, (lo, 0), (chunk, n))
+
+    def mloader(lo, hi):
+        return jax.lax.dynamic_slice(md, (lo, 0), (chunk, n))
+
+    kw = dict(rank=k, n_samples=m, n_channels=n, dtype=np.float32,
+              chunk_rows=chunk, tol=5e-3, maxiter=3000, check_every=10,
+              random_seed=3)
+    if sharded:
+        res = decomp_tpu.nmf.masked_completion_streaming(
+            loader, mloader, mesh=parallel.make_mesh(
+                axis_names=("rows",)), **kw)
+    else:
+        res = decomp_tpu.nmf.masked_completion_streaming(
+            loader, mloader, **kw)
+    assert bool(res.converged)
+    ho_rep = float(np.asarray(res.aux["heldout_rel_err"]))
+    recon = np.asarray(res.x) @ np.asarray(res.d)
+    miss = np.asarray(mask) == 0
+    ho_true = (np.linalg.norm(recon[miss] - ytrue[miss])
+               / np.linalg.norm(ytrue[miss]))
+    assert ho_true < 0.1
+    assert abs(ho_rep - ho_true) < 0.5 * ho_true
