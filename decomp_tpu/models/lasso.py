@@ -954,7 +954,7 @@ def solve_split(y, a, alpha, x=None, *, tol=1e-5, maxiter: int = 1000,
                 check_every: int = 1, per_problem: bool = False,
                 return_state: bool = False,
                 momentum_state=None, state=None,
-                use_pallas: bool = False, pallas_block_rows=None,
+                use_pallas="auto", pallas_block_rows=None,
                 _pallas_interpret: bool = False) -> LassoResult:
     """Split-complex lasso over EXPLICIT (re, im) pairs — composes under
     ``jit`` / ``vmap`` (VERDICT.md round-2 Weak #5 / Next #8).
@@ -975,14 +975,18 @@ def solve_split(y, a, alpha, x=None, *, tol=1e-5, maxiter: int = 1000,
     only (one row per problem). Use ``ops.complex_split.from_numpy`` /
     ``to_numpy`` at the host boundary when starting from complex arrays.
 
-    use_pallas : run the whole-solve batched kernel in its split-complex
-        ``group_fc`` mode (round 4): the [re | im] iterate block solves
-        against the real 2Fc x 2Fc embedding of the complex Gram, with
-        the paired-magnitude soft-threshold as the prox. Same contract
-        as the real kernel path: unmasked, ``per_problem=True``, f32,
-        no ``record_objective``, precision 'highest' or 'high' (the
-        bf16x3 Gram split), scalar or per-feature alpha. Exact per-row
-        ``state=`` resume composes as on the jnp path.
+    use_pallas : True / False / 'auto' — run the whole-solve batched
+        kernel in its split-complex ``group_fc`` mode (round 4): the
+        [re | im] iterate block solves against the real 2Fc x 2Fc
+        embedding of the complex Gram, with the paired-magnitude
+        soft-threshold as the prox (measured 1.51x the jnp split path
+        at the config-2-complex scale). Same contract as the real
+        kernel path: unmasked, ``per_problem=True``, f32 parts, no
+        ``record_objective``, precision 'highest' or 'high' (the bf16x3
+        Gram split), scalar or per-feature alpha; 'auto' enables it on
+        calibrated TPU generations for large batches when those hold
+        (exactly like ``lasso.solve``'s whole-kernel gate). Exact
+        per-row ``state=`` resume composes as on the jnp path.
     """
     from decomp_tpu.ops import complex_split as cs
 
@@ -1058,6 +1062,24 @@ def solve_split(y, a, alpha, x=None, *, tol=1e-5, maxiter: int = 1000,
     if pp_state is not None:
         ppstate = (jnp.asarray(pp_state[0]).astype(bool),
                    jnp.asarray(pp_state[1]).astype(jnp.int32))
+    if use_pallas == "auto":
+        from decomp_tpu.ops import pallas_fista
+        from decomp_tpu.ops.pallas_mu import calibrated_tpu
+
+        f_pad128 = -(-a_s.re.shape[0] // 128) * 128
+        use_pallas = (
+            mask is None
+            and per_problem
+            and calibrated_tpu()
+            and method in ("ista", "fista", "acc_ista", "parallel_cd")
+            and rdt == jnp.float32
+            and not record_objective
+            and precision in ("highest", "high")
+            and jnp.asarray(alpha).ndim <= 1
+            and ys.re.shape[0] * a_s.re.shape[0] >= (1 << 18)
+            and pallas_fista.fits_vmem(
+                2 * f_pad128, method in ("fista", "acc_ista"),
+                precision == "high", group=True))
     if use_pallas:
         if mask is not None:
             raise DecompError("use_pallas=True (whole-solve kernel) "

@@ -397,3 +397,33 @@ def test_whole_kernel_split_complex_resume_and_validation():
         decomp_tpu.lasso.solve_split(ys, a_s, 0.1, use_pallas=True,
                                      per_problem=True,
                                      record_objective=True)
+
+
+def test_solve_split_auto_default_off_cpu():
+    """solve_split defaults to use_pallas='auto' (round 4): on the CPU
+    backend the gate must stay off and the jnp split path must run, even
+    for configurations the kernel would otherwise accept (unmasked,
+    per_problem, f32, large batch)."""
+    from decomp_tpu.ops import complex_split as cs
+
+    rng = np.random.default_rng(79)
+    m, f, c = 24, 12, 16
+    a = (rng.normal(size=(f, c))
+         + 1j * rng.normal(size=(f, c))).astype(np.complex64)
+    y = (rng.normal(size=(m, c))
+         + 1j * rng.normal(size=(m, c))).astype(np.complex64)
+    ys, a_s = cs.from_numpy(y), cs.from_numpy(a)
+    ref = decomp_tpu.lasso.solve_split(ys, a_s, 0.1, tol=1e-5,
+                                       maxiter=200, per_problem=True,
+                                       use_pallas=False)
+    res = decomp_tpu.lasso.solve_split(ys, a_s, 0.1, tol=1e-5,
+                                       maxiter=200, per_problem=True)
+    np.testing.assert_array_equal(np.asarray(res.niter),
+                                  np.asarray(ref.niter))
+    np.testing.assert_allclose(np.asarray(res.x.re),
+                               np.asarray(ref.x.re), rtol=1e-6)
+    # 'auto' also composes with modes the kernel REJECTS (masked,
+    # per_problem=False, record_objective): the gate must decline, not
+    # raise.
+    decomp_tpu.lasso.solve_split(ys, a_s, 0.1, tol=1e-5, maxiter=5,
+                                 record_objective=True)
