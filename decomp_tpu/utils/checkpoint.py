@@ -65,7 +65,11 @@ def checkpointed_solve(
     """Run ``solve_fn`` in chunks of ``chunk_iters``, checkpointing between.
 
     ``solve_fn`` is any decomp_tpu ``solve`` (nmf / lasso /
-    dictionary_learning, single-device or sharded); ``warm_fields`` names
+    dictionary_learning, single-device or sharded, in-core or
+    ``solve_streaming`` — the out-of-core epochs are Markovian in (x, d),
+    so chunked budgets resume the exact trajectory; pass the SAME loader
+    callable across sessions so the compiled epoch is reused);
+    ``warm_fields`` names
     the result fields that are both returned and accepted as warm-start
     kwargs (the reference's resume contract). If the manager's file exists,
     the run resumes from it: completed iterations count against

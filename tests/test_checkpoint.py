@@ -182,6 +182,64 @@ def test_exhausted_budget_raises(tmp_path):
                            chunk_iters=10, maxiter=10, tol=0.0, d=d0, x=x0)
 
 
+def test_streaming_solve_checkpoint_composes(tmp_path):
+    """checkpointed_solve x solve_streaming: the out-of-core path (the one
+    whose runs are long enough to NEED checkpointing at pod scale) resumes
+    exactly — MU streaming is Markovian in (x, d), so chunked budgets
+    reproduce the uninterrupted epoch trajectory bit-for-bit."""
+    y, x0, d0 = _problem()  # 60 x 40 rank 4
+    straight = decomp_tpu.nmf.solve_streaming(
+        y, d0, x=x0, tol=0.0, maxiter=12, chunk_rows=30)
+    mgr = CheckpointManager(str(tmp_path / "stream"))
+    res, total = checkpointed_solve(
+        decomp_tpu.nmf.solve_streaming, y, manager=mgr, chunk_iters=4,
+        maxiter=12, tol=0.0, d=d0, x=x0, chunk_rows=30)
+    assert total == 12
+    np.testing.assert_array_equal(np.asarray(res.d), np.asarray(straight.d))
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(straight.x))
+    # interruption: a fresh "session" picks up from the .npz mid-run
+    mgr2 = CheckpointManager(str(tmp_path / "stream2"))
+    checkpointed_solve(
+        decomp_tpu.nmf.solve_streaming, y, manager=mgr2, chunk_iters=4,
+        maxiter=8, tol=0.0, d=d0, x=x0, chunk_rows=30)
+    assert mgr2.exists()
+    res2, total2 = checkpointed_solve(
+        decomp_tpu.nmf.solve_streaming, y, manager=mgr2, chunk_iters=4,
+        maxiter=12, tol=0.0, d=d0, x=x0, chunk_rows=30)
+    assert total2 == 12
+    np.testing.assert_array_equal(np.asarray(res2.d),
+                                  np.asarray(straight.d))
+
+
+def test_streaming_jit_loader_checkpoint_composes(tmp_path):
+    """Same composition through the fused jit_loader epoch (callable
+    loader + device-resident x): the pod-scale configuration checkpoints
+    and resumes exactly. The loader is module-level-stable across calls,
+    so the compiled epoch is reused (cache-key contract)."""
+    import jax.numpy as jnp
+
+    y, x0, d0 = _problem()
+    yj = jnp.asarray(y.astype(np.float32))
+
+    def loader(lo, hi):
+        import jax.lax as lax
+        return lax.dynamic_slice_in_dim(yj, lo, 30, axis=0)
+
+    kw = dict(rank=4, n_samples=60, n_channels=40, dtype=np.float32,
+              chunk_rows=30, jit_loader=True, x_device=True, tol=0.0)
+    straight = decomp_tpu.nmf.solve_streaming(
+        loader, d0.astype(np.float32), x=x0.astype(np.float32),
+        maxiter=12, **kw)
+    mgr = CheckpointManager(str(tmp_path / "jstream"))
+    res, total = checkpointed_solve(
+        decomp_tpu.nmf.solve_streaming, loader, manager=mgr,
+        chunk_iters=4, maxiter=12, d=d0.astype(np.float32),
+        x=x0.astype(np.float32), **kw)
+    assert total == 12
+    np.testing.assert_array_equal(np.asarray(res.d), np.asarray(straight.d))
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(straight.x))
+
+
 @pytest.mark.parametrize("method", ["ista", "fista"])
 def test_chunked_per_problem_matches_straight(tmp_path, method):
     """checkpointed_solve + per_problem + state dict: chunked runs equal
