@@ -185,17 +185,28 @@ def bench_extra_configs(on_tpu: bool, small: bool) -> None:
                x_device=True, jit_loader=True, random_seed=11)
     _fence_val(decomp_tpu.nmf.solve_streaming(
         loader5, rank=k5, tol=0.0, maxiter=2, **kw5).d)  # warm
-    # best-of-2 at 15 iters: a single 10-iter pass under-amortises the
-    # solve-call setup (~0.2 s of head-chunk probes + init against a
-    # ~1.4 s run) and this platform's queueing noise
-    iters5 = 15
-    best5 = float("inf")
-    for _ in range(2):
+    # Differential timing: the solve call carries ~0.2 s of fixed setup
+    # (512 MB x init + head-chunk probes) that a single short run charges
+    # to the epoch rate (~10% under-report at 15 iters). Timing a 5-iter
+    # and a 20-iter run and dividing the EXTRA iterations by the EXTRA
+    # wall time cancels the setup exactly; min-of-2 per point rides out
+    # the platform's queueing noise.
+    iters_lo, iters_hi = 5, 20
+
+    def _timed5(iters):
         t0 = time.perf_counter()
         _fence_val(decomp_tpu.nmf.solve_streaming(
-            loader5, rank=k5, tol=0.0, maxiter=iters5, **kw5).d)
-        best5 = min(best5, time.perf_counter() - t0)
-    r5 = iters5 / best5
+            loader5, rank=k5, tol=0.0, maxiter=iters, **kw5).d)
+        return time.perf_counter() - t0
+
+    t_lo = t_hi = float("inf")
+    for _ in range(2):
+        t_lo = min(t_lo, _timed5(iters_lo))
+        t_hi = min(t_hi, _timed5(iters_hi))
+    if t_hi > t_lo:
+        r5 = (iters_hi - iters_lo) / (t_hi - t_lo)
+    else:  # pragma: no cover - degenerate timing (noise swamped the gap)
+        r5 = iters_hi / t_hi
     base5 = 11.1 if not tiny else None  # round-3 BASELINE.md row 5'
     print(json.dumps({
         "metric": f"config5' out-of-core streaming NMF, {m5}x{n5} "
