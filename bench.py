@@ -207,7 +207,12 @@ def bench_extra_configs(on_tpu: bool, small: bool) -> None:
         r5 = (iters_hi - iters_lo) / (t_hi - t_lo)
     else:  # pragma: no cover - degenerate timing (noise swamped the gap)
         r5 = iters_hi / t_hi
-    base5 = 11.1 if not tiny else None  # round-3 BASELINE.md row 5'
+    # Round-4 differential re-baseline: the round-3 11.1 iters/s charged
+    # ~0.28 s of per-call setup to a 15-iter run; the marginal epoch rate
+    # of the SAME code, fit over maxiter {5,20,35,50}, is 14.7 iters/s
+    # (68 ms/epoch — BASELINE.md round-4 row). Comparing the differential
+    # measurement against the whole-call baseline would fake a ~1.3x win.
+    base5 = 14.7 if not tiny else None
     print(json.dumps({
         "metric": f"config5' out-of-core streaming NMF, {m5}x{n5} "
                   f"rank-{k5} fused epoch",

@@ -70,8 +70,12 @@ def main():
               per_problem=True)
 
     def run_jnp():
+        # Explicit False: solve_split now DEFAULTS to use_pallas='auto',
+        # which would route this baseline through the very kernel it is
+        # the baseline for.
         return decomp_tpu.lasso.solve_split(ys, a_s, 0.1,
-                                            precision="high", **kw)
+                                            precision="high",
+                                            use_pallas=False, **kw)
 
     def run_kernel():
         return decomp_tpu.lasso.solve_split(ys, a_s, 0.1,

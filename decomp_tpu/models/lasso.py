@@ -1067,16 +1067,20 @@ def solve_split(y, a, alpha, x=None, *, tol=1e-5, maxiter: int = 1000,
         from decomp_tpu.ops.pallas_mu import calibrated_tpu
 
         f_pad128 = -(-a_s.re.shape[0] // 128) * 128
+        # Work threshold on the 2Fc REAL embedding the kernel actually
+        # solves (not Fc complex features) — the same batch*features
+        # scale as lasso.solve's whole-kernel gate. The method check is
+        # already enforced at entry (solve_split is gradient-methods
+        # only), so it does not reappear here.
         use_pallas = (
             mask is None
             and per_problem
             and calibrated_tpu()
-            and method in ("ista", "fista", "acc_ista", "parallel_cd")
             and rdt == jnp.float32
             and not record_objective
             and precision in ("highest", "high")
             and jnp.asarray(alpha).ndim <= 1
-            and ys.re.shape[0] * a_s.re.shape[0] >= (1 << 18)
+            and ys.re.shape[0] * 2 * a_s.re.shape[0] >= (1 << 18)
             and pallas_fista.fits_vmem(
                 2 * f_pad128, method in ("fista", "acc_ista"),
                 precision == "high", group=True))

@@ -15,6 +15,7 @@ a single 16 GB chip); otherwise ``nmf.solve`` is strictly faster.
 """
 
 import functools
+import weakref
 from typing import Callable, Optional
 
 import jax
@@ -933,11 +934,44 @@ def masked_completion_streaming(y, mask, rank=None, d=None, x=None, *,
                            **common)
 
 
-@functools.lru_cache(maxsize=32)
+_BF16_WRAPS = {}  # id(loader) -> (weakref(loader), wrapped)
+
+
 def _bf16_wrap(loader):
     """Cached bf16-casting loader wrapper (cached so repeat preset calls
-    with the same user loader reuse the compiled epoch)."""
-    def wrapped(lo, hi):
-        return jnp.asarray(loader(lo, hi)).astype(jnp.bfloat16)
+    with the same user loader reuse the compiled epoch).
 
+    The cache must NOT pin the user's loader: closures passed here
+    routinely capture multi-GB device-resident arrays, and a strong
+    cache (the obvious ``lru_cache``) would keep that HBM alive for the
+    process lifetime after the caller drops the loader. So entries are
+    keyed by loader id, hold the loader WEAKLY — including inside the
+    wrapper itself — and self-evict when the loader is collected. The
+    wrapper only runs while ``masked_completion_streaming`` holds the
+    loader argument alive, so the deref cannot observe a dead ref in
+    normal use; non-weakref-able callables get an uncached wrapper
+    (correct, just recompiles the epoch per call)."""
+    key = id(loader)
+    ent = _BF16_WRAPS.get(key)
+    if ent is not None and ent[0]() is loader:
+        return ent[1]
+
+    try:
+        loader_ref = weakref.ref(
+            loader, lambda _r, _k=key: _BF16_WRAPS.pop(_k, None))
+    except TypeError:
+        def wrapped_strong(lo, hi):
+            return jnp.asarray(loader(lo, hi)).astype(jnp.bfloat16)
+
+        return wrapped_strong
+
+    def wrapped(lo, hi):
+        ldr = loader_ref()
+        if ldr is None:  # pragma: no cover - caller dropped the loader
+            raise RuntimeError("the loader wrapped by "
+                               "masked_completion_streaming was garbage-"
+                               "collected; pass a live loader")
+        return jnp.asarray(ldr(lo, hi)).astype(jnp.bfloat16)
+
+    _BF16_WRAPS[key] = (loader_ref, wrapped)
     return wrapped

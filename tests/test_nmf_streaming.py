@@ -685,3 +685,36 @@ def test_masked_completion_streaming_preset(sharded):
                / np.linalg.norm(ytrue[miss]))
     assert ho_true < 0.1
     assert abs(ho_rep - ho_true) < 0.5 * ho_true
+
+
+def test_bf16_wrap_cache_does_not_pin_loader():
+    """The preset's bf16 loader-wrapper cache must hold user loaders
+    WEAKLY: closures routinely capture multi-GB device arrays, and a
+    strong cache would keep that HBM alive for the process lifetime
+    after the caller drops the loader (round-4 review finding)."""
+    import gc
+    import weakref as _weakref
+
+    import jax.numpy as jnp
+
+    from decomp_tpu.models.nmf_streaming import _BF16_WRAPS, _bf16_wrap
+
+    def make_loader():
+        captured = np.ones((4, 4), np.float32)
+
+        def loader(lo, hi):
+            return captured[lo:hi]
+
+        return loader
+
+    loader = make_loader()
+    w1 = _bf16_wrap(loader)
+    # repeat calls with the SAME loader reuse the wrapper (epoch cache key)
+    assert _bf16_wrap(loader) is w1
+    assert np.asarray(w1(0, 2)).dtype == jnp.bfloat16
+    sentinel = _weakref.ref(loader)
+    key = id(loader)
+    del loader, w1
+    gc.collect()
+    assert sentinel() is None, "cache pinned the dropped loader"
+    assert key not in _BF16_WRAPS, "cache entry not self-evicted"

@@ -133,7 +133,7 @@ def main():
     curve_budget = {"nmf_kl": 1e-2, "nmf_hals": 1e-2, "nmf_mixed": 3e-2,
                     "nmf_kl_mixed": 5e-2}
     default_curve_budget = 1e-4
-    factor_budget = {"nmf_mixed": 5e-2}
+    factor_budget = {"nmf_mixed": 5e-2, "nmf_kl_mixed": 5e-2}
     default_factor_budget = 1e-4
 
     ok = True
