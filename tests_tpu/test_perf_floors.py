@@ -143,20 +143,29 @@ def test_fused_epoch_streaming_floor():
         xt = jax.random.uniform(kc, (chunk, k), dtype=jnp.float32)
         return jnp.maximum(xt @ d_true, 0.0).astype(jnp.bfloat16)
 
-    iters = 20
-
-    def run():
+    def run(iters):
         return decomp_tpu.nmf.solve_streaming(
             loader, rank=k, tol=0.0, maxiter=iters, chunk_rows=chunk,
             n_samples=m, n_channels=n, dtype=jnp.bfloat16,
             factor_dtype=jnp.float32, precision="default",
             x_device=True, jit_loader=True, random_seed=3).d
 
-    best = _best_wall(run, _fence, repeats=2)
-    flops = (4.0 + 2.0) * m * n * k * iters  # solver + generation
+    best = _best_wall(lambda: run(20), _fence, repeats=2)
+    flops_per_iter = (4.0 + 2.0) * m * n * k  # solver + generation
     peak, _ = peak_flops(jax.devices()[0])
-    frac = flops / best / peak
+    frac = flops_per_iter * 20 / best / peak
     assert frac > 0.30, f"fused epoch at {frac:.1%} of peak (floor 30%)"
+    # Marginal epoch rate (round-4 methodology correction, BASELINE.md):
+    # the whole-call number above carries ~0.28 s of per-call setup; the
+    # MARGINAL cost — extra iterations / extra wall time — is what a long
+    # production run sees (measured 68 ms/epoch = 60% of peak). Floor at
+    # 40% to absorb the differential measurement's larger noise.
+    best_lo = _best_wall(lambda: run(5), _fence, repeats=2)
+    if best > best_lo:  # pragma: no branch - degenerate only under noise
+        frac_marginal = flops_per_iter * 15 / (best - best_lo) / peak
+        assert frac_marginal > 0.40, (
+            f"marginal epoch rate at {frac_marginal:.1%} of peak "
+            "(floor 40%)")
 
 
 @requires_tpu
