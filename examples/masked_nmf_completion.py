@@ -8,6 +8,11 @@ selected automatically for large inputs).
     python examples/masked_nmf_completion.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 
 import decomp_tpu

@@ -11,8 +11,14 @@ the f32-exact objective curve to <1%.
     python examples/mixed_precision_nmf.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 import decomp_tpu
@@ -20,7 +26,12 @@ import decomp_tpu
 
 def main():
     rng = np.random.default_rng(0)
-    m, n, rank = 20_000, 1024, 64
+    # bf16 matmuls are emulated (slowly) on the CPU backend; keep the
+    # demonstration shape TPU-sized only where it actually runs on TPU.
+    if jax.default_backend() == "tpu":
+        m, n, rank = 20_000, 1024, 64
+    else:
+        m, n, rank = 2_000, 256, 16
     y = (rng.uniform(0, 1, (m, rank)) @ rng.uniform(0, 1, (rank, n)))
     y16 = y.astype(jnp.bfloat16)                      # data in bf16
 

@@ -8,6 +8,11 @@ self-contained; runs on CPU or TPU unchanged.
     python examples/patch_dictionary_learning.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 
 import decomp_tpu

@@ -9,6 +9,11 @@ match solving every row separately, at batched-matmul speed.
     python examples/per_problem_lasso.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 
 import decomp_tpu

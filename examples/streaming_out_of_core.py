@@ -8,6 +8,11 @@ activation matrix stays device-resident, and with ``jit_loader=True``
 each full pass over the data compiles into a single dispatched call.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import functools
 
 import jax
