@@ -1,0 +1,137 @@
+"""Randomized cross-implementation fuzz tier (SURVEY.md §4 philosophy:
+no golden files — the NumPy mirror is the executable ground truth).
+
+Each case draws a random small problem (shape, dtype, method, mask, warm
+start, alpha form, tolerance, budget) from a SEEDED generator and asserts
+trajectory-level agreement with ``tests/reference_impl.py`` in f64:
+final factors to 1e-8, plus niter/converged equality. The draw ranges
+deliberately include the degenerate edges (single-row batches,
+single-feature dictionaries, rank 1, maxiter 1) where indexing and
+broadcasting bugs hide.
+
+Constraints mirrored from the reference's own support matrix:
+- 'cd' runs unmasked with scalar alpha (the sequential mirror indexes a
+  scalar threshold); 'parallel_cd' runs unmasked;
+- masks fuzz the three gradient methods (the mirror's masked Gram path);
+- per-sample (m, 1) alpha fuzzes gradient methods only.
+"""
+
+import numpy as np
+import pytest
+
+import decomp_tpu
+import reference_impl as ref
+from problems import rel_err
+
+GRAD = ("ista", "fista", "acc_ista")
+
+
+def _mat(rng, shape, complex_):
+    a = rng.normal(size=shape)
+    if complex_:
+        a = a + 1j * rng.normal(size=shape)
+    return a
+
+
+@pytest.mark.parametrize("seed", range(101, 115))
+def test_fuzz_lasso_matches_reference(seed):
+    rng = np.random.default_rng(seed)
+    m = int(rng.integers(1, 13))
+    f = int(rng.integers(1, 21))
+    c = int(rng.integers(1, 21))
+    complex_ = bool(rng.random() < 0.3)
+    method = str(rng.choice(["ista", "fista", "acc_ista", "cd",
+                             "parallel_cd"]))
+    a = _mat(rng, (f, c), complex_)
+    y = _mat(rng, (m, c), complex_)
+    mask = None
+    if method in GRAD and rng.random() < 0.4:
+        mask = (rng.random((m, c)) < 0.7).astype(np.float64)
+        y = y * mask
+    base = 10.0 ** rng.uniform(-3, 0)
+    if method == "cd":
+        alpha = base
+    elif method == "parallel_cd":
+        alpha = (base if rng.random() < 0.5
+                 else base * rng.uniform(0.5, 1.5, size=(f,)))
+    else:
+        kind = int(rng.integers(0, 3))
+        alpha = (base if kind == 0
+                 else base * rng.uniform(0.5, 1.5, size=(f,)) if kind == 1
+                 else base * rng.uniform(0.5, 1.5, size=(m, 1)))
+    x0 = None
+    if rng.random() < 0.5:
+        x0 = _mat(rng, (m, f), complex_) * (rng.random((m, f)) < 0.5)
+    tol = 0.0 if rng.random() < 0.5 else 10.0 ** rng.uniform(-6, -3)
+    maxiter = int(rng.integers(1, 60))
+
+    x_ref, it_ref, conv_ref, _ = ref.lasso(
+        y, a, alpha, None if x0 is None else x0.copy(), tol=tol,
+        maxiter=maxiter, method=method, mask=mask)
+    res = decomp_tpu.lasso.solve(y, a, alpha, x=x0, tol=tol,
+                                 maxiter=maxiter, method=method, mask=mask)
+    assert int(res.niter) == it_ref, (m, f, c, method, complex_)
+    assert bool(res.converged) == conv_ref
+    assert rel_err(res.x, x_ref) < 1e-8, (m, f, c, method, complex_)
+
+
+@pytest.mark.parametrize("seed", range(201, 211))
+def test_fuzz_nmf_matches_reference(seed):
+    rng = np.random.default_rng(seed)
+    m = int(rng.integers(1, 15))
+    n = int(rng.integers(1, 15))
+    k = int(rng.integers(1, min(m, n) + 2))
+    method = str(rng.choice(["mu", "kl-mu"]))
+    inner_iter = int(rng.integers(1, 4)) if method == "mu" else 1
+    y = rng.uniform(0, 1, (m, n))
+    mask = None
+    if rng.random() < 0.4:
+        mask = (rng.random((m, n)) < 0.7).astype(np.float64)
+        y = y * mask
+    x0 = rng.uniform(0.1, 1.0, (m, k))
+    d0 = rng.uniform(0.1, 1.0, (k, n))
+    tol = 0.0 if rng.random() < 0.5 else 10.0 ** rng.uniform(-5, -2)
+    maxiter = int(rng.integers(1, 40))
+
+    x_ref, d_ref, it_ref, conv_ref, _ = ref.nmf(
+        y, x0.copy(), d0.copy(), tol=tol, maxiter=maxiter, mask=mask,
+        method=method, inner_iter=inner_iter)
+    res = decomp_tpu.nmf.solve(y, d0, x=x0, tol=tol, maxiter=maxiter,
+                               mask=mask, method=method,
+                               inner_iter=inner_iter)
+    assert int(res.niter) == it_ref, (m, n, k, method, inner_iter)
+    assert bool(res.converged) == conv_ref
+    assert rel_err(res.x, x_ref) < 1e-8, (m, n, k, method)
+    assert rel_err(res.d, d_ref) < 1e-8, (m, n, k, method)
+
+
+@pytest.mark.parametrize("seed", range(301, 309))
+def test_fuzz_dictionary_learning_matches_reference(seed):
+    rng = np.random.default_rng(seed)
+    m = int(rng.integers(2, 15))
+    c = int(rng.integers(2, 15))
+    k = int(rng.integers(1, 10))
+    complex_ = bool(rng.random() < 0.3)
+    lasso_method = str(rng.choice(GRAD))
+    y = _mat(rng, (m, c), complex_)
+    mask = None
+    if not complex_ and rng.random() < 0.4:
+        mask = (rng.random((m, c)) < 0.7).astype(np.float64)
+        y = y * mask
+    d0 = _mat(rng, (k, c), complex_)
+    d0 = d0 / np.sqrt(np.sum(np.abs(d0) ** 2, axis=1, keepdims=True))
+    alpha = 10.0 ** rng.uniform(-2, 0)
+    lasso_iter = int(rng.integers(2, 9))
+    tol = 0.0 if rng.random() < 0.5 else 10.0 ** rng.uniform(-5, -2)
+    maxiter = int(rng.integers(1, 15))
+
+    x_ref, d_ref, it_ref, conv_ref, _ = ref.dictionary_learning(
+        y, d0.copy(), alpha, tol=tol, maxiter=maxiter,
+        lasso_method=lasso_method, lasso_iter=lasso_iter, mask=mask)
+    res = decomp_tpu.dictionary_learning.solve(
+        y, d0, alpha, tol=tol, maxiter=maxiter,
+        lasso_method=lasso_method, lasso_iter=lasso_iter, mask=mask)
+    assert int(res.niter) == it_ref, (m, c, k, lasso_method, complex_)
+    assert bool(res.converged) == conv_ref
+    assert rel_err(res.d, d_ref) < 1e-8, (m, c, k, lasso_method, complex_)
+    assert rel_err(res.x, x_ref) < 1e-8, (m, c, k, lasso_method, complex_)
