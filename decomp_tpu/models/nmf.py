@@ -501,7 +501,13 @@ def masked_completion(y, mask, rank=None, d=None, x=None, *, tol=1e-4,
         refit_res = solve(y, res.d, x=res.x, mask=mask, tol=0.0,
                           maxiter=int(refit), method="mu",
                           random_seed=random_seed, **kwargs)
-        res = refit_res._replace(aux=res.aux)
+        # The refit runs at tol=0 (a fixed polish budget), so its own
+        # converged flag is vacuously False and its niter counts only the
+        # polish steps. The result the CALLER gates on is the held-out
+        # solve's verdict plus the total work done.
+        res = refit_res._replace(
+            aux=res.aux, converged=res.converged,
+            niter=res.niter + refit_res.niter)
     return res
 
 

@@ -452,6 +452,11 @@ def test_masked_completion_refit():
 
     # refitting on all observed entries must not degrade completion
     assert ho(ref) < ho(base) * 1.1
+    # The refit polish runs at tol=0, so its own converged flag is
+    # vacuously False: the returned verdict must be the held-out
+    # solve's, and niter must count held-out + polish iterations.
+    assert bool(ref.converged) == bool(base.converged)
+    assert int(ref.niter) == int(base.niter) + 100
 
 
 def test_heldout_reserve_survives_user_key_collision():
