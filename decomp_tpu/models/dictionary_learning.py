@@ -33,6 +33,30 @@ from decomp_tpu.utils.normalize import l2_norm, l2_normalize
 from decomp_tpu.utils.result import DictionaryLearningResult
 
 
+#: Sparse-coding methods usable inside dictionary learning. 'cd' is
+#: excluded: its sequential coordinate sweeps don't batch across the
+#: sample axis the way the outer alternation assumes.
+_DL_LASSO_METHODS = ("ista", "fista", "acc_ista", "parallel_cd")
+
+
+def _validate_lasso_method(lasso_method):
+    """Reject unsupported sparse-coding methods HOST-SIDE.
+
+    Without this, an unknown string survives until the jitted
+    sparse-coding step and dies as a bare ``AssertionError`` deep in
+    ``lasso.build_solver`` (which only guards methods via its own public
+    ``solve`` entry, not the internal path dictionary learning uses).
+    """
+    if lasso_method == "cd":
+        raise DecompError("lasso_method 'cd' is not supported inside "
+                          "dictionary learning; use "
+                          "'fista'/'parallel_cd'")
+    if lasso_method not in _DL_LASSO_METHODS:
+        raise DecompError(
+            f"lasso_method must be one of {_DL_LASSO_METHODS}, got "
+            f"{lasso_method!r}")
+
+
 def solve(
     y,
     d,
@@ -115,10 +139,7 @@ def solve(
             raise DecompError("complex_split does not support minibatch; "
                               "run the native complex path on a backend "
                               "with complex support")
-        if lasso_method == "cd":
-            raise DecompError("lasso_method 'cd' is not supported inside "
-                              "dictionary learning; use "
-                              "'fista'/'parallel_cd'")
+        _validate_lasso_method(lasso_method)
         return _solve_complex_split_dl(
             y, d, alpha, x, mask, tol=tol, maxiter=int(maxiter),
             lasso_method=lasso_method, lasso_iter=int(lasso_iter),
@@ -150,9 +171,7 @@ def solve(
             raise DecompError(
                 f"minibatch must be in [1, n_samples={n_samples}], got {minibatch}"
             )
-    if lasso_method == "cd":
-        raise DecompError("lasso_method 'cd' is not supported inside "
-                          "dictionary learning; use 'fista'/'parallel_cd'")
+    _validate_lasso_method(lasso_method)
     assertion.assert_nonnegative("alpha", alpha)
 
     rdt = real_dtype(dtype)
@@ -171,7 +190,8 @@ def solve(
                 and lasso_method != "cd"
                 and y.shape[0] * y.shape[1] >= (1 << 20)
                 and pallas_lasso.auto_wins(-(-y.shape[1] // 128) * 128,
-                                           k_pad128, dtype.itemsize)):
+                                           k_pad128, dtype.itemsize,
+                                           pallas_block_rows)):
             pallas_mode = "masked"
         # The whole-solve sparse-coding kernel (pallas_fista) is NOT
         # auto-enabled: at the graded config-3 shape (20k patches x 256

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from decomp_tpu.models import lasso as _lasso
-from decomp_tpu.models.dictionary_learning import _bcd_dict_update
+from decomp_tpu.models.dictionary_learning import (_bcd_dict_update,
+                                                   _validate_lasso_method)
 from decomp_tpu.ops.loop import run_iterations
 from decomp_tpu.ops.spectral import spectral_norm_psd
 from decomp_tpu.utils import assertion
@@ -111,9 +112,7 @@ def solve_streaming(
     assertion.assert_ndim("d", d, 2)
     assertion.assert_axis_size("d", d, 1, y.shape[1], "n_channels")
     assertion.assert_nonnegative("alpha", alpha)
-    if lasso_method == "cd":
-        raise DecompError("lasso_method 'cd' is not supported inside "
-                          "dictionary learning; use 'fista'/'parallel_cd'")
+    _validate_lasso_method(lasso_method)
     if stop not in ("rel_change", "heldout"):
         raise DecompError(f"stop must be 'rel_change' or 'heldout', "
                           f"got {stop!r}")
@@ -502,9 +501,7 @@ def _solve_streaming_fused(y_loader, d, alpha, x, *, tol, maxiter,
     """Driver for the fused (jit-loader) DL epochs — single-device when
     ``mesh`` is None, sharded otherwise (the parallel entry wraps this).
     """
-    if lasso_method not in ("ista", "fista", "acc_ista", "parallel_cd"):
-        raise DecompError("the fused DL epoch supports the gradient "
-                          f"lasso methods, got {lasso_method!r}")
+    _validate_lasso_method(lasso_method)
     if n_samples is None or n_channels is None or dtype is None:
         raise DecompError("a callable y requires explicit n_samples, "
                           "n_channels and dtype")

@@ -206,7 +206,9 @@ def solve(
             record_objective=bool(record_objective), precision=precision,
             check_every=int(check_every), per_problem=bool(per_problem),
             return_state=bool(return_state), momentum_state=momentum_state,
-            per_problem_state=pp_state)
+            per_problem_state=pp_state, use_pallas=use_pallas,
+            pallas_block_rows=pallas_block_rows,
+            _pallas_interpret=bool(_pallas_interpret))
 
     y = jnp.asarray(y)
     a = jnp.asarray(a)
@@ -291,7 +293,8 @@ def solve(
                 and not is_complex
                 and y.shape[0] * y.shape[1] >= (1 << 20)
                 and pallas_lasso.auto_wins(-(-y.shape[1] // 128) * 128,
-                                           f_pad128, dtype.itemsize)):
+                                           f_pad128, dtype.itemsize,
+                                           pallas_block_rows)):
             pallas_mode = "masked"
         elif (mask is None
                 and per_problem
@@ -304,7 +307,8 @@ def solve(
                 and y.shape[0] * n_features >= (1 << 18)
                 and pallas_fista.fits_vmem(
                     f_pad128, method in ("fista", "acc_ista"),
-                    precision == "high")):
+                    precision == "high",
+                    block_rows=pallas_block_rows)):
             pallas_mode = "whole"
     elif use_pallas:
         if method not in grad_methods:
@@ -1083,7 +1087,8 @@ def solve_split(y, a, alpha, x=None, *, tol=1e-5, maxiter: int = 1000,
             and ys.re.shape[0] * 2 * a_s.re.shape[0] >= (1 << 18)
             and pallas_fista.fits_vmem(
                 2 * f_pad128, method in ("fista", "acc_ista"),
-                precision == "high", group=True))
+                precision == "high", block_rows=pallas_block_rows,
+                group=True))
     if use_pallas:
         if mask is not None:
             raise DecompError("use_pallas=True (whole-solve kernel) "
@@ -1148,11 +1153,14 @@ def _solve_complex_split(y, a, alpha, x, mask, lipschitz, *, tol, method,
                          maxiter, record_objective, precision,
                          check_every=1, per_problem=False,
                          return_state=False, momentum_state=None,
-                         per_problem_state=None):
+                         per_problem_state=None, use_pallas="auto",
+                         pallas_block_rows=None, _pallas_interpret=False):
     """Host-level driver of the split-complex path: decompose on the host,
-    solve over (re, im) real pairs on the accelerator, reassemble the
-    complex solution on the CPU device (complex arrays never touch the
-    accelerator — SURVEY.md §7 hard part 5)."""
+    solve over (re, im) real pairs on the accelerator via ``solve_split``
+    (which owns the jnp/whole-kernel routing, so ``use_pallas`` composes
+    here exactly as on the real path), reassemble the complex solution on
+    the CPU device (complex arrays never touch the accelerator —
+    SURVEY.md §7 hard part 5)."""
     from decomp_tpu.ops import complex_split as cs
 
     y_np = np.asarray(y)
@@ -1206,15 +1214,25 @@ def _solve_complex_split(y, a, alpha, x, mask, lipschitz, *, tol, method,
         ppstate = (jnp.asarray(done0.astype(bool)),
                    jnp.asarray(nit0.astype(np.int32)))
 
-    with jax.default_matmul_precision(precision):
-        xr, xi, niter, converged, objective, aux_split = _solve_split(
-            ys, a_s, alpha, xs, mask, lip, jnp.asarray(tol, rdt),
-            method=method, maxiter=maxiter,
-            record_objective=record_objective, check_every=check_every,
-            per_problem=per_problem, return_state=return_state,
-            momentum_state=mstate, per_problem_state=ppstate)
-
-    x_c = np.asarray(xr).astype(rdt) + 1j * np.asarray(xi).astype(rdt)
+    st = None
+    if mstate is not None or ppstate is not None:
+        st = {}
+        if mstate is not None:
+            st["z"], st["t"] = mstate
+        if ppstate is not None:
+            st["done"], st["niter"] = ppstate
+    res_s = solve_split(
+        ys, a_s, alpha, x=xs, tol=tol, maxiter=maxiter, method=method,
+        mask=mask, lipschitz=lip, record_objective=record_objective,
+        precision=precision, check_every=check_every,
+        per_problem=per_problem, return_state=return_state, state=st,
+        use_pallas=use_pallas, pallas_block_rows=pallas_block_rows,
+        _pallas_interpret=_pallas_interpret)
+    niter, converged, objective = (res_s.niter, res_s.converged,
+                                   res_s.objective)
+    aux_split = res_s.aux
+    x_c = (np.asarray(res_s.x.re).astype(rdt)
+           + 1j * np.asarray(res_s.x.im).astype(rdt))
     x_c = x_c.astype(cdtype)
     aux = None
     if aux_split is not None:

@@ -222,7 +222,9 @@ def solve(
             and n_samples * n_channels >= (1 << 20)
             and _pmu.fits_vmem(-(-n_channels // 128) * 128,
                                -(-rank // 128) * 128,
-                               y.dtype.itemsize, kl_like)
+                               y.dtype.itemsize, kl_like,
+                               **({"block_rows": pallas_block_rows}
+                                  if pallas_block_rows else {}))
         )
     use_pallas = bool(use_pallas)
     if use_pallas and minibatch is not None:

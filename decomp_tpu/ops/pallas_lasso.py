@@ -71,13 +71,20 @@ def default_block_rows(n: int, f: int, itemsize: int) -> int:
     return block
 
 
-def fits_vmem(n: int, f: int, itemsize: int) -> bool:
+def fits_vmem(n: int, f: int, itemsize: int, block_rows=None) -> bool:
     """Gate for use_pallas='auto': the resident dictionary (F x N) and one
-    stripe must fit comfortably in VMEM."""
-    return f * n * itemsize * 2 < _VMEM_BUDGET
+    stripe must fit comfortably in VMEM. When the caller overrides the
+    stripe height (``pallas_block_rows``), the gate must judge THAT
+    stripe, not the default — otherwise auto admits a configuration the
+    kernel then fails to compile instead of falling back to jnp."""
+    if f * n * itemsize * 2 >= _VMEM_BUDGET:
+        return False
+    if block_rows:
+        return block_rows * n * (4 * itemsize + 8) <= _GRAD_VMEM_BUDGET
+    return True
 
 
-def auto_wins(n: int, f: int, itemsize: int) -> bool:
+def auto_wins(n: int, f: int, itemsize: int, block_rows=None) -> bool:
     """Gate for use_pallas='auto': the regimes where the fused kernel
     measurably beats the XLA dense composition on v5e (100k x 1k sweep).
 
@@ -88,7 +95,8 @@ def auto_wins(n: int, f: int, itemsize: int) -> bool:
     the kernel only adds stripe-dispatch overhead (F=512: 10.8 vs 8.2
     ms/iter); in bf16 XLA's single-pass matmuls win at every F measured
     (F=128: 1.83 vs 1.95 ms/iter). Explicit use_pallas=True overrides."""
-    return itemsize == 4 and f <= 128 and fits_vmem(n, f, itemsize)
+    return (itemsize == 4 and f <= 128
+            and fits_vmem(n, f, itemsize, block_rows))
 
 
 def kernel_alignment(m, n, f, itemsize, block_rows=None):

@@ -19,6 +19,7 @@ from decomp_tpu.models import lasso as _lasso
 from decomp_tpu.models.dictionary_learning import (
     _bcd_dict_update,
     _masked_grad_dict_update,
+    _validate_lasso_method,
 )
 from decomp_tpu.ops.loop import run_iterations
 from decomp_tpu.utils import assertion
@@ -71,9 +72,7 @@ def solve(
     if mask is not None:
         assertion.assert_same_shape("mask", mask, "y", y)
         mask = jnp.asarray(mask, real_dtype(dtype))
-    if lasso_method == "cd":
-        raise DecompError("lasso_method 'cd' is not supported inside "
-                          "dictionary learning; use 'fista'/'parallel_cd'")
+    _validate_lasso_method(lasso_method)
     assertion.assert_nonnegative("alpha", alpha)
     if axis not in mesh.axis_names:
         raise DecompError(f"axis {axis!r} not in mesh axes {mesh.axis_names}")
@@ -97,7 +96,7 @@ def solve(
             and (y.shape[0] // n_dev_rows) * y.shape[1] >= (1 << 20)
             and pallas_lasso.auto_wins(-(-y.shape[1] // 128) * 128,
                                        -(-d.shape[0] // 128) * 128,
-                                       dtype.itemsize)
+                                       dtype.itemsize, pallas_block_rows)
         )
     use_pallas = bool(use_pallas)
     if use_pallas:

@@ -117,7 +117,8 @@ def solve(
                 and not is_complex
                 and (y.shape[0] // n_dev_rows) * y.shape[1] >= (1 << 20)
                 and pallas_lasso.auto_wins(-(-y.shape[1] // 128) * 128,
-                                           f_pad128, dtype.itemsize)):
+                                           f_pad128, dtype.itemsize,
+                                           pallas_block_rows)):
             pallas_mode = "masked"
         elif (mask is None
                 and per_problem
@@ -130,7 +131,8 @@ def solve(
                 and (y.shape[0] // n_dev_rows) * a.shape[0] >= (1 << 18)
                 and pallas_fista.fits_vmem(
                     f_pad128, method in ("fista", "acc_ista"),
-                    precision == "high")):
+                    precision == "high",
+                    block_rows=pallas_block_rows)):
             # Whole-solve kernel per device: the rows of an unmasked
             # per-problem batch are INDEPENDENT, so each device runs its
             # local block's whole solve in VMEM with NO collectives at

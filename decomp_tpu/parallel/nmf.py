@@ -169,7 +169,9 @@ def solve(
             and (n_samples // n_rows) * n_channels >= (1 << 20)
             and pallas_mu.fits_vmem(-(-n_channels // 128) * 128,
                                     -(-rank // 128) * 128,
-                                    y.dtype.itemsize, kl_like)
+                                    y.dtype.itemsize, kl_like,
+                                    **({"block_rows": pallas_block_rows}
+                                       if pallas_block_rows else {}))
         )
     use_pallas = bool(use_pallas)
     if use_pallas and (method not in ("mu", "kl-mu")
@@ -242,7 +244,13 @@ def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter,
                    pallas_interpret=False):
     rdt = real_dtype(y.dtype)
     fdt = y.dtype if factor_dtype is None else factor_dtype
-    eps = eps.astype(real_dtype(fdt))
+    # eps guards the FACTOR-dtype denominators (f32 in mixed mode) — same
+    # contract as the single-device _solve. Re-casting it to the DATA
+    # dtype inside the body (the old code) rounded it to bf16's 8-bit
+    # mantissa in mixed mode: an ulp-level denominator deviation from the
+    # single-device mixed path.
+    erdt = real_dtype(fdt)
+    eps = eps.astype(erdt)
 
     data_spec = P(row_axis, col_axis)
     x_spec = P(row_axis, None)
@@ -261,7 +269,7 @@ def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter,
 
     def body(y_l, d_l, x_l, mask_l, yv_l, val_l, vnorm_, seed_, tol_,
              eps_):
-        tol, eps = tol_, eps_.astype(rdt)  # shadow: locals, spec P()
+        tol, eps = tol_, eps_.astype(erdt)  # shadow: locals, spec P()
         # Device-local row/column blocks; K (rank) axis fully local.
         my_l = y_l if mask_l is None else mask_l * y_l
 

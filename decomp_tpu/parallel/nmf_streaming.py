@@ -41,6 +41,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from decomp_tpu.models.nmf_streaming import _fused_epoch
+from decomp_tpu.utils import assertion
 from decomp_tpu.utils.exceptions import DecompError
 from decomp_tpu.utils.result import NMFResult
 
@@ -167,9 +168,12 @@ def solve_streaming(
         raise DecompError("provide an initial dictionary `d` or a `rank`")
 
     rng = np.random.default_rng(random_seed)
-    if d is None:
-        # Scale from the first chunk's observed mean (same contract as
-        # the single-device streamer).
+    init_scale = None
+    if d is None or x is None:
+        # Scale from the first chunk's OBSERVED mean (same contract as
+        # the single-device streamer: missing entries may hold arbitrary
+        # finite values). Load the head once and share it between the
+        # d- and x-inits — loaders may be expensive.
         head = jnp.asarray(y(0, chunk_rows))
         mh = (None if mask is None
               else jnp.asarray(mask(0, chunk_rows), head.dtype))
@@ -180,16 +184,22 @@ def solve_streaming(
             mean_y = max(total / count, 1e-30)
         else:
             mean_y = max(float(jnp.mean(head.astype(acc))), 1e-30)
-        scale = np.sqrt(2.0 * mean_y / rank)
-        d = (scale * rng.uniform(size=(rank, n_channels))).astype(fdt)
+        del head, mh
+
+        def init_scale(k):
+            return np.sqrt(2.0 * mean_y / k)
+
+    if d is None:
+        d = (init_scale(rank)
+             * rng.uniform(size=(rank, n_channels))).astype(fdt)
     d = jnp.asarray(d, fdt)
+    assertion.assert_ndim("d", d, 2)
+    assertion.assert_axis_size("d", d, 1, n_channels, "n_channels")
     rank = d.shape[0]
     x_sharding = NamedSharding(mesh, P(row_axis, None))
     if x is None:
         kx = jax.random.PRNGKey(np.uint32(random_seed))
-        scale = float(jnp.sqrt(2.0 * jnp.maximum(
-            jnp.mean(jnp.asarray(y(0, chunk_rows)).astype(jnp.float32)),
-            1e-30) / rank))
+        scale = float(init_scale(rank))
         # The init jit is CACHED across solve calls (a fresh jit closure
         # per call re-traces and round-trips the persistent compile
         # cache — measured ~150 ms/call on the axon tunnel, which showed
@@ -198,6 +208,16 @@ def solve_streaming(
                        row_axis)(kx, jnp.float32(scale))
     else:
         x = jnp.asarray(x, fdt)
+        # Accept the true row count (padded here) or an already-padded
+        # warm start (e.g. the x of a previous solve on the same mesh
+        # geometry); anything else would only fail later as a cryptic
+        # device_put/epoch shape error.
+        assertion.assert_ndim("x", x, 2)
+        if x.shape[0] not in (n_samples, n_pad):
+            raise DecompError(
+                f"x has {x.shape[0]} rows; expected n_samples="
+                f"{n_samples} (or the padded {n_pad})")
+        assertion.assert_axis_size("x", x, 1, rank, "rank")
         if x.shape[0] == n_samples and n_pad != n_samples:
             x = jnp.concatenate(
                 [x, jnp.zeros((n_pad - n_samples, rank), fdt)], axis=0)

@@ -11,9 +11,11 @@ fields between chunks so an interrupted run resumes where it stopped.
 import inspect
 import os
 import tempfile
-from typing import Callable, Dict, Sequence, Tuple
+from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import numpy as np
+
+from decomp_tpu.utils.exceptions import DecompError
 
 _STEP_KEY = "__decomp_tpu_step__"
 _AUX_PREFIX = "__decomp_tpu_aux_"
@@ -59,7 +61,7 @@ def checkpointed_solve(
     manager: CheckpointManager,
     chunk_iters: int = 100,
     maxiter: int = 1000,
-    warm_fields: Sequence[str] = ("x", "d"),
+    warm_fields: Optional[Sequence[str]] = None,
     **kwargs,
 ):
     """Run ``solve_fn`` in chunks of ``chunk_iters``, checkpointing between.
@@ -71,9 +73,12 @@ def checkpointed_solve(
     callable across sessions so the compiled epoch is reused);
     ``warm_fields`` names
     the result fields that are both returned and accepted as warm-start
-    kwargs (the reference's resume contract). If the manager's file exists,
-    the run resumes from it: completed iterations count against
-    ``maxiter``.
+    kwargs (the reference's resume contract); the default (``None``)
+    derives them per solver — each of ``x`` / ``d`` is threaded when the
+    result carries it AND ``solve_fn`` accepts it as a keyword — so
+    lasso (no ``d`` in its result) works without spelling
+    ``warm_fields=("x",)``. If the manager's file exists, the run
+    resumes from it: completed iterations count against ``maxiter``.
 
     Chunking is exact for solvers whose state is exactly the warm-start
     fields (MU-NMF, ISTA, coordinate descent). Momentum methods (FISTA /
@@ -107,9 +112,35 @@ def checkpointed_solve(
                if k.startswith(_AUX_PREFIX)}
 
     try:
-        params = inspect.signature(solve_fn).parameters
+        sig = inspect.signature(solve_fn)
+        params = sig.parameters
     except (TypeError, ValueError):  # pragma: no cover - exotic callables
+        sig = None
         params = {}
+    auto_warm = warm_fields is None
+    if auto_warm:
+        # Auto: thread each factor the solver both returns and accepts.
+        # Acceptance is judged from the signature; with an inscrutable
+        # signature fall back to the historical ("x", "d") and let the
+        # per-chunk hasattr filter below prune.
+        has_var_kw = any(p.kind is inspect.Parameter.VAR_KEYWORD
+                         for p in params.values())
+        warm_fields = tuple(f for f in ("x", "d")
+                            if not params or f in params or has_var_kw)
+        # A factor supplied POSITIONALLY (e.g. dictionary learning's d)
+        # cannot also be injected as a warm kwarg; catch it here with a
+        # usable message instead of a TypeError on the second chunk.
+        if sig is not None:
+            try:
+                taken = sig.bind_partial(*args).arguments
+            except TypeError:  # pragma: no cover - mismatched call
+                taken = {}
+            clash = [f for f in warm_fields if f in taken]
+            if clash:
+                raise DecompError(
+                    f"checkpointed_solve needs to re-inject {clash} as "
+                    "keyword arguments between chunks; pass them as "
+                    "keywords (e.g. d=d0) instead of positionally")
     per_problem = bool(kwargs.get("per_problem"))
     supports_state_kw = "state" in params and "state" not in kwargs
     return_state_ok = ("return_state" in params
@@ -149,7 +180,8 @@ def checkpointed_solve(
             # per_problem without state support: the chunk's budget is
             # the slowest row's count (rows restart their freeze).
             total += int(np.max(np.asarray(result.niter)))
-        warm = {f: np.asarray(getattr(result, f)) for f in warm_fields}
+        warm = {f: np.asarray(getattr(result, f)) for f in warm_fields
+                if not auto_warm or hasattr(result, f)}
         res_aux = getattr(result, "aux", None)
         aux = ({k: np.asarray(v) for k, v in res_aux.items()}
                if res_aux is not None else {})

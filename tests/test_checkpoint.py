@@ -73,6 +73,41 @@ def test_lasso_checkpointing(tmp_path):
     assert rel_err(res.x, straight.x) < 1e-12
 
 
+def test_default_warm_fields_adapt_to_solver(tmp_path):
+    """warm_fields defaults to auto-derivation: lasso (whose result has
+    no `d`) must checkpoint with NO warm_fields argument (code-review
+    finding: the old ("x", "d") default died with AttributeError on the
+    first chunk), and a factor passed positionally where the auto
+    machinery would have to re-inject it raises a usable DecompError
+    instead of a TypeError on the second chunk."""
+    rng = np.random.default_rng(57)
+    a = rng.normal(size=(16, 24))
+    y = rng.normal(size=(8, 24))
+    mgr = CheckpointManager(str(tmp_path / "auto"))
+    res, total = checkpointed_solve(
+        decomp_tpu.lasso.solve, y, a, 0.05, manager=mgr, chunk_iters=10,
+        maxiter=40, tol=0.0, method="ista")
+    straight = decomp_tpu.lasso.solve(y, a, 0.05, tol=0.0, maxiter=40,
+                                      method="ista")
+    assert total == 40
+    assert rel_err(res.x, straight.x) < 1e-12
+    # NMF with d= keyword still threads both factors by default
+    yn, x0, d0 = _problem()
+    mgr2 = CheckpointManager(str(tmp_path / "auto_nmf"))
+    resn, _ = checkpointed_solve(
+        decomp_tpu.nmf.solve, yn, manager=mgr2, chunk_iters=25,
+        maxiter=100, tol=0.0, d=d0, x=x0)
+    straightn = decomp_tpu.nmf.solve(yn, d0, x=x0, tol=0.0, maxiter=100)
+    assert rel_err(resn.d, straightn.d) < 1e-12
+    # dictionary learning's d is positional: clear host-side error
+    d0l = rng.normal(size=(4, 24)).astype(np.float64)
+    with pytest.raises(decomp_tpu.utils.DecompError, match="keyword"):
+        checkpointed_solve(
+            decomp_tpu.dictionary_learning.solve, y, d0l, 0.05,
+            manager=CheckpointManager(str(tmp_path / "dl")),
+            chunk_iters=5, maxiter=10, tol=0.0)
+
+
 @pytest.mark.parametrize("method", ["fista", "acc_ista"])
 def test_momentum_state_exact_resume(method):
     """Direct API: (z, t) from aux continues the exact trajectory."""

@@ -149,6 +149,37 @@ def test_validation_errors():
                                              lasso_method="cd")
 
 
+def test_unknown_lasso_method_raises_host_side():
+    """An unknown lasso_method must raise DecompError at every DL entry,
+    not a bare AssertionError from inside the jitted sparse-coding step
+    (which is what happened before the shared validator: lasso guards
+    its methods only in its public solve, and DL bypasses that)."""
+    import jax.numpy as jnp
+
+    y, d_true, _ = planted_patches(seed=18)
+    with pytest.raises(decomp_tpu.utils.DecompError, match="bogus"):
+        decomp_tpu.dictionary_learning.solve(y, d_true, ALPHA,
+                                             lasso_method="bogus")
+    yd = jnp.asarray(y)
+    chunk = 32
+
+    def loader(lo, hi):
+        import jax
+        return jax.lax.dynamic_slice(yd, (lo, 0), (chunk, y.shape[1]))
+
+    # host-array streaming path
+    with pytest.raises(decomp_tpu.utils.DecompError, match="bogus"):
+        decomp_tpu.dictionary_learning.solve_streaming(
+            y, d_true, ALPHA, chunk_rows=chunk, maxiter=2,
+            lasso_method="bogus")
+    # fused jit-loader streaming path
+    with pytest.raises(decomp_tpu.utils.DecompError, match="bogus"):
+        decomp_tpu.dictionary_learning.solve_streaming(
+            loader, d_true, ALPHA, chunk_rows=chunk, maxiter=2,
+            jit_loader=True, n_samples=y.shape[0], n_channels=y.shape[1],
+            dtype=np.float32, lasso_method="bogus")
+
+
 def test_whole_kernel_sparse_coding_matches_jnp():
     """Explicit opt-in: the whole-solve Pallas sparse-coding kernel
     (interpret mode) reproduces the jnp inner loop bit-exactly at

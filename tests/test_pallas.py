@@ -427,3 +427,52 @@ def test_solve_split_auto_default_off_cpu():
     # raise.
     decomp_tpu.lasso.solve_split(ys, a_s, 0.1, tol=1e-5, maxiter=5,
                                  record_objective=True)
+
+
+def test_auto_gates_judge_user_block_rows():
+    """use_pallas='auto' with an explicit pallas_block_rows must gate on
+    THAT stripe height, not the default (code-review finding: auto
+    admitted configurations the kernel then failed to compile instead of
+    falling back to jnp)."""
+    from decomp_tpu.ops import pallas_fista, pallas_lasso
+
+    # default stripes fit at these shapes...
+    assert pallas_lasso.fits_vmem(1024, 128, 4)
+    assert pallas_lasso.auto_wins(1024, 128, 4)
+    assert pallas_fista.fits_vmem(512, True, False)
+    # ...but an absurd user override must flip the same gates off
+    assert not pallas_lasso.fits_vmem(1024, 128, 4, block_rows=1 << 20)
+    assert not pallas_lasso.auto_wins(1024, 128, 4, block_rows=1 << 20)
+    assert not pallas_fista.fits_vmem(512, True, False,
+                                      block_rows=1 << 20)
+    assert not pallas_fista.fits_vmem(1024, True, False,
+                                      block_rows=1 << 20, group=True)
+    # a sane explicit override keeps the gate open
+    assert pallas_lasso.auto_wins(1024, 128, 4, block_rows=128)
+    assert pallas_fista.fits_vmem(512, True, False, block_rows=64)
+
+
+def test_complex_solve_honors_use_pallas():
+    """lasso.solve on complex inputs with complex_split routes through
+    solve_split, so use_pallas engages the group_fc whole-solve kernel
+    (code-review finding: the complex branch silently DROPPED
+    use_pallas=True and ran jnp speeds)."""
+    rng = np.random.default_rng(91)
+    m, f, c = 24, 12, 16
+    a = (rng.normal(size=(f, c))
+         + 1j * rng.normal(size=(f, c))).astype(np.complex64)
+    y = (rng.normal(size=(m, c))
+         + 1j * rng.normal(size=(m, c))).astype(np.complex64)
+    kw = dict(tol=1e-5, maxiter=200, method="fista", per_problem=True,
+              complex_split=True)
+    ref = decomp_tpu.lasso.solve(y, a, 0.1, use_pallas=False, **kw)
+    res = decomp_tpu.lasso.solve(y, a, 0.1, use_pallas=True,
+                                 _pallas_interpret=True, **kw)
+    np.testing.assert_array_equal(np.asarray(res.niter),
+                                  np.asarray(ref.niter))
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-5, atol=1e-6)
+    # proof the request reaches the kernel gate: its validation now fires
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        decomp_tpu.lasso.solve(y, a, 0.1, use_pallas=True,
+                               record_objective=True, **kw)

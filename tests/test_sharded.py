@@ -737,6 +737,75 @@ def test_sharded_streaming_bf16_init_stays_bf16(mesh8):
     assert res.d.dtype == jnp.bfloat16
 
 
+def test_sharded_streaming_init_ignores_masked_entries(mesh8):
+    """Masked entries may hold arbitrary finite garbage: they must not
+    influence ANY part of the solve, including the random d/x init
+    scales (code-review finding: the sharded x-init scale used the
+    UNMASKED chunk mean, so garbage under the mask leaked into the
+    trajectory). Also pins the single shared head load: the init makes
+    exactly one eager loader call."""
+    import jax
+    import jax.numpy as jnp
+
+    m, n, k, chunk = 512, 64, 4, 64
+    rng = np.random.default_rng(115)
+    ytrue = (rng.uniform(0, 1, (m, k)) @ rng.uniform(0, 1, (k, n))
+             ).astype(np.float32)
+    mask = (rng.random((m, n)) >= 0.3).astype(np.float32)
+    garbage = (1.0 - mask) * 1e6
+    clean = jnp.asarray(ytrue * mask)
+    dirty = jnp.asarray(ytrue * mask + garbage)
+    md = jnp.asarray(mask)
+    eager_calls = []
+
+    def make_loader(src, log=False):
+        def loader(lo, hi):
+            if log and not isinstance(lo, jax.core.Tracer):
+                eager_calls.append((int(lo), int(hi)))
+            return jax.lax.dynamic_slice(src, (lo, 0), (chunk, n))
+        return loader
+
+    def mloader(lo, hi):
+        return jax.lax.dynamic_slice(md, (lo, 0), (chunk, n))
+
+    kw = dict(rank=k, mesh=mesh8, mask=mloader, tol=0.0, maxiter=8,
+              chunk_rows=chunk, n_samples=m, n_channels=n,
+              dtype=np.float32, random_seed=5)
+    a = parallel.nmf.solve_streaming(make_loader(clean, log=True), **kw)
+    assert eager_calls == [(0, chunk)], (
+        "d/x init must share ONE eager head load, got %r" % eager_calls)
+    b = parallel.nmf.solve_streaming(make_loader(dirty), **kw)
+    np.testing.assert_array_equal(np.asarray(a.d), np.asarray(b.d))
+    np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
+
+
+def test_sharded_streaming_warm_start_shape_validation(mesh8):
+    """Warm d/x with wrong shapes must fail host-side with a typed
+    error, not a cryptic device_put/epoch shape mismatch (code-review
+    finding: the sharded streamer validated neither)."""
+    import jax
+    import jax.numpy as jnp
+
+    m, n, k, chunk = 512, 64, 4, 64
+    rng = np.random.default_rng(116)
+    yd = jnp.asarray(rng.uniform(0, 1, (m, n)).astype(np.float32))
+
+    def loader(lo, hi):
+        return jax.lax.dynamic_slice(yd, (lo, 0), (chunk, n))
+
+    d0 = rng.uniform(0.1, 1, (k, n)).astype(np.float32)
+    kw = dict(mesh=mesh8, tol=0.0, maxiter=2, chunk_rows=chunk,
+              n_samples=m, n_channels=n, dtype=np.float32)
+    with pytest.raises(decomp_tpu.utils.ShapeError):
+        parallel.nmf.solve_streaming(loader, d0[:, :-1], **kw)
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        parallel.nmf.solve_streaming(
+            loader, d0, x=np.ones((m - 1, k), np.float32), **kw)
+    with pytest.raises(decomp_tpu.utils.ShapeError):
+        parallel.nmf.solve_streaming(
+            loader, d0, x=np.ones((m, k + 1), np.float32), **kw)
+
+
 def test_sharded_streaming_ragged_heldout_cache_combined(mesh8):
     """The round-4 features compose: ragged sample count + heldout stop
     + per-device HBM cache in one sharded run, in lockstep with the
