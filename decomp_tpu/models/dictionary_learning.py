@@ -250,10 +250,13 @@ def solve(
         val = ((jax.random.uniform(kv, y.shape) < float(heldout_frac))
                .astype(rdt) * mask)
         mask = mask - val                     # train mask
-        yv = (val * y).astype(acc_h)
-        vnorm = jnp.maximum(jnp.sum(yv * yv),
+        # yv/val stay in the data dtype (val is 0/1 — exact); the
+        # validation reduction casts per check. See models.nmf._solve.
+        yv = val * y
+        yv_acc = yv.astype(acc_h)
+        vnorm = jnp.maximum(jnp.sum(yv_acc * yv_acc),
                             jnp.asarray(jnp.finfo(acc_h).tiny, acc_h))
-        hd = (yv, val.astype(acc_h), vnorm)
+        hd = (yv, val, vnorm)
 
     orig_m, orig_k, orig_n = n_samples, n_atoms, y.shape[1]
     if use_pallas:
@@ -359,12 +362,12 @@ def _solve(y, d, x, mask, alpha, tol, lasso_tol, forget, seed, *, maxiter,
     val_sqerr = None
     if hd is not None:
         yv, val_a, vnorm = hd
-        acc_h = yv.dtype
+        acc_h = vnorm.dtype
         tiny_h = jnp.asarray(jnp.finfo(acc_h).tiny, acc_h)
 
         def val_sqerr(state):  # noqa: F811
             recon = (state[0] @ state[1]).astype(acc_h)
-            r = yv - val_a * recon
+            r = yv.astype(acc_h) - val_a.astype(acc_h) * recon
             return jnp.sum(r * r) / vnorm
 
         def diff_fn(old, new):  # noqa: F811

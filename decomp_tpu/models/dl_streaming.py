@@ -26,6 +26,7 @@ import numpy as np
 from decomp_tpu.models import lasso as _lasso
 from decomp_tpu.models.dictionary_learning import (_bcd_dict_update,
                                                    _validate_lasso_method)
+from decomp_tpu.utils.weakcache import LoaderKeyedCache
 from decomp_tpu.ops.loop import run_iterations
 from decomp_tpu.ops.spectral import spectral_norm_psd
 from decomp_tpu.utils import assertion
@@ -305,15 +306,26 @@ def _rel_diff(d_old, d_new):
 def epoch_cache_info():
     """Hits/misses of the fused DL-epoch compile cache (loader-identity
     pitfall debug hook; see nmf_streaming)."""
-    return _dl_fused_epoch.cache_info()
+    return _DL_EPOCH_CACHE.cache_info()
 
 
-@functools.lru_cache(maxsize=16)
-def _dl_fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks,
-                    n_atoms, n_channels, lasso_method, lasso_iter,
-                    masked, dtype, precision, heldout=None,
-                    with_val=False, n_true=None, mesh=None,
-                    row_axis=None):
+_DL_EPOCH_CACHE = LoaderKeyedCache(maxsize=16)
+
+
+def _dl_fused_epoch(y_loader, mask_loader, *geom):
+    """Loader-identity + geometry cache front for
+    ``_build_dl_fused_epoch`` — weak, self-evicting (see
+    ``utils.weakcache``)."""
+    return _DL_EPOCH_CACHE.get(
+        (y_loader, mask_loader), geom,
+        lambda wy, wm: _build_dl_fused_epoch(wy, wm, *geom))
+
+
+def _build_dl_fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks,
+                          n_atoms, n_channels, lasso_method, lasso_iter,
+                          masked, dtype, precision, heldout=None,
+                          with_val=False, n_true=None, mesh=None,
+                          row_axis=None):
     """Fused dictionary-learning epoch for jit-traceable loaders: ONE
     dispatched call sparse-codes every chunk (fixed ``lasso_iter``
     budget, warm-started from the resident x), accumulates the

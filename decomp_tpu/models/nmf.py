@@ -329,10 +329,16 @@ def _solve(y, d, x, mask, seed, tol, eps, forget, *, rank, maxiter,
         val = ((jax.random.uniform(kv, y.shape) < heldout_frac)
                .astype(y.dtype) * mask)
         mask = mask - val                      # train mask
-        yv = (val * y).astype(acc_h)
-        vnorm = jnp.maximum(jnp.sum(yv * yv),
+        # yv/val stay in the DATA dtype: val is 0/1 so val*y is exact in
+        # any float format, and _heldout_machinery casts into its f32
+        # reductions per check (fused, no buffer). Storing them as f32
+        # (the old code) pinned two extra M x N f32 buffers through the
+        # whole while_loop — 4x the data size for bf16 problems.
+        yv = val * y
+        yv_acc = yv.astype(acc_h)
+        vnorm = jnp.maximum(jnp.sum(yv_acc * yv_acc),
                             jnp.asarray(jnp.finfo(acc_h).tiny, acc_h))
-        hd = (yv, val.astype(acc_h), vnorm)
+        hd = (yv, val, vnorm)
     my = y if mask is None else mask * y
     # Init scale from the observed (masked) data, so junk values at missing
     # entries cannot blow up the starting point.
@@ -515,13 +521,18 @@ def masked_completion(y, mask, rank=None, d=None, x=None, *, tol=1e-4,
 
 def _heldout_machinery(hd, compute_dtype):
     """(val_sqerr, diff_fn) for stop='heldout'. ``hd`` = (yv, val, vnorm)
-    with yv = val * y in the >= f32 accumulation dtype. The validation
-    reconstruction contracts quantised compute-dtype operands with f32
-    accumulation — the same convention as the update path, so its error
-    structure is shared between consecutive checks and improvement
-    differences stay meaningful below the quantisation bias."""
+    with yv = val * y stored in the DATA dtype (val is 0/1, so the
+    product is exact; storing f32 copies would pin two extra M x N f32
+    buffers through the loop) and vnorm a scalar in the >= f32
+    accumulation dtype. The validation reconstruction contracts
+    quantised compute-dtype operands with f32 accumulation — the same
+    convention as the update path, so its error structure is shared
+    between consecutive checks and improvement differences stay
+    meaningful below the quantisation bias; the per-check casts below
+    fuse into the reduction and reproduce the old f32-stored values
+    bit-for-bit."""
     yv, val_a, vnorm = hd
-    acc = yv.dtype
+    acc = vnorm.dtype
     tiny = jnp.asarray(jnp.finfo(acc).tiny, acc)
 
     def val_sqerr(state):
@@ -529,7 +540,7 @@ def _heldout_machinery(hd, compute_dtype):
         recon = jax.lax.dot_general(
             x_.astype(compute_dtype), d_.astype(compute_dtype),
             (((1,), (0,)), ((), ())), preferred_element_type=acc)
-        r = yv - val_a * recon.astype(acc)
+        r = yv.astype(acc) - val_a.astype(acc) * recon
         return jnp.sum(r * r) / vnorm
 
     def diff_fn(old, new):

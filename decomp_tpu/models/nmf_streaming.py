@@ -16,6 +16,8 @@ a single 16 GB chip); otherwise ``nmf.solve`` is strictly faster.
 
 import functools
 import weakref
+
+from decomp_tpu.utils.weakcache import LoaderKeyedCache
 from typing import Callable, Optional
 
 import jax
@@ -491,7 +493,7 @@ def epoch_cache_info():
     """Hits/misses of the fused-epoch compile cache (debug hook for the
     loader-identity pitfall: a fresh loader closure per call shows up
     here as one miss per call)."""
-    return _fused_epoch.cache_info()
+    return _EPOCH_CACHE.cache_info()
 
 
 @functools.lru_cache(maxsize=16)
@@ -507,17 +509,31 @@ def _x_init_device(n_rows, rank, fdt_name):
     return init
 
 
-@functools.lru_cache(maxsize=32)
-def _fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks, rank,
-                 n_channels, method, masked, mixed, record_objective,
-                 y_dtype, eps_f, precision, use_pallas_chunk=False,
-                 pallas_interpret=False, n_cache=0, heldout=None,
-                 with_val=False, n_true=None, mesh=None, row_axis=None):
-    """Build (and cache) the jitted fused-epoch function for jit_loader
+_EPOCH_CACHE = LoaderKeyedCache(maxsize=32)
+
+
+def _fused_epoch(y_loader, mask_loader, *geom):
+    """Loader-identity + geometry cache front for ``_build_fused_epoch``
+    (shared with the sharded streamer). The cache holds the loaders
+    WEAKLY and self-evicts their compiled epochs when they are
+    collected — see ``utils.weakcache`` for why a plain lru_cache here
+    pinned every array a dropped loader captured."""
+    return _EPOCH_CACHE.get(
+        (y_loader, mask_loader), geom,
+        lambda wy, wm: _build_fused_epoch(wy, wm, *geom))
+
+
+def _build_fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks, rank,
+                       n_channels, method, masked, mixed, record_objective,
+                       y_dtype, eps_f, precision, use_pallas_chunk=False,
+                       pallas_interpret=False, n_cache=0, heldout=None,
+                       with_val=False, n_true=None, mesh=None,
+                       row_axis=None):
+    """Build the jitted fused-epoch function for jit_loader
     mode: one dispatched call runs the x updates and d-statistics over
     ALL chunks (lax.fori_loop + dynamic_update_slice on the resident x).
-    Keyed by loader identity and geometry so repeat calls reuse the
-    compiled executable.
+    Cached by ``_fused_epoch`` on loader identity and geometry so repeat
+    calls reuse the compiled executable.
 
     ``n_true``: the true global sample count when it is NOT a multiple
     of the (per-device) chunk grid — the trailing chunk(s) then read a

@@ -48,6 +48,9 @@ def solve(
     use_pallas="auto",
     pallas_block_rows=None,
     _pallas_interpret: bool = False,
+    stop: str = "rel_change",
+    heldout_frac: float = 0.05,
+    random_seed: int = 0,
 ) -> DictionaryLearningResult:
     """Row-sharded ``decomp_tpu.dictionary_learning.solve`` over
     ``mesh[axis]``. Same contract as the single-device solver; the sample
@@ -56,7 +59,14 @@ def solve(
     use_pallas: as in the single-device solver — MASKED problems run both
     the inner sparse-coding gradient and the projected-gradient dictionary
     step through the fused per-device kernels, with local blocks padded
-    inside the shard_map body."""
+    inside the shard_map body.
+
+    stop='heldout' mirrors the single-device rule in LOCKSTEP: the
+    validation reserve is drawn from the GLOBAL entry grid with the same
+    salted derivation (so sharded and single-device runs hold out the
+    identical entries), the validation error allreduces over the mesh,
+    and the run stops at the same outer iteration as the single-device
+    solver. ``aux["heldout_rel_err"]`` as in the single-device API."""
     y = jnp.asarray(y)
     assertion.assert_ndim("y", y, 2)
     d = jnp.asarray(d)
@@ -107,6 +117,34 @@ def solve(
             raise DecompError("use_pallas=True does not support complex "
                               "dtypes")
 
+    if stop not in ("rel_change", "heldout"):
+        raise DecompError(f"stop must be 'rel_change' or 'heldout', "
+                          f"got {stop!r}")
+    hd_global = None
+    if stop == "heldout":
+        # SAME derivation + arithmetic as models.dictionary_learning.solve
+        # (global draw, data-dtype yv/val, >= f32 vnorm), so the sharded
+        # run reserves the identical entries and stops in lockstep.
+        if mask is None:
+            raise DecompError("stop='heldout' requires a mask")
+        if is_complex:
+            raise DecompError("stop='heldout' supports real dtypes only")
+        if not 0.0 < float(heldout_frac) < 1.0:
+            raise DecompError("heldout_frac must be in (0, 1)")
+        from decomp_tpu.models.nmf import _HELDOUT_SALT
+        kv = jax.random.fold_in(
+            jax.random.PRNGKey(jnp.asarray(random_seed, jnp.uint32)),
+            _HELDOUT_SALT)
+        acc_h = jnp.promote_types(jnp.float32, rdt)
+        val = ((jax.random.uniform(kv, y.shape) < float(heldout_frac))
+               .astype(rdt) * mask)
+        mask = mask - val
+        yv = val * y
+        yv_acc = yv.astype(acc_h)
+        vnorm = jnp.maximum(jnp.sum(yv_acc * yv_acc),
+                            jnp.asarray(jnp.finfo(acc_h).tiny, acc_h))
+        hd_global = (yv, val, vnorm)
+
     with jax.default_matmul_precision(precision):
         return _solve_sharded(
             y, d, x, mask,
@@ -116,7 +154,7 @@ def solve(
             lasso_iter=int(lasso_iter), mesh=mesh, axis=axis,
             record_objective=bool(record_objective),
             use_pallas=use_pallas, pallas_block_rows=pallas_block_rows,
-            pallas_interpret=bool(_pallas_interpret),
+            pallas_interpret=bool(_pallas_interpret), hd=hd_global,
         )
 
 
@@ -129,14 +167,15 @@ def solve(
 def _solve_sharded(y, d, x, mask, alpha, tol, lasso_tol, *, maxiter,
                    lasso_method, lasso_iter, mesh, axis, record_objective,
                    use_pallas=False, pallas_block_rows=None,
-                   pallas_interpret=False):
+                   pallas_interpret=False, hd=None):
     dtype = y.dtype
     rdt = real_dtype(dtype)
     row_spec = P(axis, None)
     psum = functools.partial(jax.lax.psum, axis_name=axis)
     vma = frozenset({axis}) if use_pallas else None
 
-    def body(y_l, d_r, x_l, mask_l, alpha_, tol_, lasso_tol_):
+    def body(y_l, d_r, x_l, mask_l, yv_l, val_l, vnorm_, alpha_, tol_,
+             lasso_tol_):
         tiny = jnp.asarray(jnp.finfo(rdt).tiny, rdt)
         m_l, n_l = y_l.shape
         k_l = d_r.shape[0]
@@ -150,6 +189,9 @@ def _solve_sharded(y, d, x, mask, alpha, tol, lasso_tol, *, maxiter,
                 m_l, n_l, k_l, dtype.itemsize, pallas_block_rows)
             y_l = _pl.pad2(y_l, m_pad, n_pad)
             mask_l = _pl.pad2(mask_l, m_pad, n_pad)
+            if yv_l is not None:
+                yv_l = _pl.pad2(yv_l, m_pad, n_pad)
+                val_l = _pl.pad2(val_l, m_pad, n_pad)
             d_r = _pl.pad2(d_r, k_pad, n_pad)
             if x_l is not None:
                 x_l = _pl.pad2(x_l, m_pad, k_pad)
@@ -196,6 +238,24 @@ def _solve_sharded(y, d, x, mask, alpha, tol, lasso_tol, *, maxiter,
             return l2_norm(new[1] - old[1]) / jnp.maximum(
                 l2_norm(old[1]), tiny)
 
+        val_sqerr = None
+        if yv_l is not None:
+            # Held-out stopping: allreduced validation error — every
+            # device sees the same scalar, so the stop stays in lockstep
+            # (same arithmetic as models.dictionary_learning._solve).
+            acc_h = vnorm_.dtype
+            tiny_h = jnp.asarray(jnp.finfo(acc_h).tiny, acc_h)
+
+            def val_sqerr(state):  # noqa: F811
+                recon = (state[0] @ state[1]).astype(acc_h)
+                r = yv_l.astype(acc_h) - val_l.astype(acc_h) * recon
+                return psum(jnp.sum(r * r)) / vnorm_
+
+            def diff_fn(old, new):  # noqa: F811
+                e_old = val_sqerr(old)
+                e_new = val_sqerr(new)
+                return (e_old - e_new) / jnp.maximum(e_old, tiny_h)
+
         def objective(state):
             x_, d_ = state
             recon = x_ @ d_
@@ -206,26 +266,37 @@ def _solve_sharded(y, d, x, mask, alpha, tol, lasso_tol, *, maxiter,
 
         res = run_iterations(
             step, (x_l, d_r), tol=tol_, maxiter=maxiter, diff_fn=diff_fn,
-            objective_fn=objective, record_objective=record_objective)
+            objective_fn=objective, record_objective=record_objective,
+            # same held-out warm-up floor as the single-device solver
+            min_iter=(min(10, max(int(maxiter) - 1, 0))
+                      if yv_l is not None else 0))
         x_out, d_out = res.state[0], res.state[1]
+        ho_err = (jnp.sqrt(val_sqerr(res.state)) if val_sqerr is not None
+                  else jnp.zeros((), rdt))
         if use_pallas:  # slice the alignment padding back off
             x_out = x_out[:m_l, :k_l]
             d_out = d_out[:k_l, :n_l]
-        return (x_out, d_out, res.niter, res.converged, res.objective)
+        return (x_out, d_out, res.niter, res.converged, res.objective,
+                ho_err)
 
+    yv_g, val_g, vnorm_g = (None, None, None) if hd is None else hd
     in_specs = (row_spec, P(None, None),
                 None if x is None else row_spec,
                 None if mask is None else row_spec,
+                None if yv_g is None else row_spec,
+                None if val_g is None else row_spec,
+                None if vnorm_g is None else P(),
                 P() if alpha.ndim == 0 else P(None), P(), P())
-    out_specs = (row_spec, P(None, None), P(), P(), P())
+    out_specs = (row_spec, P(None, None), P(), P(), P(), P())
     # check_vma off for the Pallas branch (see parallel.nmf).
-    x_g, d_g, niter, converged, objective = jax.shard_map(
+    x_g, d_g, niter, converged, objective, ho_err = jax.shard_map(
         body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=not use_pallas,
-    )(y, d, x, mask, alpha, tol, lasso_tol)
+    )(y, d, x, mask, yv_g, val_g, vnorm_g, alpha, tol, lasso_tol)
+    aux = None if hd is None else {"heldout_rel_err": ho_err}
     return DictionaryLearningResult(x=x_g, d=d_g, niter=niter,
                                     converged=converged,
-                                    objective=objective)
+                                    objective=objective, aux=aux)
 
 
 def solve_streaming(

@@ -211,10 +211,14 @@ def solve(
         val = ((jax.random.uniform(kv, y.shape) < float(heldout_frac))
                .astype(y.dtype) * mask)
         mask = mask - val
-        yv = (val * y).astype(acc_h)
-        vnorm = jnp.maximum(jnp.sum(yv * yv),
+        # yv/val stay in the data dtype (val is 0/1 — exact); the
+        # machinery casts into its f32 reductions per check. See
+        # models.nmf._solve.
+        yv = val * y
+        yv_acc = yv.astype(acc_h)
+        vnorm = jnp.maximum(jnp.sum(yv_acc * yv_acc),
                             jnp.asarray(jnp.finfo(acc_h).tiny, acc_h))
-        hd_global = (yv, val.astype(acc_h), vnorm)
+        hd_global = (yv, val, vnorm)
 
     seed = jnp.asarray(random_seed, jnp.uint32)
     with jax.default_matmul_precision(precision):
@@ -392,7 +396,7 @@ def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter,
                     state[0].astype(cdt_v), state[1].astype(cdt_v),
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=acc_dt)
-                r = yv_l - val_l * recon.astype(acc_dt)
+                r = yv_l.astype(acc_dt) - val_l.astype(acc_dt) * recon
                 return psum_all(jnp.sum(r * r)) / vnorm_
 
             def diff_fn(old, new):  # noqa: F811

@@ -362,4 +362,5 @@ def epoch_cache_info():
     """Hits/misses of the fused-epoch compile cache shared with the
     single-device streamer (debug hook for the loader-identity pitfall;
     see the solve_streaming docstring)."""
-    return _fused_epoch.cache_info()
+    from decomp_tpu.models.nmf_streaming import epoch_cache_info as _eci
+    return _eci()

@@ -718,3 +718,48 @@ def test_bf16_wrap_cache_does_not_pin_loader():
     gc.collect()
     assert sentinel() is None, "cache pinned the dropped loader"
     assert key not in _BF16_WRAPS, "cache entry not self-evicted"
+
+
+def test_fused_epoch_cache_does_not_pin_loader():
+    """The fused-epoch compile cache must hold loaders WEAKLY and evict
+    a dropped loader's compiled epochs: the old lru_cache pinned the
+    loader — and, via the epoch's jaxpr constants, every device array
+    it captured — for the process lifetime (code-review finding; same
+    class as the _bf16_wrap fix)."""
+    import gc
+    import weakref as _weakref
+
+    import jax
+    import jax.numpy as jnp
+    from decomp_tpu.models import nmf_streaming as mns
+
+    m, n, k, chunk = 256, 32, 4, 64
+    rng = np.random.default_rng(121)
+    x0 = rng.uniform(0.1, 1, (m, k)).astype(np.float32)
+    d0 = rng.uniform(0.1, 1, (k, n)).astype(np.float32)
+
+    def make_loader():
+        captured = jnp.asarray(
+            rng.uniform(0, 1, (m, n)).astype(np.float32))
+
+        def loader(lo, hi):
+            return jax.lax.dynamic_slice(captured, (lo, 0), (chunk, n))
+
+        return loader
+
+    loader = make_loader()
+    kw = dict(tol=0.0, maxiter=2, chunk_rows=chunk, n_samples=m,
+              n_channels=n, dtype=np.float32, x_device=True,
+              jit_loader=True)
+    decomp_tpu.nmf.solve_streaming(loader, d0, x=x0, **kw)
+    misses0 = mns.epoch_cache_info().misses
+    # same loader still hits (the lru behaviour the weak cache keeps)
+    decomp_tpu.nmf.solve_streaming(loader, d0, x=x0, **kw)
+    assert mns.epoch_cache_info().misses == misses0
+    size0 = mns.epoch_cache_info().currsize
+    sentinel = _weakref.ref(loader)
+    del loader
+    gc.collect()
+    assert sentinel() is None, "epoch cache pinned the dropped loader"
+    assert mns.epoch_cache_info().currsize < size0, (
+        "dropped loader's compiled epochs were not evicted")

@@ -279,6 +279,38 @@ def test_sharded_dictionary_learning_matches_single_device(mesh8, masked):
     assert rel_err(res.x, ref.x) < 1e-10
 
 
+def test_sharded_dictionary_learning_heldout_lockstep(mesh8):
+    """stop='heldout' on the sharded IN-CORE DL solver: identical
+    validation reserve (global salted draw), allreduced validation
+    error, and the SAME stop iteration as the single-device solver —
+    the last cell of the {nmf, dl} x {in-core, streaming} x {single,
+    sharded} heldout matrix."""
+    from problems import planted_patches
+    y, d_true, _ = planted_patches(seed=31, n_samples=160)
+    mask = random_mask(32, y.shape)
+    rng = np.random.default_rng(33)
+    d0 = d_true + 0.3 * rng.normal(size=d_true.shape)
+    kw = dict(tol=1e-3, maxiter=300, lasso_iter=8, mask=mask,
+              stop="heldout", random_seed=3)
+    s = decomp_tpu.dictionary_learning.solve(y * mask, d0, 0.05, **kw)
+    p = parallel.dictionary_learning.solve(y * mask, d0, 0.05,
+                                           mesh=mesh8, **kw)
+    assert int(p.niter) == int(s.niter)
+    assert bool(p.converged) == bool(s.converged)
+    assert p.aux is not None and s.aux is not None
+    np.testing.assert_allclose(float(p.aux["heldout_rel_err"]),
+                               float(s.aux["heldout_rel_err"]), rtol=1e-4)
+    assert rel_err(p.d, s.d) < 1e-6
+    # validation: heldout without a mask / bad frac raise host-side
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        parallel.dictionary_learning.solve(y, d0, 0.05, mesh=mesh8,
+                                           stop="heldout")
+    with pytest.raises(decomp_tpu.utils.DecompError):
+        parallel.dictionary_learning.solve(y * mask, d0, 0.05,
+                                           mesh=mesh8, mask=mask,
+                                           stop="bogus")
+
+
 def test_sharded_dictionary_learning_complex(mesh8):
     from problems import planted_patches
     y, d_true, _ = planted_patches(seed=28, n_samples=160, complex_=True)
