@@ -29,7 +29,7 @@ from decomp_tpu.utils.result import (
     NMFResult,
 )
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "lasso",
