@@ -135,3 +135,87 @@ def test_fuzz_dictionary_learning_matches_reference(seed):
     assert bool(res.converged) == conv_ref
     assert rel_err(res.d, d_ref) < 1e-8, (m, c, k, lasso_method, complex_)
     assert rel_err(res.x, x_ref) < 1e-8, (m, c, k, lasso_method, complex_)
+
+
+@pytest.mark.parametrize("seed", range(401, 413))
+def test_fuzz_streaming_matches_in_core(seed):
+    """Randomized geometry sweep of the out-of-core NMF path: any
+    (m, chunk_rows) combination — ragged tails included — through
+    either streaming front-end (host-array chunk loop or the fused
+    jit-loader epoch) must reproduce the in-core trajectory in f64.
+    Chunked statistic accumulation is exact up to reduction order, so
+    the tolerance is tight."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    m = int(rng.integers(8, 180))
+    n = int(rng.integers(4, 32))
+    k = int(rng.integers(1, 6))
+    chunk = int(rng.integers(2, min(m, 64) + 1))
+    method = str(rng.choice(["mu", "kl-mu"]))
+    jit_loader = bool(rng.random() < 0.5)
+    masked = bool(rng.random() < 0.5)
+    y = rng.uniform(0.05, 1.0, (m, n))
+    mask = None
+    if masked:
+        mask = (rng.random((m, n)) < 0.7).astype(np.float64)
+        y = y * mask
+    x0 = rng.uniform(0.1, 1.0, (m, k))
+    d0 = rng.uniform(0.1, 1.0, (k, n))
+    maxiter = int(rng.integers(1, 12))
+
+    core = decomp_tpu.nmf.solve(y, d0, x=x0, mask=mask, tol=0.0,
+                                maxiter=maxiter, method=method)
+    if jit_loader:
+        yd = jnp.asarray(y)
+        md = None if mask is None else jnp.asarray(mask)
+
+        def loader(lo, hi):
+            return jax.lax.dynamic_slice(yd, (lo, 0), (chunk, n))
+
+        mloader = (None if md is None else
+                   (lambda lo, hi: jax.lax.dynamic_slice(
+                       md, (lo, 0), (chunk, n))))
+        res = decomp_tpu.nmf.solve_streaming(
+            loader, d0, x=x0, tol=0.0, maxiter=maxiter, method=method,
+            chunk_rows=chunk, n_samples=m, n_channels=n,
+            dtype=np.float64, mask=mloader, x_device=True,
+            jit_loader=True)
+    else:
+        res = decomp_tpu.nmf.solve_streaming(
+            y, d0, x=x0, tol=0.0, maxiter=maxiter, method=method,
+            chunk_rows=chunk, mask=mask)
+    ctx = (m, n, k, chunk, method, jit_loader, masked)
+    assert np.asarray(res.x).shape == (m, k)
+    assert rel_err(res.d, core.d) < 1e-10, ctx
+    assert rel_err(res.x, core.x) < 1e-10, ctx
+
+
+@pytest.mark.parametrize("seed", range(501, 509))
+def test_fuzz_dl_streaming_matches_in_core(seed):
+    """Same sweep for out-of-core dictionary learning: with the inner
+    sparse coding at a fixed budget (lasso_tol=0), the chunked epochs
+    reproduce the in-core alternation exactly up to reduction order."""
+    rng = np.random.default_rng(seed)
+    m = int(rng.integers(8, 120))
+    n = int(rng.integers(4, 28))
+    k = int(rng.integers(1, 8))
+    chunk = int(rng.integers(2, min(m, 48) + 1))
+    masked = bool(rng.random() < 0.5)
+    lasso_iter = int(rng.integers(2, 7))
+    y = rng.normal(size=(m, n))
+    mask = None
+    if masked:
+        mask = (rng.random((m, n)) < 0.7).astype(np.float64)
+        y = y * mask
+    d0 = rng.normal(size=(k, n))
+    maxiter = int(rng.integers(1, 9))
+    kw = dict(tol=0.0, maxiter=maxiter, lasso_iter=lasso_iter,
+              lasso_tol=0.0, mask=mask)
+    core = decomp_tpu.dictionary_learning.solve(y, d0, 0.05, **kw)
+    res = decomp_tpu.dictionary_learning.solve_streaming(
+        y, d0, 0.05, chunk_rows=chunk, **kw)
+    ctx = (m, n, k, chunk, masked, lasso_iter)
+    assert rel_err(res.d, core.d) < 1e-10, ctx
+    assert rel_err(res.x, core.x) < 1e-10, ctx
