@@ -219,3 +219,39 @@ def test_fuzz_dl_streaming_matches_in_core(seed):
     ctx = (m, n, k, chunk, masked, lasso_iter)
     assert rel_err(res.d, core.d) < 1e-10, ctx
     assert rel_err(res.x, core.x) < 1e-10, ctx
+
+
+@pytest.mark.parametrize("seed", range(601, 609))
+def test_fuzz_streaming_lasso_matches_in_core(seed):
+    """Streaming batch lasso: rows are independent, so any chunking of
+    the batch axis must reproduce the in-core result row-for-row —
+    including per-problem niter/converged bookkeeping."""
+    rng = np.random.default_rng(seed)
+    m = int(rng.integers(4, 120))
+    f = int(rng.integers(2, 20))
+    c = int(rng.integers(2, 20))
+    chunk = int(rng.integers(2, m + 1))
+    complex_ = bool(rng.random() < 0.25)
+    per_problem = bool(rng.random() < 0.5)
+    method = str(rng.choice(["ista", "fista", "acc_ista"]))
+    a = _mat(rng, (f, c), complex_)
+    y = _mat(rng, (m, c), complex_)
+    mask = None
+    if not complex_ and rng.random() < 0.4:
+        mask = (rng.random((m, c)) < 0.7).astype(np.float64)
+        y = y * mask
+    alpha = 10.0 ** rng.uniform(-2, 0)
+    tol = 10.0 ** rng.uniform(-6, -4)
+    maxiter = int(rng.integers(5, 80))
+    kw = dict(tol=tol, maxiter=maxiter, method=method, mask=mask,
+              per_problem=per_problem)
+    core = decomp_tpu.lasso.solve(y, a, alpha, **kw)
+    res = decomp_tpu.lasso.solve_streaming(y, a, alpha,
+                                           chunk_rows=chunk, **kw)
+    ctx = (m, f, c, chunk, method, complex_, per_problem)
+    assert rel_err(res.x, core.x) < 1e-10, ctx
+    if per_problem:
+        np.testing.assert_array_equal(np.asarray(res.niter),
+                                      np.asarray(core.niter))
+        np.testing.assert_array_equal(np.asarray(res.converged),
+                                      np.asarray(core.converged))
