@@ -469,7 +469,8 @@ def _solve(y, d, x, mask, seed, tol, eps, forget, *, rank, maxiter,
 
 def masked_completion(y, mask, rank=None, d=None, x=None, *, tol=1e-4,
                       maxiter=4000, heldout_frac=0.05, random_seed=0,
-                      mixed="auto", refit=0, **kwargs):
+                      mixed="auto", refit=0, mesh=None, row_axis="rows",
+                      col_axis=None, **kwargs):
     """Matrix-completion preset: masked MU-NMF at the measured-fastest
     operating point with a usable stopping rule (VERDICT.md round-2
     Missing #3 / Next #2 and #5).
@@ -484,6 +485,11 @@ def masked_completion(y, mask, rank=None, d=None, x=None, *, tol=1e-4,
 
     ``mixed``: 'auto' (TPU + f32 input), True, or False (keep y's dtype
     and the library's default 'highest' precision).
+
+    ``mesh`` (with ``row_axis``/``col_axis``): run the same preset SPMD
+    through ``parallel.nmf.solve`` — identical validation reserve and
+    stopping rule, sharded factors (the in-core twin of the sharded
+    ``masked_completion_streaming`` mode).
 
     Returns the usual NMFResult; ``aux["heldout_rel_err"]`` is the final
     validation error. Validation entries are excluded from training;
@@ -501,14 +507,21 @@ def masked_completion(y, mask, rank=None, d=None, x=None, *, tol=1e-4,
         y = y.astype(jnp.bfloat16)
         kwargs.setdefault("factor_dtype", jnp.float32)
         kwargs.setdefault("precision", "default")
-    res = solve(y, d, rank=rank, x=x, mask=mask, tol=tol,
-                maxiter=maxiter, method="mu", stop="heldout",
-                heldout_frac=heldout_frac, random_seed=random_seed,
-                **kwargs)
+    if mesh is not None:
+        from decomp_tpu.parallel import nmf as _pnmf
+
+        kwargs.update(mesh=mesh, row_axis=row_axis, col_axis=col_axis)
+        _solve_entry = _pnmf.solve
+    else:
+        _solve_entry = solve
+    res = _solve_entry(y, d, rank=rank, x=x, mask=mask, tol=tol,
+                       maxiter=maxiter, method="mu", stop="heldout",
+                       heldout_frac=heldout_frac, random_seed=random_seed,
+                       **kwargs)
     if refit:
-        refit_res = solve(y, res.d, x=res.x, mask=mask, tol=0.0,
-                          maxiter=int(refit), method="mu",
-                          random_seed=random_seed, **kwargs)
+        refit_res = _solve_entry(y, res.d, x=res.x, mask=mask, tol=0.0,
+                                 maxiter=int(refit), method="mu",
+                                 random_seed=random_seed, **kwargs)
         # The refit runs at tol=0 (a fixed polish budget), so its own
         # converged flag is vacuously False and its niter counts only the
         # polish steps. The result the CALLER gates on is the held-out

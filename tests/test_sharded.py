@@ -311,6 +311,40 @@ def test_sharded_dictionary_learning_heldout_lockstep(mesh8):
                                            stop="bogus")
 
 
+def test_masked_completion_preset_sharded_lockstep(mesh8):
+    """nmf.masked_completion(mesh=...) routes the whole preset —
+    held-out stop, optional refit polish — through parallel.nmf.solve
+    in lockstep with the single-device preset (the in-core twin of the
+    sharded masked_completion_streaming mode)."""
+    rng = np.random.default_rng(119)
+    m, n, k = 320, 64, 4
+    ytrue = (rng.uniform(0, 1, (m, k)) @ rng.uniform(0, 1, (k, n))
+             + 0.02 * rng.normal(size=(m, n))).astype(np.float32)
+    mask = (rng.random((m, n)) >= 0.3).astype(np.float32)
+    # explicit inits: rank-only init draws PER-SHARD on the mesh (a
+    # different random dictionary than single-device by design), so the
+    # lockstep comparison pins the starting point like the other
+    # sharded-vs-single tests
+    x0 = rng.uniform(0.1, 1, (m, k)).astype(np.float32)
+    d0 = rng.uniform(0.1, 1, (k, n)).astype(np.float32)
+    kw = dict(d=d0, x=x0, maxiter=3000, tol=1e-3, random_seed=5,
+              refit=40)
+    s = decomp_tpu.nmf.masked_completion(ytrue * mask, mask, **kw)
+    p = decomp_tpu.nmf.masked_completion(ytrue * mask, mask, mesh=mesh8,
+                                         **kw)
+    assert bool(p.converged) == bool(s.converged)
+    assert int(p.niter) == int(s.niter)
+    assert p.aux is not None
+    np.testing.assert_allclose(float(p.aux["heldout_rel_err"]),
+                               float(s.aux["heldout_rel_err"]),
+                               rtol=1e-4)
+    miss = np.asarray(mask) == 0
+    recon = np.asarray(p.x) @ np.asarray(p.d)
+    ho = (np.linalg.norm(recon[miss] - ytrue[miss])
+          / np.linalg.norm(ytrue[miss]))
+    assert ho < 0.1
+
+
 def test_sharded_dictionary_learning_complex(mesh8):
     from problems import planted_patches
     y, d_true, _ = planted_patches(seed=28, n_samples=160, complex_=True)
