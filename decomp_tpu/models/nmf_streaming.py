@@ -334,6 +334,17 @@ def solve_streaming(
             # inputs (no donation, no in-loop writes -> no copies).
             # Cached windows use the same CLAMPED offsets the epoch
             # would pass to the loader (identical for aligned chunks).
+            # Stored as one stacked 3-D buffer read by dynamic_slice
+            # inside the (rolled) cache-segment loop. A zero-copy
+            # variant — tuple of per-chunk arrays as DIRECT operands of
+            # unrolled chunk steps — was built and measured 2026-08-17:
+            # at the full config-5' shape Mosaic assigns the top-level
+            # (un-looped) kernel instance's outputs to the scoped VMEM
+            # stack and the compile dies at 17.39M/16M, the same
+            # allocation quirk as the config-2 br=64/128 stripes
+            # (docs/DESIGN.md); inside fori_loop the outputs stay in
+            # HBM, so the rolled form with one slice copy per cached
+            # chunk is what this platform admits.
             offs = [min(i * chunk_rows, n_samples - chunk_rows)
                     for i in range(n_cache)]
             cache = jnp.stack([
@@ -583,7 +594,7 @@ def _build_fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks, rank,
 
         db = d.astype(y_dtype) if use_pallas_chunk else None
 
-        def body(i, carry):
+        def body(i, carry, *, use_cache):
             x_, num, den, obj = carry[:4]
             lo_local = i * chunk_rows        # x offset (device-local)
             # default int dtype (int64 under x64, int32 otherwise):
@@ -608,20 +619,17 @@ def _build_fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks, rank,
                 lo_eff = lo
 
             def load(buf, loader):
-                def from_cache():
+                # Source selection is SEGMENT-static, not a per-chunk
+                # lax.cond: the cond form measured 0.79x at the full
+                # config-5' shape (BASELINE.md round-4 table) — the
+                # conditional read defeats XLA's chunk prefetch
+                # pipelining in BOTH segments.
+                if use_cache and buf is not None:
                     return jax.lax.dynamic_slice(
                         buf, (i, 0, 0),
                         (1, chunk_rows, n_channels))[0]
-
-                def from_loader():
-                    return jnp.asarray(loader(lo_eff,
-                                              lo_eff + chunk_rows),
-                                       y_dtype)
-
-                if buf is None:
-                    return from_loader()
-                return jax.lax.cond(i < n_cache, from_cache,
-                                    from_loader)
+                return jnp.asarray(loader(lo_eff, lo_eff + chunk_rows),
+                                   y_dtype)
 
             def tail_align(c):
                 # Roll the clamped window into x alignment and zero the
@@ -710,7 +718,26 @@ def _build_fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks, rank,
                     vaxes(jnp.zeros((), acc_j)))
         else:
             init = (x_l, num0, den0, obj0)
-        return jax.lax.fori_loop(0, n_chunks, body, init)
+        # Two SEGMENTED (rolled) chunk loops instead of one loop with a
+        # per-chunk lax.cond on the source (the cond form measured
+        # 0.79x at the full config-5' shape). The duplicated loop
+        # bodies — including a second instance of the Pallas chunk
+        # kernel — now compile on this platform: the remote-compile-
+        # helper crash recorded at commit 36196ce no longer reproduces
+        # (re-probed 2026-08-17). Both segments stay fori_loops: a
+        # fully-unrolled zero-copy cache segment was tried and dies in
+        # Mosaic's scoped-VMEM stack allocator (see the cache-build
+        # comment in solve_streaming).
+        body_loader = functools.partial(body, use_cache=False)
+        n_c = 0 if cache is None else min(n_cache, n_chunks)
+        if n_c == 0:
+            return jax.lax.fori_loop(0, n_chunks, body_loader, init)
+        carry = jax.lax.fori_loop(0, n_c,
+                                  functools.partial(body, use_cache=True),
+                                  init)
+        if n_c == n_chunks:
+            return carry
+        return jax.lax.fori_loop(n_c, n_chunks, body_loader, carry)
 
     def finish(d, num, den):
         d_new = _d_from_stats_impl(d, num, den,

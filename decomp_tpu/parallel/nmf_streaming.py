@@ -241,7 +241,10 @@ def solve_streaming(
     if n_cache:
         # Each device caches the first n_cache chunks of ITS OWN row
         # range: prefill host-side with the epoch's clamped global
-        # offsets, then shard chunk-major over the mesh.
+        # offsets, then shard chunk-major over the mesh (the epoch's
+        # cache segment dynamic-slices each device's local stack — see
+        # models.nmf_streaming._build_fused_epoch for why the rolled,
+        # one-copy form is what this platform admits).
         cache_sharding = NamedSharding(mesh, P(row_axis, None, None))
         offs = [min(r * n_local + i * chunk_rows,
                     n_samples - chunk_rows)

@@ -67,8 +67,8 @@ def test_lasso_single_sample_single_feature():
     res = decomp_tpu.lasso.solve(y, a, 0.01, tol=1e-10, maxiter=2000)
     assert bool(res.converged)
     # closed form: soft-threshold of the scalar least-squares solution
-    g = float(a @ a.T)
-    r = float(y @ a.T)
+    g = float((a @ a.T).item())
+    r = float((y @ a.T).item())
     expect = np.sign(r) * max(abs(r) - 0.01, 0) / g
     np.testing.assert_allclose(float(res.x[0, 0]), expect, rtol=1e-6)
 

@@ -306,6 +306,42 @@ def test_hbm_cache_chunks_matches_uncached():
     np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
 
 
+@pytest.mark.parametrize("m,cache_chunks", [
+    (512, 4),    # cache covers EVERY chunk: cache-segment loop only
+    (509, 4),    # ragged tail, fully cached (clamped window in cache)
+    (509, 2),    # ragged tail in the loader segment, head cached
+])
+def test_hbm_cache_segments_match_uncached(m, cache_chunks):
+    """The segmented chunk loops (cache segment + loader segment — the
+    per-chunk lax.cond was replaced by segment-static sources) leave the
+    trajectory identical to the uncached epoch, including ragged tails
+    whose clamped windows live in either segment."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(115)
+    n, k, chunk = 64, 4, 128
+    y = np.maximum(rng.uniform(0, 1, (m, k)) @ rng.uniform(0, 1, (k, n))
+                   + 0.01 * rng.normal(size=(m, n)), 0).astype(np.float32)
+    x0 = rng.uniform(0.1, 1, (m, k)).astype(np.float32)
+    d0 = rng.uniform(0.1, 1, (k, n)).astype(np.float32)
+    yd = jnp.asarray(y)
+
+    def loader(lo, hi):
+        return jax.lax.dynamic_slice(yd, (jnp.clip(lo, 0, m - chunk), 0),
+                                     (chunk, n))
+
+    kw = dict(tol=0.0, maxiter=8, chunk_rows=chunk, n_samples=m,
+              n_channels=n, dtype=np.float32, x_device=True,
+              jit_loader=True)
+    ref = decomp_tpu.nmf.solve_streaming(loader, d0, x=x0, **kw)
+    res = decomp_tpu.nmf.solve_streaming(loader, d0, x=x0,
+                                         hbm_cache_chunks=cache_chunks,
+                                         **kw)
+    np.testing.assert_array_equal(np.asarray(res.d), np.asarray(ref.d))
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
+
+
 def test_streaming_heldout_stop():
     """Out-of-core stop='heldout': validation entries are reserved per
     chunk deterministically, iteration stops at the validation plateau,
