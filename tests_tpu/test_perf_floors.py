@@ -212,6 +212,55 @@ def test_sharded_streaming_epoch_parity_floor():
 
 
 @requires_tpu
+def test_hbm_cache_wins_for_expensive_loaders():
+    """hbm_cache_chunks with a loader costlier than ~two HBM passes must
+    beat the uncached epoch (round-4 segment-static loops: measured
+    1.52x at 6/7 cached chunks with a 6-sweep loader, 400k x 1024 bf16
+    r128; floor 1.10x on the marginal epoch cost). Guards the
+    segmented cache path against a regression back to the per-chunk
+    lax.cond source select (which measured 0.79x-0.93x)."""
+    import decomp_tpu
+
+    m, n, k, chunk = 409_600, 1024, 128, 65_536
+    key = jax.random.PRNGKey(7)
+    kd, kx = jax.random.split(key)
+    d_true = jax.random.uniform(kd, (k, n), dtype=jnp.float32)
+
+    def loader(lo, hi):
+        del hi
+        kc = jax.random.fold_in(kx, lo)
+        xt = jax.random.uniform(kc, (chunk, k), dtype=jnp.float32
+                                ).astype(jnp.bfloat16)
+        c = jnp.maximum(
+            jax.lax.dot_general(xt, d_true.astype(jnp.bfloat16),
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.bfloat16), 0)
+        for _ in range(6):   # deliberate extra HBM-scale loader work
+            c = jnp.sqrt(c * c + jnp.bfloat16(1e-3))
+        return c
+
+    def run(cache, iters):
+        return decomp_tpu.nmf.solve_streaming(
+            loader, rank=k, tol=0.0, maxiter=iters, chunk_rows=chunk,
+            n_samples=m, n_channels=n, dtype=jnp.bfloat16,
+            factor_dtype=jnp.float32, precision="default",
+            x_device=True, jit_loader=True, random_seed=11,
+            hbm_cache_chunks=cache).d
+
+    def marginal(cache):
+        lo = _best_wall(lambda: run(cache, 5), _fence)
+        hi = _best_wall(lambda: run(cache, 30), _fence)
+        return max(hi - lo, 1e-9)
+
+    m_uncached = marginal(0)
+    m_cached = marginal(6)
+    ratio = m_uncached / m_cached
+    assert ratio > 1.10, (
+        f"cached epoch at {ratio:.2f}x uncached with an expensive "
+        "loader (floor 1.10x)")
+
+
+@requires_tpu
 def test_split_complex_kernel_beats_jnp_split():
     """The group_fc whole-solve kernel at the config-2-complex scale
     (10k problems x 512 COMPLEX features) must stay >= 1.15x the jnp
