@@ -187,11 +187,14 @@ def bench_extra_configs(on_tpu: bool, small: bool) -> None:
         loader5, rank=k5, tol=0.0, maxiter=2, **kw5).d)  # warm
     # Differential timing: the solve call carries ~0.2 s of fixed setup
     # (512 MB x init + head-chunk probes) that a single short run charges
-    # to the epoch rate (~10% under-report at 15 iters). Timing a 5-iter
-    # and a 20-iter run and dividing the EXTRA iterations by the EXTRA
-    # wall time cancels the setup exactly; min-of-2 per point rides out
-    # the platform's queueing noise.
-    iters_lo, iters_hi = 5, 20
+    # to the epoch rate (~10% under-report at 15 iters). Timing a 10-iter
+    # and a 50-iter run and dividing the EXTRA iterations by the EXTRA
+    # wall time cancels the setup exactly. The 40-iteration gap (~2.7 s)
+    # and min-of-3 per point keep the differential above this platform's
+    # queueing noise — per-call jitter was measured at up to several
+    # hundred ms on busy days, which swamped the previous 15-iteration
+    # gap and under-reported the rate by ~40%.
+    iters_lo, iters_hi = 10, 50
 
     def _timed5(iters):
         t0 = time.perf_counter()
@@ -200,7 +203,7 @@ def bench_extra_configs(on_tpu: bool, small: bool) -> None:
         return time.perf_counter() - t0
 
     t_lo = t_hi = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t_lo = min(t_lo, _timed5(iters_lo))
         t_hi = min(t_hi, _timed5(iters_hi))
     if t_hi > t_lo:
