@@ -226,8 +226,12 @@ def solve_streaming(
     def _init_scale(k):
         # Mean over OBSERVED entries of the leading rows: missing entries
         # may hold arbitrary finite values (same contract as nmf.solve).
-        head = load_y(0, min(n_samples, 4096))
-        mh = load_mask(0, min(n_samples, 4096), head.dtype)
+        # Loader calls run under the solve's matmul precision, like the
+        # prefill and the traced epochs (generator loaders may contain
+        # matmuls).
+        with jax.default_matmul_precision(precision):
+            head = load_y(0, min(n_samples, 4096))
+            mh = load_mask(0, min(n_samples, 4096), head.dtype)
         acc = jnp.promote_types(jnp.float32, head.dtype)
         if mh is not None:
             total = float(jnp.sum((head * mh).astype(acc)))
@@ -347,14 +351,21 @@ def solve_streaming(
             # chunk is what this platform admits.
             offs = [min(i * chunk_rows, n_samples - chunk_rows)
                     for i in range(n_cache)]
-            cache = jnp.stack([
-                jnp.asarray(y_loader(lo, lo + chunk_rows), y_dtype)
-                for lo in offs])
-            if mask_loader is not None:
-                mcache = jnp.stack([
-                    jnp.asarray(mask_loader(lo, lo + chunk_rows),
-                                y_dtype)
+            # Prefill under the SAME matmul precision the epoch traces
+            # its loader calls with: a matmul-containing loader (e.g. a
+            # low-rank generator) run eagerly at the ambient default
+            # would cache values that differ from what the loader
+            # segment regenerates, silently breaking the documented
+            # cached == uncached trajectory identity.
+            with jax.default_matmul_precision(precision):
+                cache = jnp.stack([
+                    jnp.asarray(y_loader(lo, lo + chunk_rows), y_dtype)
                     for lo in offs])
+                if mask_loader is not None:
+                    mcache = jnp.stack([
+                        jnp.asarray(mask_loader(lo, lo + chunk_rows),
+                                    y_dtype)
+                        for lo in offs])
         # Cached per (loader, geometry, flags): repeat solve_streaming
         # calls (resume, chunked budgets, benchmarking) reuse the traced
         # + compiled epoch instead of re-jitting a fresh closure.
@@ -634,10 +645,10 @@ def _build_fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks, rank,
             def tail_align(c):
                 # Roll the clamped window into x alignment and zero the
                 # rows at/after n_true. Guarded by lax.cond so aligned
-                # chunks pay nothing; only ONE kernel instance exists
-                # either way (the cond wraps the data, not the kernel —
-                # duplicated Pallas calls crash this platform's remote
-                # compile helper, commit 36196ce).
+                # chunks pay nothing. The cond wraps the data, not the
+                # kernel: a per-tail kernel instance would buy nothing
+                # (the roll/where is VPU-trivial next to the chunk
+                # matmuls) while doubling compile time per segment.
                 if not ragged:
                     return c
                 return jax.lax.cond(

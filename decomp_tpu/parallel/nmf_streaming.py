@@ -174,9 +174,13 @@ def solve_streaming(
         # the single-device streamer: missing entries may hold arbitrary
         # finite values). Load the head once and share it between the
         # d- and x-inits — loaders may be expensive.
-        head = jnp.asarray(y(0, chunk_rows))
-        mh = (None if mask is None
-              else jnp.asarray(mask(0, chunk_rows), head.dtype))
+        # Under the solve's matmul precision, like every other loader
+        # call this solve makes (prefill + traced epochs): generator
+        # loaders contain matmuls.
+        with jax.default_matmul_precision(precision):
+            head = jnp.asarray(y(0, chunk_rows))
+            mh = (None if mask is None
+                  else jnp.asarray(mask(0, chunk_rows), head.dtype))
         acc = jnp.promote_types(jnp.float32, head.dtype)
         if mh is not None:
             total = float(jnp.sum((head * mh).astype(acc)))
@@ -246,17 +250,39 @@ def solve_streaming(
         # models.nmf_streaming._build_fused_epoch for why the rolled,
         # one-copy form is what this platform admits).
         cache_sharding = NamedSharding(mesh, P(row_axis, None, None))
-        offs = [min(r * n_local + i * chunk_rows,
-                    n_samples - chunk_rows)
-                for r in range(n_dev) for i in range(n_cache)]
-        cache = jax.device_put(
-            jnp.stack([jnp.asarray(y(lo, lo + chunk_rows), y_dtype)
-                       for lo in offs]), cache_sharding)
+
+        def _prefill(loader):
+            # Assemble shard-by-shard: the full n_dev*n_cache stack can
+            # exceed ONE chip's HBM even when the sharded steady state
+            # (n_cache chunks per device) fits every chip — a
+            # jnp.stack-then-device_put would OOM on the default device
+            # during prefill. Each callback materialises only its own
+            # slab, staged through host memory so the default device
+            # never holds more than one loader chunk at a time. Loader
+            # calls run under the epoch's matmul precision so cached
+            # values are bit-identical to what the loader segment would
+            # regenerate (generator loaders contain matmuls).
+            def cb(index):
+                start = index[0].start or 0
+                stop = (n_dev * n_cache if index[0].stop is None
+                        else index[0].stop)
+                slabs = []
+                with jax.default_matmul_precision(precision):
+                    for g in range(start, stop):
+                        r, i = divmod(g, n_cache)
+                        lo = min(r * n_local + i * chunk_rows,
+                                 n_samples - chunk_rows)
+                        slabs.append(np.asarray(jnp.asarray(
+                            loader(lo, lo + chunk_rows), y_dtype)))
+                return np.stack(slabs)
+
+            return jax.make_array_from_callback(
+                (n_dev * n_cache, chunk_rows, n_channels),
+                cache_sharding, cb)
+
+        cache = _prefill(y)
         if mask is not None:
-            mcache = jax.device_put(
-                jnp.stack([jnp.asarray(mask(lo, lo + chunk_rows),
-                                       y_dtype) for lo in offs]),
-                cache_sharding)
+            mcache = _prefill(mask)
 
     n_true = n_samples if n_pad != n_samples else None
     hd_key = (float(heldout_frac), int(random_seed)) if heldout else None

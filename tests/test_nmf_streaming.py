@@ -342,6 +342,35 @@ def test_hbm_cache_segments_match_uncached(m, cache_chunks):
     np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
 
 
+def test_hbm_cache_prefill_runs_under_solve_precision():
+    """The cache prefill executes the loader under the solve's matmul
+    precision: a generator loader containing matmuls would otherwise
+    cache values computed at the ambient default, silently breaking the
+    cached == uncached trajectory identity on TPU (the identity tests
+    above use dynamic_slice loaders and cannot see it)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(116)
+    m, n, k, chunk = 512, 64, 4, 128
+    y = np.maximum(rng.uniform(0, 1, (m, k)) @ rng.uniform(0, 1, (k, n)),
+                   0).astype(np.float32)
+    d0 = rng.uniform(0.1, 1, (k, n)).astype(np.float32)
+    yd = jnp.asarray(y)
+    seen = []
+
+    def loader(lo, hi):
+        if not isinstance(lo, jax.core.Tracer):  # prefill calls only
+            seen.append(jax.config.jax_default_matmul_precision)
+        return jax.lax.dynamic_slice(yd, (lo, 0), (chunk, n))
+
+    decomp_tpu.nmf.solve_streaming(
+        loader, d0, tol=0.0, maxiter=2, chunk_rows=chunk, n_samples=m,
+        n_channels=n, dtype=np.float32, x_device=True, jit_loader=True,
+        hbm_cache_chunks=2, precision="highest")
+    assert seen and all(p == "highest" for p in seen), seen
+
+
 def test_streaming_heldout_stop():
     """Out-of-core stop='heldout': validation entries are reserved per
     chunk deterministically, iteration stops at the validation plateau,

@@ -653,6 +653,40 @@ def test_sharded_streaming_hbm_cache_matches_uncached(mesh8):
     np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
 
 
+def test_sharded_streaming_cache_prefill_per_shard_and_precision(mesh8):
+    """The sharded cache prefill (a) assembles shard-by-shard (a full
+    n_dev*n_cache stack on one device can OOM even when the sharded
+    steady state fits every chip), (b) runs the loader under the solve's
+    matmul precision, and (c) requests each device's OWN local head
+    offsets, clamped. The mask cache follows the same path."""
+    import jax
+
+    m, n, k, chunk = 2048, 64, 4, 128
+    y, mask_arr, x0, d0, loader, mloader = _stream_problem(
+        117, m, n, k, chunk, masked=True)
+    seen_prec, seen_offs = [], []
+
+    def spy_loader(lo, hi):
+        if not isinstance(lo, jax.core.Tracer):  # prefill calls only
+            seen_prec.append(jax.config.jax_default_matmul_precision)
+            seen_offs.append(int(lo))
+        return loader(lo, hi)
+
+    kw = dict(mask=mloader, tol=0.0, maxiter=4, chunk_rows=chunk,
+              n_samples=m, n_channels=n, dtype=np.float32, mesh=mesh8,
+              precision="highest")
+    ref = parallel.nmf.solve_streaming(loader, d0, x=x0, **kw)
+    res = parallel.nmf.solve_streaming(spy_loader, d0, x=x0,
+                                       hbm_cache_chunks=1, **kw)
+    np.testing.assert_array_equal(np.asarray(res.d), np.asarray(ref.d))
+    # Prefill offsets: with 8 devices x 2 local chunks of 128 rows and
+    # n_cache=1, device r caches global row r*256 — every prefill-time
+    # (eager) loader call must be one of those heads, under 'highest'.
+    heads = {r * 2 * chunk for r in range(8)}
+    assert seen_offs and set(seen_offs) == heads, seen_offs
+    assert all(p == "highest" for p in seen_prec), seen_prec
+
+
 @pytest.mark.parametrize("masked", [False, True])
 def test_sharded_streaming_ragged_tail(mesh8, masked):
     """Prime n_samples (VERDICT round-3 Weak #2): the trailing chunk

@@ -250,7 +250,15 @@ def test_hbm_cache_wins_for_expensive_loaders():
     def marginal(cache):
         lo = _best_wall(lambda: run(cache, 5), _fence)
         hi = _best_wall(lambda: run(cache, 30), _fence)
-        return max(hi - lo, 1e-9)
+        if hi <= lo:
+            # The 25-iteration differential (~0.2-0.3 s) is the same
+            # order as this platform's busy-day dispatch jitter; a
+            # non-positive gap is a measurement failure, not a perf
+            # signal (a 1e-9 clamp would turn it into a spurious fail
+            # or a vacuous pass depending on WHICH side degenerated).
+            pytest.skip(f"degenerate differential (wall(30)={hi:.3f} <= "
+                        f"wall(5)={lo:.3f}); host too noisy to grade")
+        return hi - lo
 
     m_uncached = marginal(0)
     m_cached = marginal(6)
