@@ -59,6 +59,7 @@ def solve_streaming(
     n_channels: Optional[int] = None,
     dtype=None,
     jit_loader: bool = False,
+    record_objective: bool = False,
 ) -> DictionaryLearningResult:
     """Out-of-core ``decomp_tpu.dictionary_learning.solve``.
 
@@ -92,6 +93,18 @@ def solve_streaming(
         validation error. This is the usable stopping rule for
         out-of-core masked completion, where the rel-change floor can
         fire too early (BASELINE.md).
+    record_objective : record the full DL objective
+        ``0.5*||mask*(y - x@d)||^2 + alpha*||x||_1`` per outer
+        iteration, evaluated chunk-wise with the freshly-coded x
+        against the PRE-update d (the streaming convention of
+        ``nmf.solve_streaming``; one extra reconstruction matmul per
+        chunk). Returned in ``DictionaryLearningResult.objective``;
+        incompatible with ``stop='heldout'``.
+
+    There is deliberately no ``hbm_cache_chunks`` here: the DL epoch's
+    ``lasso_iter`` coding steps dilute loader cost ~10× relative to the
+    MU epoch, capping the cache's best case below its own slice-copy
+    overhead (docs/DESIGN.md, round-4 cache section).
     """
     if callable(y):
         if not jit_loader:
@@ -104,7 +117,8 @@ def solve_streaming(
             chunk_rows=chunk_rows, precision=precision,
             callback=callback, stop=stop, heldout_frac=heldout_frac,
             check_every=check_every, random_seed=random_seed,
-            n_samples=n_samples, n_channels=n_channels, dtype=dtype)
+            n_samples=n_samples, n_channels=n_channels, dtype=dtype,
+            record_objective=record_objective)
     if jit_loader:
         raise DecompError("jit_loader=True requires a callable y loader")
     y = np.asarray(y)
@@ -124,11 +138,15 @@ def solve_streaming(
         mask = np.asarray(mask)
         assertion.assert_same_shape("mask", mask, "y", y)
     heldout = stop == "heldout"
+    record_objective = bool(record_objective)
     if heldout:
         if mask is None:
             raise DecompError("stop='heldout' requires a mask")
         if np.iscomplexobj(y):
             raise DecompError("stop='heldout' supports real dtypes only")
+        if record_objective:
+            raise DecompError("stop='heldout' is incompatible with "
+                              "record_objective")
         if not 0.0 < float(heldout_frac) < 1.0:
             raise DecompError("heldout_frac must be in (0, 1)")
     n_samples = y.shape[0]
@@ -162,6 +180,9 @@ def solve_streaming(
     # drivers — code-review round-4 finding #4); two checks
     # is the minimum that can compare a validation pair
     _warmup = min(3, max(2, int(maxiter) // ce))
+    obj_curve = (np.full((int(maxiter),), np.nan, np.float64)
+                 if record_objective else None)
+    acc_np = np.promote_types(np.float32, np.empty(0, dtype).real.dtype)
     prev_e, last_e, checks = None, None, 0
     niter, converged, diff = 0, False, np.inf
     with jax.default_matmul_precision(precision):
@@ -171,6 +192,7 @@ def solve_streaming(
             stats_a = jnp.zeros((n_atoms, n_atoms), dtype)
             stats_b = jnp.zeros((n_atoms, y.shape[1]), dtype)
             verr = vnorm = jnp.zeros((), jnp.float32)
+            obj_it = jnp.zeros((), acc_np)
             for lo in range(0, n_samples, chunk_rows):
                 hi = min(lo + chunk_rows, n_samples)
                 yc = jnp.asarray(y[lo:hi])
@@ -193,6 +215,8 @@ def solve_streaming(
                     ve, vn = _val_err_chunk(yc, val_c, xc, d)
                     verr = verr + ve
                     vnorm = vnorm + vn
+                if record_objective:
+                    obj_it = obj_it + _obj_chunk(yc, mc, xc, d, alpha_j)
                 x[lo:hi] = np.asarray(xc)
                 stats_a = stats_a + a_c
                 stats_b = stats_b + b_c
@@ -204,6 +228,8 @@ def solve_streaming(
                 # _masked_grad_dict_update from full-data statistics
                 d = _masked_d_step(stats_a, stats_b, d)
             diff = float(_rel_diff(d_old, d))
+            if record_objective:
+                obj_curve[it - 1] = float(obj_it)
             niter = it
             if callback is not None:
                 callback(it, diff)
@@ -226,10 +252,13 @@ def solve_streaming(
     aux = (None if last_e is None
            else {"heldout_rel_err": jnp.asarray(np.sqrt(last_e),
                                                 jnp.float32)})
+    objective = (jnp.asarray(obj_curve[:], jnp.float64
+                             if acc_np == np.float64 else jnp.float32)
+                 if record_objective else jnp.zeros((0,), jnp.float32))
     return DictionaryLearningResult(
         x=x, d=d, niter=jnp.asarray(niter, jnp.int32),
         converged=jnp.asarray(converged),
-        objective=jnp.zeros((0,), jnp.float32),
+        objective=objective,
         aux=aux,
     )
 
@@ -278,6 +307,21 @@ def _chunk_val_mask(key, lo, mc, frac):
 
 
 @jax.jit
+def _obj_chunk(yc, mc, xc, d, alpha):
+    """Chunk contribution to the full DL objective
+    0.5*||mask*(y - x@d)||^2 + alpha*||x||_1, with the freshly-coded x
+    against the PRE-update d (the streaming record_objective
+    convention; see solve_streaming)."""
+    acc = jnp.promote_types(jnp.float32, real_dtype(yc.dtype))
+    recon = xc @ d
+    resid = (yc - recon) if mc is None else mc * yc - mc * recon
+    r = resid.astype(jnp.promote_types(acc, resid.dtype))
+    data = 0.5 * jnp.sum(jnp.real(r * jnp.conj(r))).astype(acc)
+    l1 = jnp.asarray(alpha, acc) * jnp.sum(jnp.abs(xc).astype(acc))
+    return data + l1
+
+
+@jax.jit
 def _val_err_chunk(yc, val_c, xc, d):
     """Chunk contribution to (sum val*(y - x@d)^2, sum (val*y)^2)."""
     acc = jnp.promote_types(jnp.float32, real_dtype(yc.dtype))
@@ -323,9 +367,9 @@ def _dl_fused_epoch(y_loader, mask_loader, *geom):
 
 def _build_dl_fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks,
                           n_atoms, n_channels, lasso_method, lasso_iter,
-                          masked, dtype, precision, heldout=None,
-                          with_val=False, n_true=None, mesh=None,
-                          row_axis=None):
+                          masked, dtype, precision, with_obj=False,
+                          heldout=None, with_val=False, n_true=None,
+                          mesh=None, row_axis=None):
     """Fused dictionary-learning epoch for jit-traceable loaders: ONE
     dispatched call sparse-codes every chunk (fixed ``lasso_iter``
     budget, warm-started from the resident x), accumulates the
@@ -363,9 +407,10 @@ def _build_dl_fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks,
     def local_pass(x_l, d, alpha, lasso_tol, row0):
         sa0 = vmark(jnp.zeros((n_atoms, n_atoms), dtype))
         sb0 = vmark(jnp.zeros((n_atoms, n_channels), dtype))
+        obj0 = vmark(jnp.zeros((), acc))
 
         def body(i, carry):
-            x_, sa, sb = carry[:3]
+            x_, sa, sb, obj = carry[:4]
             lo_local = i * chunk_rows
             lo = row0 + jnp.asarray(lo_local, jnp.asarray(0).dtype)
             if ragged:
@@ -419,20 +464,37 @@ def _build_dl_fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks,
                     lambda a_, b_: jnp.where(valid, a_, b_),
                     lambda a_, b_: a_, xc, xc_prev)
             x_ = jax.lax.dynamic_update_slice(x_, xc, (lo_local, 0))
+            oc = jnp.zeros((), acc)
+            if with_obj:
+                # Streaming record_objective convention (matching
+                # nmf.solve_streaming): the full DL objective
+                # 0.5*||mask*(y - x@d)||^2 + alpha*||x||_1, evaluated
+                # chunk-wise with the freshly-coded x against the
+                # PRE-update d — one extra reconstruction matmul per
+                # chunk. Tail rows hold zero x AND zero data, so they
+                # contribute nothing. with_obj excludes heldout
+                # (validated at entry), so mc is the FULL mask here.
+                recon_o = xc @ d
+                resid_o = (yc - recon_o if mc is None
+                           else mc * yc - mc * recon_o)
+                r_o = resid_o.astype(acc)
+                oc = (0.5 * jnp.sum(r_o * r_o)
+                      + alpha.astype(acc)
+                      * jnp.sum(jnp.abs(xc).astype(acc)))
             if not with_val:
-                return (x_, sa + a_c, sb + b_c)
-            verr, vnorm = carry[3], carry[4]
+                return (x_, sa + a_c, sb + b_c, obj + oc)
+            verr, vnorm = carry[4], carry[5]
             recon_v = (xc @ d).astype(acc)
             yv = (val_c * yc).astype(acc)
             rv = yv - val_c.astype(acc) * recon_v
-            return (x_, sa + a_c, sb + b_c,
+            return (x_, sa + a_c, sb + b_c, obj + oc,
                     verr + jnp.sum(rv * rv), vnorm + jnp.sum(yv * yv))
 
         if with_val:
-            init = (x_l, sa0, sb0, vmark(jnp.zeros((), acc)),
+            init = (x_l, sa0, sb0, obj0, vmark(jnp.zeros((), acc)),
                     vmark(jnp.zeros((), acc)))
         else:
-            init = (x_l, sa0, sb0)
+            init = (x_l, sa0, sb0, obj0)
         return jax.lax.fori_loop(0, n_chunks, body, init)
 
     def finish(d, sa, sb):
@@ -449,11 +511,11 @@ def _build_dl_fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks,
                 int_dt = jnp.asarray(0).dtype
                 out = local_pass(x, d, alpha, lasso_tol,
                                  jnp.asarray(0, int_dt))
-                x, sa, sb = out[:3]
+                x, sa, sb, obj = out[:4]
                 d_new, rd = finish(d, sa, sb)
                 if with_val:
-                    return (x, d_new, rd, out[3], out[4])
-                return x, d_new, rd
+                    return (x, d_new, rd, obj, out[4], out[5])
+                return x, d_new, rd, obj
 
         return epoch
 
@@ -466,13 +528,15 @@ def _build_dl_fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks,
         x_l, sa, sb = out[:3]
         sa = jax.lax.psum(sa, row_axis)
         sb = jax.lax.psum(sb, row_axis)
+        obj = jax.lax.psum(out[3], row_axis)
         d_new, rd = finish(d_r, sa, sb)
         if with_val:
-            return (x_l, d_new, rd, jax.lax.psum(out[3], row_axis),
-                    jax.lax.psum(out[4], row_axis))
-        return x_l, d_new, rd
+            return (x_l, d_new, rd, obj,
+                    jax.lax.psum(out[4], row_axis),
+                    jax.lax.psum(out[5], row_axis))
+        return x_l, d_new, rd, obj
 
-    out_specs = (P(row_axis, None), P(None, None), P())
+    out_specs = (P(row_axis, None), P(None, None), P(), P())
     if with_val:
         out_specs = out_specs + (P(), P())
 
@@ -508,7 +572,8 @@ def _solve_streaming_fused(y_loader, d, alpha, x, *, tol, maxiter,
                            lasso_method, lasso_iter, lasso_tol,
                            mask_loader, chunk_rows, precision, callback,
                            stop, heldout_frac, check_every, random_seed,
-                           n_samples, n_channels, dtype, mesh=None,
+                           n_samples, n_channels, dtype,
+                           record_objective=False, mesh=None,
                            row_axis=None):
     """Driver for the fused (jit-loader) DL epochs — single-device when
     ``mesh`` is None, sharded otherwise (the parallel entry wraps this).
@@ -530,8 +595,12 @@ def _solve_streaming_fused(y_loader, d, alpha, x, *, tol, maxiter,
                           f"got {stop!r}")
     masked = mask_loader is not None
     heldout = stop == "heldout"
+    record_objective = bool(record_objective)
     if heldout and not masked:
         raise DecompError("stop='heldout' requires a mask loader")
+    if heldout and record_objective:
+        raise DecompError("stop='heldout' is incompatible with "
+                          "record_objective")
     if heldout and not 0.0 < float(heldout_frac) < 1.0:
         raise DecompError("heldout_frac must be in (0, 1)")
     n_samples, n_channels = int(n_samples), int(n_channels)
@@ -575,7 +644,7 @@ def _solve_streaming_fused(y_loader, d, alpha, x, *, tol, maxiter,
     hd_key = (float(heldout_frac), int(random_seed)) if heldout else None
     common = (y_loader, mask_loader, chunk_rows, n_chunks_local,
               int(n_atoms), n_channels, lasso_method, int(lasso_iter),
-              masked, dtype, precision)
+              masked, dtype, precision, record_objective)
     epoch = _dl_fused_epoch(*common, hd_key, False, n_true, mesh,
                             row_axis)
     epoch_val = (None if not heldout else _dl_fused_epoch(
@@ -590,12 +659,15 @@ def _solve_streaming_fused(y_loader, d, alpha, x, *, tol, maxiter,
     # drivers — code-review round-4 finding #4); two checks
     # is the minimum that can compare a validation pair
     _warmup = min(3, max(2, int(maxiter) // ce))
+    obj_curve = (np.full((int(maxiter),), np.nan, np.float64)
+                 if record_objective else None)
+    objs_dev = []
     prev_e, last_e, checks = None, None, 0
     niter, converged = 0, False
     with jax.default_matmul_precision(precision):
         for it in range(1, int(maxiter) + 1):
             if heldout and it % ce == 0:
-                x, d, diff_dev, verr, vnorm = epoch_val(
+                x, d, diff_dev, _obj, verr, vnorm = epoch_val(
                     x, d, alpha_j, lasso_tol_j)
                 e = float(verr) / max(float(vnorm), 1e-300)
                 last_e = e
@@ -609,7 +681,9 @@ def _solve_streaming_fused(y_loader, d, alpha, x, *, tol, maxiter,
                     break
                 prev_e = e
                 continue
-            x, d, diff_dev = epoch(x, d, alpha_j, lasso_tol_j)
+            x, d, diff_dev, obj_dev = epoch(x, d, alpha_j, lasso_tol_j)
+            if record_objective:
+                objs_dev.append(obj_dev)
             niter = it
             if need_diff and (it % ce == 0 or it == maxiter):
                 diff = float(diff_dev)  # one sync per CHECK epoch
@@ -618,6 +692,14 @@ def _solve_streaming_fused(y_loader, d, alpha, x, *, tol, maxiter,
                 if diff < tol_f:
                     converged = True
                     break
+    if record_objective:
+        for i, o in enumerate(objs_dev):  # single drain at the end
+            obj_curve[i] = float(o)
+        acc_np = np.promote_types(np.float32, dtype)
+        objective = jnp.asarray(obj_curve[:], jnp.float64
+                                if acc_np == np.float64 else jnp.float32)
+    else:
+        objective = jnp.zeros((0,), jnp.float32)
     aux = (None if last_e is None
            else {"heldout_rel_err": jnp.asarray(np.sqrt(last_e),
                                                 jnp.float32)})
@@ -626,4 +708,4 @@ def _solve_streaming_fused(y_loader, d, alpha, x, *, tol, maxiter,
     return DictionaryLearningResult(
         x=x, d=d, niter=jnp.asarray(niter, jnp.int32),
         converged=jnp.asarray(converged),
-        objective=jnp.zeros((0,), jnp.float32), aux=aux)
+        objective=objective, aux=aux)

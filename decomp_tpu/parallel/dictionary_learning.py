@@ -323,6 +323,7 @@ def solve_streaming(
     n_samples=None,
     n_channels=None,
     dtype=None,
+    record_objective: bool = False,
 ):
     """Sharded out-of-core dictionary learning (round 4): the sample
     axis shards over ``mesh[row_axis]`` AND each device streams its
@@ -334,10 +335,11 @@ def solve_streaming(
     ``y`` MUST be a jit-traceable callable ``(lo, hi) -> chunk`` taking
     GLOBAL row offsets (``mask`` likewise); pass explicit
     ``n_samples``/``n_channels``/``dtype``. Ragged ``n_samples``,
-    ``stop='heldout'`` (lockstep with the single-device fused streamer)
-    and ``check_every`` amortisation follow
-    ``models.dl_streaming._solve_streaming_fused``. Returns a
-    DictionaryLearningResult with a row-sharded global ``x``.
+    ``stop='heldout'`` (lockstep with the single-device fused streamer),
+    ``check_every`` amortisation and ``record_objective`` (the psum'd
+    full objective per epoch, same convention as the single-device
+    streamer) follow ``models.dl_streaming._solve_streaming_fused``.
+    Returns a DictionaryLearningResult with a row-sharded global ``x``.
     """
     from decomp_tpu.models.dl_streaming import _solve_streaming_fused
     from decomp_tpu.utils.exceptions import DecompError
@@ -355,5 +357,6 @@ def solve_streaming(
         precision=precision, callback=callback, stop=stop,
         heldout_frac=heldout_frac, check_every=check_every,
         random_seed=random_seed, n_samples=n_samples,
-        n_channels=n_channels, dtype=dtype, mesh=mesh,
+        n_channels=n_channels, dtype=dtype,
+        record_objective=record_objective, mesh=mesh,
         row_axis=row_axis)

@@ -648,6 +648,89 @@ def test_sharded_dl_streaming_matches_single(masked):
     assert rel_err(shard.x, single.x) < 1e-5
 
 
+@pytest.mark.parametrize("masked", [False, True])
+def test_dl_streaming_record_objective(masked):
+    """record_objective in the DL streamers: host and fused curves
+    agree, the first entry equals a direct evaluation of the full
+    objective (fresh x against the PRE-update d — the documented
+    streaming convention), and the sharded curve equals the
+    single-device one."""
+    import jax
+    import jax.numpy as jnp
+    from decomp_tpu import parallel
+    from decomp_tpu.utils.normalize import l2_normalize
+
+    m, ch, k, chunk = 512, 32, 6, 128
+    ym, mask, d0, yd, md = _dl_problem(118, m, ch, k, masked)
+    alpha = 0.03
+
+    def loader(lo, hi):
+        return jax.lax.dynamic_slice(yd, (lo, 0), (chunk, ch))
+
+    mloader = (None if md is None else
+               (lambda lo, hi: jax.lax.dynamic_slice(md, (lo, 0),
+                                                     (chunk, ch))))
+    kw = dict(tol=0.0, maxiter=6, lasso_iter=6, chunk_rows=chunk,
+              record_objective=True)
+    host = decomp_tpu.dictionary_learning.solve_streaming(
+        ym, d0, alpha, mask=mask, **kw)
+    fkw = dict(kw, mask=mloader, jit_loader=True, n_samples=m,
+               n_channels=ch, dtype=np.float32)
+    fused = decomp_tpu.dictionary_learning.solve_streaming(
+        loader, d0, alpha, **fkw)
+    ho = np.asarray(host.objective)
+    fo = np.asarray(fused.objective)
+    assert ho.shape == (6,) and fo.shape == (6,)
+    assert np.all(np.isfinite(ho))
+    np.testing.assert_allclose(fo, ho, rtol=1e-5)
+
+    # Direct first-entry check: at maxiter=1 the returned x IS the
+    # freshly-coded x and the pre-update d is the normalised d0.
+    one = decomp_tpu.dictionary_learning.solve_streaming(
+        ym, d0, alpha, mask=mask, tol=0.0, maxiter=1, lasso_iter=6,
+        chunk_rows=chunk, record_objective=True)
+    dn = np.asarray(l2_normalize(jnp.asarray(d0), axis=1))
+    recon = np.asarray(one.x) @ dn
+    resid = (ym - recon) if mask is None else mask * ym - mask * recon
+    direct = 0.5 * np.sum(resid.astype(np.float64) ** 2) \
+        + alpha * np.sum(np.abs(one.x).astype(np.float64))
+    np.testing.assert_allclose(float(np.asarray(one.objective)[0]),
+                               direct, rtol=1e-4)
+
+    mesh = parallel.make_mesh(axis_names=("rows",))
+    shard = parallel.dictionary_learning.solve_streaming(
+        loader, d0, alpha, mesh=mesh,
+        **{k_: v for k_, v in fkw.items() if k_ != "jit_loader"})
+    np.testing.assert_allclose(np.asarray(shard.objective), fo,
+                               rtol=1e-5)
+
+
+def test_dl_streaming_record_objective_heldout_raises():
+    """record_objective is incompatible with stop='heldout' in both DL
+    streaming paths (same contract as the NMF streamers)."""
+    import jax
+    from decomp_tpu.utils.exceptions import DecompError
+
+    m, ch, k, chunk = 256, 32, 4, 128
+    ym, mask, d0, yd, md = _dl_problem(119, m, ch, k, masked=True)
+
+    def loader(lo, hi):
+        return jax.lax.dynamic_slice(yd, (lo, 0), (chunk, ch))
+
+    def mloader(lo, hi):
+        return jax.lax.dynamic_slice(md, (lo, 0), (chunk, ch))
+
+    with pytest.raises(DecompError, match="record_objective"):
+        decomp_tpu.dictionary_learning.solve_streaming(
+            ym, d0, 0.03, mask=mask, stop="heldout",
+            record_objective=True, chunk_rows=chunk)
+    with pytest.raises(DecompError, match="record_objective"):
+        decomp_tpu.dictionary_learning.solve_streaming(
+            loader, d0, 0.03, mask=mloader, jit_loader=True,
+            stop="heldout", record_objective=True, chunk_rows=chunk,
+            n_samples=m, n_channels=ch, dtype=np.float32)
+
+
 def test_fused_dl_heldout_lockstep():
     """stop='heldout' through the fused DL epochs: sharded and
     single-device stop on the same iteration with the same error."""
