@@ -120,6 +120,16 @@ def fits_vmem(f_pad: int, momentum: bool = True, hi_lo: bool = False,
         <= _VMEM_LIMIT
 
 
+def _bitmask_split(gram):
+    """f32 -> exact (hi, lo) bf16 halves via bit masking. An astype
+    round trip is elided under --xla_allow_excess_precision (lo folds
+    to ZERO and bf16x3 silently degrades to single-pass bf16)."""
+    g32 = jax.lax.bitcast_convert_type(gram, jnp.uint32)
+    hi_f = jax.lax.bitcast_convert_type(g32 & np.uint32(0xFFFF0000),
+                                        jnp.float32)
+    return hi_f.astype(jnp.bfloat16), (gram - hi_f).astype(jnp.bfloat16)
+
+
 def _kernel(momentum, restart, maxiter, hi_lo, feat_vecs, group_fc,
             *refs):
     if feat_vecs:
@@ -333,14 +343,7 @@ def solve_rows(yah, gram, x0, z0, t0, done0, nit0, stepsz, thresh, tol, *,
                           thresh.reshape(())]).astype(f32)
     gram = gram.astype(f32)
     if hi_lo:
-        # Bitmask truncation split — an astype round trip here is elided
-        # under --xla_allow_excess_precision (glo folds to ZERO and the
-        # kernel silently runs single-pass bf16; see _kernel.grad).
-        g32 = jax.lax.bitcast_convert_type(gram, jnp.uint32)
-        ghi_f = jax.lax.bitcast_convert_type(
-            g32 & np.uint32(0xFFFF0000), f32)
-        ghi = ghi_f.astype(jnp.bfloat16)              # exact conversion
-        glo = (gram - ghi_f).astype(jnp.bfloat16)     # bits 9-16
+        ghi, glo = _bitmask_split(gram)
         g_in = [ghi, glo]
         g_specs = [pl.BlockSpec((f, f), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)] * 2
