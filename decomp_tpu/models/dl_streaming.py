@@ -306,19 +306,23 @@ def _chunk_val_mask(key, lo, mc, frac):
     return bern * mc
 
 
-@jax.jit
-def _obj_chunk(yc, mc, xc, d, alpha):
+def _obj_chunk_impl(yc, mc, xc, d, alpha):
     """Chunk contribution to the full DL objective
-    0.5*||mask*(y - x@d)||^2 + alpha*||x||_1, with the freshly-coded x
+    0.5*||mask*(y - x@d)||^2 + sum(alpha*|x|), with the freshly-coded x
     against the PRE-update d (the streaming record_objective
-    convention; see solve_streaming)."""
+    convention; see solve_streaming). ONE implementation for the host
+    chunk loop and the traced fused-epoch body; alpha may be a scalar
+    or a per-atom vector (weighted, matching the in-core objective)."""
     acc = jnp.promote_types(jnp.float32, real_dtype(yc.dtype))
     recon = xc @ d
     resid = (yc - recon) if mc is None else mc * yc - mc * recon
     r = resid.astype(jnp.promote_types(acc, resid.dtype))
     data = 0.5 * jnp.sum(jnp.real(r * jnp.conj(r))).astype(acc)
-    l1 = jnp.asarray(alpha, acc) * jnp.sum(jnp.abs(xc).astype(acc))
+    l1 = jnp.sum(jnp.asarray(alpha, acc) * jnp.abs(xc).astype(acc))
     return data + l1
+
+
+_obj_chunk = jax.jit(_obj_chunk_impl)
 
 
 @jax.jit
@@ -467,20 +471,13 @@ def _build_dl_fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks,
             oc = jnp.zeros((), acc)
             if with_obj:
                 # Streaming record_objective convention (matching
-                # nmf.solve_streaming): the full DL objective
-                # 0.5*||mask*(y - x@d)||^2 + alpha*||x||_1, evaluated
-                # chunk-wise with the freshly-coded x against the
-                # PRE-update d — one extra reconstruction matmul per
-                # chunk. Tail rows hold zero x AND zero data, so they
-                # contribute nothing. with_obj excludes heldout
-                # (validated at entry), so mc is the FULL mask here.
-                recon_o = xc @ d
-                resid_o = (yc - recon_o if mc is None
-                           else mc * yc - mc * recon_o)
-                r_o = resid_o.astype(acc)
-                oc = (0.5 * jnp.sum(r_o * r_o)
-                      + alpha.astype(acc)
-                      * jnp.sum(jnp.abs(xc).astype(acc)))
+                # nmf.solve_streaming): the full DL objective with the
+                # freshly-coded x against the PRE-update d — one extra
+                # reconstruction matmul per chunk. Tail rows hold zero
+                # x AND zero data, so they contribute nothing. with_obj
+                # excludes heldout (validated at entry), so mc is the
+                # FULL mask here.
+                oc = _obj_chunk_impl(yc, mc, xc, d, alpha)
             if not with_val:
                 return (x_, sa + a_c, sb + b_c, obj + oc)
             verr, vnorm = carry[4], carry[5]

@@ -705,6 +705,30 @@ def test_dl_streaming_record_objective(masked):
                                rtol=1e-5)
 
 
+def test_dl_streaming_record_objective_array_alpha():
+    """Per-atom (array) alpha with record_objective: the L1 term is the
+    WEIGHTED sum(alpha*|x|) matching the in-core objective — a scalar
+    alpha*sum(|x|) form crashed float() and was semantically wrong
+    (code-review round-4 finding)."""
+    rng = np.random.default_rng(120)
+    m, ch, k, chunk = 256, 32, 4, 128
+    y = np.abs(rng.normal(size=(m, ch))).astype(np.float32)
+    d0 = rng.normal(size=(k, ch)).astype(np.float32)
+    alpha = np.linspace(0.01, 0.1, k).astype(np.float32)
+    res = decomp_tpu.dictionary_learning.solve_streaming(
+        y, d0, alpha, tol=0.0, maxiter=1, lasso_iter=6,
+        chunk_rows=chunk, record_objective=True)
+    from decomp_tpu.utils.normalize import l2_normalize
+    import jax.numpy as jnp
+    dn = np.asarray(l2_normalize(jnp.asarray(d0), axis=1))
+    resid = y - np.asarray(res.x) @ dn
+    direct = (0.5 * np.sum(resid.astype(np.float64) ** 2)
+              + np.sum(alpha * np.abs(np.asarray(res.x))
+                       .astype(np.float64)))
+    np.testing.assert_allclose(float(np.asarray(res.objective)[0]),
+                               direct, rtol=1e-4)
+
+
 def test_dl_streaming_record_objective_heldout_raises():
     """record_objective is incompatible with stop='heldout' in both DL
     streaming paths (same contract as the NMF streamers)."""
