@@ -314,13 +314,18 @@ def solve_streaming(
 
         use_pallas_chunk = (
             (_pmu.calibrated_tpu() or _pallas_interpret)
-            and method == "mu"
+            # 'kl-mu' chunks fuse too (kl_stats_dense/masked), except in
+            # mixed mode — the KL kernels carry no factor_dtype
+            # convention (in-core use_pallas rejects the combination the
+            # same way)
+            and (method == "mu" or (method == "kl-mu" and not mixed))
             and not record_objective
             and chunk_rows % 128 == 0
             and n_channels % 128 == 0
             and rank % 128 == 0
             and _pmu.fits_vmem(n_channels, rank,
-                               jnp.dtype(y_dtype).itemsize, masked)
+                               jnp.dtype(y_dtype).itemsize,
+                               masked or method == "kl-mu")
         )
         heldout = stop == "heldout"
         if heldout:
@@ -598,9 +603,17 @@ def _build_fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks, rank,
     def local_pass(x_l, d, cache, mcache, row0):
         """x updates + local d statistics over this device's chunks."""
         num0 = vaxes(jnp.zeros((rank, n_channels), acc_j))
-        den0 = vaxes(jnp.zeros((rank, rank), acc_j) if not masked
-                     and method == "mu"
-                     else jnp.zeros((rank, n_channels), acc_j))
+        if method == "mu" and not masked:
+            den_shape = (rank, rank)             # Gram
+        elif (method == "kl-mu" and not masked and use_pallas_chunk):
+            # kernel path: (K,1) column sums of x (the jnp path keeps
+            # its broadcast (K,N) form; sums of broadcasts equal the
+            # broadcast of sums, so _d_from_stats_impl sees identical
+            # values either way)
+            den_shape = (rank, 1)
+        else:
+            den_shape = (rank, n_channels)
+        den0 = vaxes(jnp.zeros(den_shape, acc_j))
         obj0 = vaxes(jnp.zeros((), acc_j))
 
         db = d.astype(y_dtype) if use_pallas_chunk else None
@@ -678,15 +691,27 @@ def _build_fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks, rank,
             if use_pallas_chunk:
                 from decomp_tpu.ops import pallas_mu
 
-                if masked:
+                eps32 = jnp.asarray(eps_f, jnp.float32)
+                if method == "kl-mu":
+                    # single-pass KL chunks: both ratio reconstructions
+                    # stay in VMEM (the jnp chunk step materialises two
+                    # M_c x N intermediates in HBM per chunk)
+                    if masked:
+                        xc, nc, dc = pallas_mu.kl_stats_masked(
+                            mc * yc, mc, xc_prev, db, eps32,
+                            interpret=pallas_interpret)
+                    else:
+                        xc, nc, dc = pallas_mu.kl_stats_dense(
+                            yc, xc_prev, db, eps32,
+                            interpret=pallas_interpret)
+                        dc = dc.T   # (1,K) colsums -> (K,1) accumulator
+                elif masked:
                     xc, nc, dc = pallas_mu.mu_stats_masked(
-                        mc * yc, mc, xc_prev, db,
-                        jnp.asarray(eps_f, jnp.float32),
+                        mc * yc, mc, xc_prev, db, eps32,
                         interpret=pallas_interpret)
                 else:
                     xc, nc, dc = pallas_mu.mu_stats_dense(
-                        yc, xc_prev, db,
-                        jnp.asarray(eps_f, jnp.float32),
+                        yc, xc_prev, db, eps32,
                         interpret=pallas_interpret)
                 nc = nc.astype(acc_j)
                 dc = dc.astype(acc_j)

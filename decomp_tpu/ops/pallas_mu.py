@@ -543,6 +543,26 @@ def kl_update_dense(my, x, d, eps, *, block_rows=None, interpret=False,
     iteration (VERDICT.md round-1 Weak #6). ``psum`` allreduces the
     K x N numerator and K-vector denominator under row sharding.
     """
+    x_new, numd, xsum = kl_stats_dense(
+        my, x, d, eps, block_rows=block_rows, interpret=interpret,
+        vma=vma)
+    if psum is not None:
+        numd, xsum = psum(numd), psum(xsum)
+    eps32 = jnp.asarray(eps, jnp.float32).reshape(1)
+    den_d = xsum[0][:, None]  # (K, 1) column sums of x_new
+    d_new = (d.astype(jnp.float32) * numd / (den_d + eps32[0])).astype(
+        d.dtype)
+    return x_new, d_new
+
+
+def kl_stats_dense(my, x, d, eps, *, block_rows=None, interpret=False,
+                   vma=None):
+    """The fused dense-KL kernel WITHOUT the d epilogue: one pass over
+    ``my`` returns (x_new, numd, xsum) where numd = x_new^T (my /
+    (x_new@d + eps)) (K, N) and xsum (1, K) holds x_new's column sums —
+    the KL d-update sufficient statistics. Streaming callers
+    (nmf_streaming's fused epoch) accumulate these across chunks and
+    apply one d update per epoch, exactly as with ``mu_stats_dense``."""
     m, n = my.shape
     k = d.shape[0]
     if block_rows is None:
@@ -593,18 +613,30 @@ def kl_update_dense(my, x, d, eps, *, block_rows=None, interpret=False,
         ),
         interpret=interpret,
     )(eps32, dsum, my, x, d)
-
-    if psum is not None:
-        numd, xsum = psum(numd), psum(xsum)
-    den_d = xsum[0][:, None]  # (K, 1) column sums of x_new
-    d_new = (d.astype(jnp.float32) * numd / (den_d + eps32[0])).astype(
-        d.dtype)
-    return x_new, d_new
+    return x_new, numd, xsum
 
 
 def kl_update_masked(my, mask, x, d, eps, *, block_rows=None,
                      interpret=False, psum=None, vma=None):
     """One fused masked KL-MU iteration. Returns (x_new, d_new)."""
+    x_new, numd, dend = kl_stats_masked(
+        my, mask, x, d, eps, block_rows=block_rows, interpret=interpret,
+        vma=vma)
+    if psum is not None:
+        numd, dend = psum(numd), psum(dend)
+    eps32 = jnp.asarray(eps, jnp.float32).reshape(1)
+    d_new = (d.astype(jnp.float32) * numd / (dend + eps32[0])).astype(
+        d.dtype)
+    return x_new, d_new
+
+
+def kl_stats_masked(my, mask, x, d, eps, *, block_rows=None,
+                    interpret=False, vma=None):
+    """The fused masked-KL kernel WITHOUT the d epilogue: one pass over
+    (my, mask) returns (x_new, numd, dend) with numd = x_new^T (my /
+    (x_new@d + eps)) and dend = x_new^T mask — the masked KL d-update
+    sufficient statistics, accumulated across chunks by streaming
+    callers exactly as with ``mu_stats_masked``."""
     m, n = my.shape
     k = d.shape[0]
     if block_rows is None:
@@ -654,9 +686,4 @@ def kl_update_masked(my, mask, x, d, eps, *, block_rows=None,
         ),
         interpret=interpret,
     )(eps32, my, mask, x, d)
-
-    if psum is not None:
-        numd, dend = psum(numd), psum(dend)
-    d_new = (d.astype(jnp.float32) * numd / (dend + eps32[0])).astype(
-        d.dtype)
-    return x_new, d_new
+    return x_new, numd, dend

@@ -231,13 +231,17 @@ def solve_streaming(
 
     use_pallas_chunk = (
         (_pmu.calibrated_tpu() or _pallas_interpret)
-        and method == "mu"
+        # 'kl-mu' fuses too (kl_stats_dense/masked) except in mixed mode
+        # — same gate as the single-device streamer
+        and (method == "mu"
+             or (method == "kl-mu" and factor_dtype is None))
         and not record_objective
         and chunk_rows % 128 == 0
         and n_channels % 128 == 0
         and rank % 128 == 0
         and _pmu.fits_vmem(n_channels, rank,
-                           jnp.dtype(y_dtype).itemsize, masked)
+                           jnp.dtype(y_dtype).itemsize,
+                           masked or method == "kl-mu")
     )
     mixed = factor_dtype is not None
     n_cache = max(0, min(int(hbm_cache_chunks), n_chunks_local))

@@ -241,11 +241,13 @@ def test_callable_loader_validation():
         decomp_tpu.nmf.solve_streaming(lambda lo, hi: None, rank=4)
 
 
+@pytest.mark.parametrize("method", ["mu", "kl-mu"])
 @pytest.mark.parametrize("masked", [False, True])
-def test_fused_epoch_pallas_chunk_matches_jnp(masked):
-    """The fused epoch's Pallas chunk step (mu_stats_dense / masked,
-    interpret mode) tracks the jnp chunk step — pod-scale masked
-    completion streams through the single-pass kernel."""
+def test_fused_epoch_pallas_chunk_matches_jnp(masked, method):
+    """The fused epoch's Pallas chunk step (mu_stats_* for 'mu',
+    kl_stats_* for 'kl-mu'; interpret mode) tracks the jnp chunk step —
+    pod-scale (masked) streaming runs through the single-pass kernels
+    for both update families."""
     import jax
     import jax.numpy as jnp
 
@@ -268,7 +270,7 @@ def test_fused_epoch_pallas_chunk_matches_jnp(masked):
                        md, (lo, 0), (chunk, n))))
     kw = dict(tol=0.0, maxiter=12, chunk_rows=chunk, n_samples=m,
               n_channels=n, dtype=np.float32, x_device=True,
-              jit_loader=True, mask=mask_loader)
+              jit_loader=True, mask=mask_loader, method=method)
     ref = decomp_tpu.nmf.solve_streaming(loader, d0, x=x0, **kw)
     res = decomp_tpu.nmf.solve_streaming(loader, d0, x=x0,
                                          _pallas_interpret=True, **kw)

@@ -725,6 +725,23 @@ def test_sharded_streaming_ragged_pallas_interpret(mesh8):
     assert rel_err(res.x, ref.x) < 1e-5
 
 
+@pytest.mark.parametrize("masked", [False, True])
+def test_sharded_streaming_kl_pallas_interpret(mesh8, masked):
+    """KL-MU through the fused chunk kernels (kl_stats_dense/masked,
+    interpret mode) under shard_map: kernel == jnp, dense and masked."""
+    m, n, k, chunk = 1024, 128, 128, 128
+    y, mask_arr, x0, d0, loader, mloader = _stream_problem(
+        121, m, n, k, chunk, masked=masked)
+    kw = dict(tol=0.0, maxiter=6, chunk_rows=chunk, n_samples=m,
+              n_channels=n, dtype=np.float32, mesh=mesh8,
+              method="kl-mu", mask=mloader)
+    ref = parallel.nmf.solve_streaming(loader, d0, x=x0, **kw)
+    res = parallel.nmf.solve_streaming(loader, d0, x=x0,
+                                       _pallas_interpret=True, **kw)
+    assert rel_err(res.d, ref.d) < 1e-5
+    assert rel_err(res.x, ref.x) < 1e-5
+
+
 def test_sharded_streaming_check_every_amortised(mesh8):
     """Amortised rel-change stop in the sharded streamer: the stop lands
     on a check epoch and matches the per-epoch stop to within one
