@@ -36,6 +36,48 @@ from decomp_tpu.utils.exceptions import DecompError
 from decomp_tpu.utils.result import NMFResult
 
 
+def _chunk_kernel_gate(use_pallas, *, on_tpu, method, mixed,
+                       record_objective, chunk_rows, n_channels, rank,
+                       y_itemsize, masked, block_rows=None):
+    """Resolve the streaming chunk-kernel gate (shared by the
+    single-device and sharded streamers). ``use_pallas`` semantics
+    mirror ``nmf.solve``: 'auto' engages the fused chunk kernels when
+    the platform is calibrated and every geometry requirement holds;
+    ``False`` disables them; ``True`` forces them, raising DecompError
+    naming the first unsatisfied requirement instead of silently
+    falling back."""
+    from decomp_tpu.ops import pallas_mu as _pmu
+
+    reqs = (
+        (method == "mu" or (method == "kl-mu" and not mixed),
+         "method must be 'mu', or 'kl-mu' without factor_dtype (the "
+         "fused KL chunk kernels carry no mixed-precision convention, "
+         "exactly like the in-core use_pallas gate)"),
+        (not record_objective,
+         "record_objective is unsupported (the fused chunk kernels do "
+         "not emit the data-fit term)"),
+        (chunk_rows % 128 == 0, "chunk_rows must be a multiple of 128"),
+        (n_channels % 128 == 0, "n_channels must be a multiple of 128"),
+        (rank % 128 == 0, "rank must be a multiple of 128"),
+        (block_rows is None or chunk_rows % block_rows == 0,
+         "chunk_rows must be a multiple of pallas_block_rows"),
+        (_pmu.fits_vmem(n_channels, rank, y_itemsize,
+                        masked or method == "kl-mu",
+                        **({"block_rows": block_rows}
+                           if block_rows else {})),
+         "the kernel's per-stripe residents exceed scoped VMEM at this "
+         "(n_channels, rank, dtype)"),
+    )
+    if use_pallas == "auto":
+        return on_tpu and all(cond for cond, _ in reqs)
+    if not use_pallas:
+        return False
+    for cond, why in reqs:
+        if not cond:
+            raise DecompError(f"use_pallas=True: {why}")
+    return True
+
+
 def solve_streaming(
     y,
     d=None,
@@ -58,6 +100,8 @@ def solve_streaming(
     x_device: bool = False,
     record_objective: bool = False,
     jit_loader: bool = False,
+    use_pallas="auto",
+    pallas_block_rows: Optional[int] = None,
     hbm_cache_chunks: int = 0,
     stop: str = "rel_change",
     heldout_frac: float = 0.05,
@@ -123,6 +167,25 @@ def solve_streaming(
         defeats the cache and re-traces + re-compiles the whole epoch
         every call (tens of seconds at pod scale). ``epoch_cache_info()``
         in this module reports hits/misses for debugging.
+    use_pallas : True / False / 'auto' (jit_loader mode). The fused
+        Pallas chunk kernels (``mu_stats_dense/masked``,
+        ``kl_stats_dense/masked``) read each chunk ONCE per epoch where
+        the jnp chunk step reads it twice — at pod scale the chunk
+        round trips ARE the HBM roofline. 'auto' engages them exactly
+        like ``nmf.solve``'s kernel gate (calibrated TPU generation,
+        128-aligned chunk_rows/n_channels/rank, VMEM fit, non-mixed for
+        'kl-mu', no record_objective); ``True`` forces them, raising
+        DecompError naming the unmet requirement instead of silently
+        falling back; ``False`` keeps the jnp chunk step. Under 'auto',
+        a kernel epoch that FAILS TO COMPILE (XLA occasionally assigns
+        chunk-sized values to Mosaic's scoped-VMEM stack in a
+        whole-program-dependent way) falls back to the jnp chunk step
+        with a RuntimeWarning instead of raising.
+    pallas_block_rows : override the chunk kernels' stripe height
+        (rows per grid step; must divide chunk_rows). Smaller stripes
+        (e.g. 64) shrink the kernel's VMEM working set — the measured
+        escape hatch for wide-row f32 configs where the default
+        128-row stripe exceeds the scoped-VMEM stack.
     stop : 'rel_change' (default) or 'heldout' (jit_loader + masked
         only): as in ``nmf.solve`` — a ``heldout_frac`` fraction of each
         chunk's observed entries is reserved (drawn deterministically
@@ -162,7 +225,15 @@ def solve_streaming(
     if stop not in ("rel_change", "heldout"):
         raise DecompError(f"stop must be 'rel_change' or 'heldout', "
                           f"got {stop!r}")
+    if use_pallas not in (True, False, "auto"):
+        raise DecompError(f"use_pallas must be True, False or 'auto', "
+                          f"got {use_pallas!r}")
     if not jit_loader:
+        if use_pallas is True:
+            raise DecompError("use_pallas=True requires jit_loader=True "
+                              "(the fused chunk kernels live in the "
+                              "jitted epoch; the host-array path streams "
+                              "through the jnp chunk step)")
         if stop == "heldout":
             raise DecompError("stop='heldout' requires jit_loader=True "
                               "(the validation split is drawn inside the "
@@ -312,21 +383,14 @@ def solve_streaming(
         # nmf.solve's kernel path.
         from decomp_tpu.ops import pallas_mu as _pmu
 
-        use_pallas_chunk = (
-            (_pmu.calibrated_tpu() or _pallas_interpret)
-            # 'kl-mu' chunks fuse too (kl_stats_dense/masked), except in
-            # mixed mode — the KL kernels carry no factor_dtype
-            # convention (in-core use_pallas rejects the combination the
-            # same way)
-            and (method == "mu" or (method == "kl-mu" and not mixed))
-            and not record_objective
-            and chunk_rows % 128 == 0
-            and n_channels % 128 == 0
-            and rank % 128 == 0
-            and _pmu.fits_vmem(n_channels, rank,
-                               jnp.dtype(y_dtype).itemsize,
-                               masked or method == "kl-mu")
-        )
+        use_pallas_chunk = _chunk_kernel_gate(
+            use_pallas,
+            on_tpu=(_pmu.calibrated_tpu() or _pallas_interpret),
+            method=method, mixed=mixed,
+            record_objective=record_objective, chunk_rows=chunk_rows,
+            n_channels=n_channels, rank=rank,
+            y_itemsize=jnp.dtype(y_dtype).itemsize, masked=masked,
+            block_rows=pallas_block_rows)
         heldout = stop == "heldout"
         if heldout:
             if not masked:
@@ -377,27 +441,68 @@ def solve_streaming(
         hd_key = (float(heldout_frac), int(random_seed)) if heldout \
             else None
         n_true = n_samples if n_pad != n_samples else None
-        epoch0 = _fused_epoch(
-            y_loader, mask_loader, int(chunk_rows), int(n_chunks),
-            int(rank), int(n_channels), method, masked, mixed,
-            bool(record_objective), jnp.dtype(y_dtype), float(eps_f),
-            precision, use_pallas_chunk, bool(_pallas_interpret),
-            n_cache, hd_key, False, n_true)
-        epoch0_val = (None if not heldout else _fused_epoch(
-            y_loader, mask_loader, int(chunk_rows), int(n_chunks),
-            int(rank), int(n_channels), method, masked, mixed,
-            bool(record_objective), jnp.dtype(y_dtype), float(eps_f),
-            precision, use_pallas_chunk, bool(_pallas_interpret),
-            n_cache, hd_key, True, n_true))
-        if n_cache:
-            def epoch(x, d):
-                return epoch0(x, d, cache, mcache)
 
-            def epoch_val(x, d):
-                return epoch0_val(x, d, cache, mcache)
-        else:
-            epoch = epoch0
-            epoch_val = epoch0_val
+        _brows = (None if pallas_block_rows is None
+                  else int(pallas_block_rows))
+
+        def _mk_epochs(upc):
+            e0 = _fused_epoch(
+                y_loader, mask_loader, int(chunk_rows), int(n_chunks),
+                int(rank), int(n_channels), method, masked, mixed,
+                bool(record_objective), jnp.dtype(y_dtype), float(eps_f),
+                precision, upc, bool(_pallas_interpret),
+                n_cache, hd_key, False, n_true, None, None, _brows)
+            e0v = (None if not heldout else _fused_epoch(
+                y_loader, mask_loader, int(chunk_rows), int(n_chunks),
+                int(rank), int(n_channels), method, masked, mixed,
+                bool(record_objective), jnp.dtype(y_dtype), float(eps_f),
+                precision, upc, bool(_pallas_interpret),
+                n_cache, hd_key, True, n_true, None, None, _brows))
+            if n_cache:
+                return (lambda xx, dd: e0(xx, dd, cache, mcache),
+                        (None if e0v is None else
+                         lambda xx, dd: e0v(xx, dd, cache, mcache)))
+            return e0, e0v
+
+        epoch, epoch_val = _mk_epochs(use_pallas_chunk)
+        # Auto-gate compile fallback: XLA's memory-space assignment may
+        # put chunk-sized kernel values on Mosaic's scoped-VMEM stack
+        # inside the fused epoch and fail the compile (measured:
+        # 262144x4096 f32, MU chunks 16384-32768 and KL chunks >= 8192
+        # die at 16.1-19.9M vs the 16M limit, while the SAME kernel
+        # compiles standalone and at other chunk sizes — the placement
+        # depends on the whole program, so no closed-form gate exists).
+        # Under use_pallas='auto' the first dispatch of each epoch
+        # variant is therefore probed: on failure the epoch is rebuilt
+        # with the jnp chunk step and the solve continues; explicit
+        # use_pallas=True propagates the error.
+        _gate_auto = (use_pallas == "auto" and use_pallas_chunk
+                      and not _pallas_interpret)
+        _probe_pending = {"plain": True, "val": heldout}
+
+        def _run_epoch(val, xx, dd):
+            nonlocal epoch, epoch_val, _gate_auto
+            fn = epoch_val if val else epoch
+            key = "val" if val else "plain"
+            if not (_gate_auto and _probe_pending[key]):
+                return fn(xx, dd)
+            _probe_pending[key] = False
+            try:
+                out = fn(xx, dd)
+                float(out[2])  # diff_dev: force the compile to surface
+                return out
+            except Exception as err:  # noqa: BLE001 - see fallback note
+                import warnings
+
+                warnings.warn(
+                    "fused streaming epoch: the auto-gated Pallas chunk "
+                    "kernel failed to compile on this platform "
+                    f"({type(err).__name__}); falling back to the jnp "
+                    "chunk step. Pass use_pallas=False to silence, or "
+                    "use_pallas=True to raise.", RuntimeWarning)
+                _gate_auto = False
+                epoch, epoch_val = _mk_epochs(False)
+                return (epoch_val if val else epoch)(xx, dd)
 
         # tol == 0 with no callback: nothing needs the host per
         # iteration, so the loop just ENQUEUES epochs — on a
@@ -421,7 +526,8 @@ def solve_streaming(
         with jax.default_matmul_precision(precision):
             for it in range(1, maxiter + 1):
                 if heldout and it % ce == 0:
-                    x, d, diff_dev, obj_dev, verr, vnorm = epoch_val(x, d)
+                    x, d, diff_dev, obj_dev, verr, vnorm = _run_epoch(
+                        True, x, d)
                     e = float(verr) / max(float(vnorm), 1e-300)
                     last_e = e
                     checks += 1
@@ -436,7 +542,7 @@ def solve_streaming(
                         break
                     prev_e = e
                     continue
-                x, d, diff_dev, obj_dev = epoch(x, d)
+                x, d, diff_dev, obj_dev = _run_epoch(False, x, d)
                 if record_objective:
                     objs_dev.append(obj_dev)
                 niter = it
@@ -555,7 +661,7 @@ def _build_fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks, rank,
                        y_dtype, eps_f, precision, use_pallas_chunk=False,
                        pallas_interpret=False, n_cache=0, heldout=None,
                        with_val=False, n_true=None, mesh=None,
-                       row_axis=None):
+                       row_axis=None, block_rows=None):
     """Build the jitted fused-epoch function for jit_loader
     mode: one dispatched call runs the x updates and d-statistics over
     ALL chunks (lax.fori_loop + dynamic_update_slice on the resident x).
@@ -699,19 +805,23 @@ def _build_fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks, rank,
                     if masked:
                         xc, nc, dc = pallas_mu.kl_stats_masked(
                             mc * yc, mc, xc_prev, db, eps32,
+                            block_rows=block_rows,
                             interpret=pallas_interpret)
                     else:
                         xc, nc, dc = pallas_mu.kl_stats_dense(
                             yc, xc_prev, db, eps32,
+                            block_rows=block_rows,
                             interpret=pallas_interpret)
                         dc = dc.T   # (1,K) colsums -> (K,1) accumulator
                 elif masked:
                     xc, nc, dc = pallas_mu.mu_stats_masked(
                         mc * yc, mc, xc_prev, db, eps32,
+                        block_rows=block_rows,
                         interpret=pallas_interpret)
                 else:
                     xc, nc, dc = pallas_mu.mu_stats_dense(
                         yc, xc_prev, db, eps32,
+                        block_rows=block_rows,
                         interpret=pallas_interpret)
                 nc = nc.astype(acc_j)
                 dc = dc.astype(acc_j)

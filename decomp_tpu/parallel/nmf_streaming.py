@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from decomp_tpu.models.nmf_streaming import _fused_epoch
+from decomp_tpu.models.nmf_streaming import _chunk_kernel_gate, _fused_epoch
 from decomp_tpu.utils import assertion
 from decomp_tpu.utils.exceptions import DecompError
 from decomp_tpu.utils.result import NMFResult
@@ -68,6 +68,8 @@ def solve_streaming(
     n_channels: Optional[int] = None,
     dtype=None,
     record_objective: bool = False,
+    use_pallas="auto",
+    pallas_block_rows: Optional[int] = None,
     hbm_cache_chunks: int = 0,
     stop: str = "rel_change",
     heldout_frac: float = 0.05,
@@ -96,6 +98,13 @@ def solve_streaming(
         stopping rules); intervening epochs chain with no host sync.
     record_objective : per-epoch data-fit term, allreduced over the
         mesh, returned in ``NMFResult.objective``.
+    use_pallas : True / False / 'auto' — the fused Pallas chunk-kernel
+        gate, exactly as in ``nmf.solve_streaming``'s jit_loader mode
+        (``True`` forces with a typed error when a requirement is
+        unmet; ``False`` keeps the jnp chunk step; 'auto' falls back
+        to jnp with a RuntimeWarning if the kernel epoch fails to
+        compile). ``pallas_block_rows`` overrides the kernels' stripe
+        height, as in ``nmf.solve_streaming``.
     hbm_cache_chunks : keep the first this-many chunks OF EACH DEVICE'S
         local range resident in (sharded) HBM, prefetched once.
 
@@ -112,6 +121,9 @@ def solve_streaming(
     if stop not in ("rel_change", "heldout"):
         raise DecompError(f"stop must be 'rel_change' or 'heldout', "
                           f"got {stop!r}")
+    if use_pallas not in (True, False, "auto"):
+        raise DecompError(f"use_pallas must be True, False or 'auto', "
+                          f"got {use_pallas!r}")
     if not callable(y):
         raise DecompError("the sharded streaming solver requires a "
                           "callable y loader (host arrays cannot stream "
@@ -229,21 +241,15 @@ def solve_streaming(
 
     from decomp_tpu.ops import pallas_mu as _pmu
 
-    use_pallas_chunk = (
-        (_pmu.calibrated_tpu() or _pallas_interpret)
-        # 'kl-mu' fuses too (kl_stats_dense/masked) except in mixed mode
-        # — same gate as the single-device streamer
-        and (method == "mu"
-             or (method == "kl-mu" and factor_dtype is None))
-        and not record_objective
-        and chunk_rows % 128 == 0
-        and n_channels % 128 == 0
-        and rank % 128 == 0
-        and _pmu.fits_vmem(n_channels, rank,
-                           jnp.dtype(y_dtype).itemsize,
-                           masked or method == "kl-mu")
-    )
     mixed = factor_dtype is not None
+    use_pallas_chunk = _chunk_kernel_gate(
+        use_pallas,
+        on_tpu=(_pmu.calibrated_tpu() or _pallas_interpret),
+        method=method, mixed=mixed, record_objective=record_objective,
+        chunk_rows=chunk_rows, n_channels=n_channels, rank=rank,
+        y_itemsize=jnp.dtype(y_dtype).itemsize, masked=masked,
+        block_rows=pallas_block_rows)
+    _brows = None if pallas_block_rows is None else int(pallas_block_rows)
     n_cache = max(0, min(int(hbm_cache_chunks), n_chunks_local))
     cache = mcache = None
     if n_cache:
@@ -290,25 +296,59 @@ def solve_streaming(
 
     n_true = n_samples if n_pad != n_samples else None
     hd_key = (float(heldout_frac), int(random_seed)) if heldout else None
-    epoch0 = _fused_epoch(
-        y, mask, chunk_rows, n_chunks_local, int(rank), n_channels,
-        method, masked, mixed, bool(record_objective), y_dtype,
-        float(eps), precision, use_pallas_chunk, bool(_pallas_interpret),
-        n_cache, hd_key, False, n_true, mesh, row_axis)
-    epoch0_val = (None if not heldout else _fused_epoch(
-        y, mask, chunk_rows, n_chunks_local, int(rank), n_channels,
-        method, masked, mixed, bool(record_objective), y_dtype,
-        float(eps), precision, use_pallas_chunk, bool(_pallas_interpret),
-        n_cache, hd_key, True, n_true, mesh, row_axis))
-    if n_cache:
-        def epoch(x, d):
-            return epoch0(x, d, cache, mcache)
 
-        def epoch_val(x, d):
-            return epoch0_val(x, d, cache, mcache)
-    else:
-        epoch = epoch0
-        epoch_val = epoch0_val
+    def _mk_epochs(upc):
+        e0 = _fused_epoch(
+            y, mask, chunk_rows, n_chunks_local, int(rank), n_channels,
+            method, masked, mixed, bool(record_objective), y_dtype,
+            float(eps), precision, upc, bool(_pallas_interpret),
+            n_cache, hd_key, False, n_true, mesh, row_axis, _brows)
+        e0v = (None if not heldout else _fused_epoch(
+            y, mask, chunk_rows, n_chunks_local, int(rank), n_channels,
+            method, masked, mixed, bool(record_objective), y_dtype,
+            float(eps), precision, upc, bool(_pallas_interpret),
+            n_cache, hd_key, True, n_true, mesh, row_axis, _brows))
+        if n_cache:
+            return (lambda xx, dd: e0(xx, dd, cache, mcache),
+                    (None if e0v is None else
+                     lambda xx, dd: e0v(xx, dd, cache, mcache)))
+        return e0, e0v
+
+    epoch, epoch_val = _mk_epochs(use_pallas_chunk)
+    # Auto-gate compile fallback, exactly as in the single-device
+    # streamer (see models.nmf_streaming): XLA's memory-space assignment
+    # can stack chunk-sized kernel values in scoped VMEM inside the
+    # fused epoch and fail the compile in a whole-program-dependent way;
+    # under use_pallas='auto' the first dispatch of each epoch variant
+    # is probed and falls back to the jnp chunk step, while explicit
+    # use_pallas=True propagates the error.
+    _gate_auto = (use_pallas == "auto" and use_pallas_chunk
+                  and not _pallas_interpret)
+    _probe_pending = {"plain": True, "val": heldout}
+
+    def _run_epoch(val, xx, dd):
+        nonlocal epoch, epoch_val, _gate_auto
+        fn = epoch_val if val else epoch
+        key = "val" if val else "plain"
+        if not (_gate_auto and _probe_pending[key]):
+            return fn(xx, dd)
+        _probe_pending[key] = False
+        try:
+            out = fn(xx, dd)
+            float(out[2])  # diff_dev: force the compile to surface
+            return out
+        except Exception as err:  # noqa: BLE001 - see fallback note
+            import warnings
+
+            warnings.warn(
+                "sharded fused streaming epoch: the auto-gated Pallas "
+                "chunk kernel failed to compile on this platform "
+                f"({type(err).__name__}); falling back to the jnp chunk "
+                "step. Pass use_pallas=False to silence, or "
+                "use_pallas=True to raise.", RuntimeWarning)
+            _gate_auto = False
+            epoch, epoch_val = _mk_epochs(False)
+            return (epoch_val if val else epoch)(xx, dd)
 
     tol_f = float(tol)
     # Same amortisation as the single-device streamer: only CHECK epochs
@@ -330,7 +370,8 @@ def solve_streaming(
     with jax.default_matmul_precision(precision):
         for it in range(1, int(maxiter) + 1):
             if heldout and it % ce == 0:
-                x, d, diff_dev, obj_dev, verr, vnorm = epoch_val(x, d)
+                x, d, diff_dev, obj_dev, verr, vnorm = _run_epoch(
+                    True, x, d)
                 e = float(verr) / max(float(vnorm), 1e-300)
                 last_e = e
                 checks += 1
@@ -345,7 +386,7 @@ def solve_streaming(
                     break
                 prev_e = e
                 continue
-            x, d, diff_dev, obj_dev = epoch(x, d)
+            x, d, diff_dev, obj_dev = _run_epoch(False, x, d)
             if record_objective:
                 objs_dev.append(obj_dev)
             niter = it

@@ -278,6 +278,100 @@ def test_fused_epoch_pallas_chunk_matches_jnp(masked, method):
     assert rel_err(res.x, ref.x) < 1e-5
 
 
+def test_streaming_use_pallas_flag():
+    """use_pallas mirrors nmf.solve's semantics in the streamer:
+    'auto' (default) gates, False keeps the jnp chunk step even when
+    the kernel would engage, True forces it (typed error naming the
+    unmet requirement otherwise), and the host-array path rejects
+    True."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(99)
+    m, n, k, chunk = 512, 128, 128, 128
+    y = np.maximum(rng.uniform(0, 1, (m, 8)) @ rng.uniform(0, 1, (8, n))
+                   + 0.01 * rng.normal(size=(m, n)), 0).astype(np.float32)
+    x0 = rng.uniform(0.1, 1, (m, k)).astype(np.float32)
+    d0 = rng.uniform(0.1, 1, (k, n)).astype(np.float32)
+    yd = jnp.asarray(y)
+
+    def loader(lo, hi):
+        return jax.lax.dynamic_slice(yd, (lo, 0), (chunk, n))
+
+    kw = dict(tol=0.0, maxiter=8, chunk_rows=chunk, n_samples=m,
+              n_channels=n, dtype=np.float32, x_device=True,
+              jit_loader=True)
+    plain = decomp_tpu.nmf.solve_streaming(loader, d0, x=x0, **kw)
+    off = decomp_tpu.nmf.solve_streaming(loader, d0, x=x0,
+                                         use_pallas=False,
+                                         _pallas_interpret=True, **kw)
+    np.testing.assert_array_equal(np.asarray(off.d), np.asarray(plain.d))
+    auto = decomp_tpu.nmf.solve_streaming(loader, d0, x=x0,
+                                          _pallas_interpret=True, **kw)
+    forced = decomp_tpu.nmf.solve_streaming(loader, d0, x=x0,
+                                            use_pallas=True,
+                                            _pallas_interpret=True, **kw)
+    np.testing.assert_array_equal(np.asarray(forced.d), np.asarray(auto.d))
+    with pytest.raises(decomp_tpu.utils.DecompError, match="rank"):
+        decomp_tpu.nmf.solve_streaming(
+            loader, d0[:64], x=x0[:, :64], use_pallas=True,
+            _pallas_interpret=True, **kw)
+    with pytest.raises(decomp_tpu.utils.DecompError,
+                       match="record_objective"):
+        decomp_tpu.nmf.solve_streaming(
+            loader, d0, x=x0, use_pallas=True, record_objective=True,
+            _pallas_interpret=True, **kw)
+    with pytest.raises(decomp_tpu.utils.DecompError, match="jit_loader"):
+        decomp_tpu.nmf.solve_streaming(y, d0, x=x0.copy(),
+                                       use_pallas=True, maxiter=2)
+    with pytest.raises(decomp_tpu.utils.DecompError, match="use_pallas"):
+        decomp_tpu.nmf.solve_streaming(loader, d0, x=x0,
+                                       use_pallas="bogus", **kw)
+
+
+def test_streaming_auto_gate_compile_fallback(monkeypatch):
+    """Under use_pallas='auto', a kernel epoch that fails to compile
+    falls back to the jnp chunk step with a RuntimeWarning and the
+    solve still returns the correct result (the platform's scoped-VMEM
+    stack quirk is whole-program-dependent, so no closed-form gate can
+    exclude it — docs/DESIGN.md). Simulated here by calibrating the CPU
+    backend: the non-interpret Pallas epoch then genuinely fails."""
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+
+    from decomp_tpu.ops import pallas_mu
+
+    rng = np.random.default_rng(101)
+    m, n, k, chunk = 512, 128, 128, 128
+    y = np.maximum(rng.uniform(0, 1, (m, 8)) @ rng.uniform(0, 1, (8, n))
+                   + 0.01 * rng.normal(size=(m, n)), 0).astype(np.float32)
+    x0 = rng.uniform(0.1, 1, (m, k)).astype(np.float32)
+    d0 = rng.uniform(0.1, 1, (k, n)).astype(np.float32)
+    yd = jnp.asarray(y)
+
+    def loader(lo, hi):
+        return jax.lax.dynamic_slice(yd, (lo, 0), (chunk, n))
+
+    kw = dict(tol=0.0, maxiter=6, chunk_rows=chunk, n_samples=m,
+              n_channels=n, dtype=np.float32, x_device=True,
+              jit_loader=True)
+    ref = decomp_tpu.nmf.solve_streaming(loader, d0, x=x0, **kw)
+    monkeypatch.setattr(pallas_mu, "calibrated_tpu", lambda: True)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        res = decomp_tpu.nmf.solve_streaming(loader, d0, x=x0, **kw)
+    assert any("falling back" in str(w.message) for w in rec
+               if issubclass(w.category, RuntimeWarning))
+    np.testing.assert_array_equal(np.asarray(res.d), np.asarray(ref.d))
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
+    # explicit use_pallas=True must PROPAGATE the failure instead
+    with pytest.raises(Exception):
+        decomp_tpu.nmf.solve_streaming(loader, d0, x=x0, use_pallas=True,
+                                       **kw)
+
+
 def test_hbm_cache_chunks_matches_uncached():
     """hbm_cache_chunks: cached chunks skip the loader but the
     trajectory is identical (the cache holds exactly what the loader

@@ -742,6 +742,35 @@ def test_sharded_streaming_kl_pallas_interpret(mesh8, masked):
     assert rel_err(res.x, ref.x) < 1e-5
 
 
+def test_sharded_streaming_use_pallas_flag(mesh8):
+    """The sharded streamer exposes the same use_pallas gate as the
+    single-device one: False disables the chunk kernels bitwise, True
+    forces them (interpret run == auto interpret run), and an unmet
+    geometry requirement under True raises a typed error."""
+    m, n, k, chunk = 1024, 128, 128, 128
+    y, _, x0, d0, loader, _ = _stream_problem(96, m, n, k, chunk)
+    kw = dict(tol=0.0, maxiter=6, chunk_rows=chunk, n_samples=m,
+              n_channels=n, dtype=np.float32, mesh=mesh8)
+    plain = parallel.nmf.solve_streaming(loader, d0, x=x0, **kw)
+    off = parallel.nmf.solve_streaming(loader, d0, x=x0,
+                                       use_pallas=False,
+                                       _pallas_interpret=True, **kw)
+    np.testing.assert_array_equal(np.asarray(off.d), np.asarray(plain.d))
+    auto = parallel.nmf.solve_streaming(loader, d0, x=x0,
+                                        _pallas_interpret=True, **kw)
+    forced = parallel.nmf.solve_streaming(loader, d0, x=x0,
+                                          use_pallas=True,
+                                          _pallas_interpret=True, **kw)
+    np.testing.assert_array_equal(np.asarray(forced.d), np.asarray(auto.d))
+    with pytest.raises(decomp_tpu.utils.DecompError, match="rank"):
+        parallel.nmf.solve_streaming(loader, d0[:64], x=x0[:, :64],
+                                     use_pallas=True,
+                                     _pallas_interpret=True, **kw)
+    with pytest.raises(decomp_tpu.utils.DecompError, match="use_pallas"):
+        parallel.nmf.solve_streaming(loader, d0, x=x0,
+                                     use_pallas="bogus", **kw)
+
+
 def test_sharded_streaming_check_every_amortised(mesh8):
     """Amortised rel-change stop in the sharded streamer: the stop lands
     on a check epoch and matches the per-epoch stop to within one
