@@ -361,3 +361,51 @@ def test_mixed_kl_throughput_floor():
 
     o_f32, o_mixed = kl_obj(run_f32()), kl_obj(run_mixed())
     assert abs(o_mixed - o_f32) / abs(o_f32) < 0.01, (o_f32, o_mixed)
+
+
+@requires_tpu
+def test_kl_streaming_kernel_beats_jnp():
+    """The fused KL chunk kernels in the streaming epoch
+    (kl_stats_dense; use_pallas=True vs use_pallas=False — the flag IS
+    the honest A/B switch) must beat the jnp chunk step by >= 1.05x on
+    the MARGINAL epoch cost at 262k x 2048 r128 f32 'highest' chunk
+    32768 (measured 1.21x, BASELINE.md round-4 table). Compiling at
+    all is part of the floor: this geometry sits just inside the
+    scoped-VMEM-stack frontier (n=4096/br=128 dies in the epoch —
+    docs/DESIGN.md), so a Mosaic/XLA placement regression fails here
+    instead of silently falling back (use_pallas=True raises)."""
+    import decomp_tpu
+
+    m, n, k, chunk = 262_144, 2_048, 128, 32_768
+    key = jax.random.PRNGKey(3)
+    kd, kx = jax.random.split(key)
+    d_true = jax.random.uniform(kd, (k, n), dtype=jnp.float32)
+
+    def loader(lo, hi):
+        del hi
+        kc = jax.random.fold_in(kx, lo)
+        xt = jax.random.uniform(kc, (chunk, k), dtype=jnp.float32)
+        return jnp.maximum(xt @ d_true, 0.0).astype(jnp.float32)
+
+    def run(use_pallas, iters):
+        return decomp_tpu.nmf.solve_streaming(
+            loader, rank=k, tol=0.0, maxiter=iters, chunk_rows=chunk,
+            n_samples=m, n_channels=n, dtype=jnp.float32,
+            method="kl-mu", precision="highest", x_device=True,
+            jit_loader=True, random_seed=5, use_pallas=use_pallas).d
+
+    def marginal(use_pallas):
+        lo = _best_wall(lambda: run(use_pallas, 8), _fence, repeats=2)
+        hi = _best_wall(lambda: run(use_pallas, 32), _fence, repeats=2)
+        if hi <= lo:
+            pytest.skip(f"degenerate differential (wall(32)={hi:.3f} <= "
+                        f"wall(8)={lo:.3f}): host-load noise")
+        return (hi - lo) / 24
+
+    m_kernel = marginal(True)
+    m_jnp = marginal(False)
+    ratio = m_jnp / m_kernel
+    assert ratio > 1.05, (
+        f"fused KL chunk kernel {ratio:.2f}x vs jnp chunk step "
+        f"({1e3 * m_kernel:.1f} vs {1e3 * m_jnp:.1f} ms/iter; "
+        "floor 1.05x)")
