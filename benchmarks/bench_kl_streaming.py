@@ -34,15 +34,17 @@ def main():
     ap.add_argument("--iters", type=int, default=40,
                     help="long budget; short budget is iters//4")
     ap.add_argument("--n", type=int, default=0, help="override width")
-    ap.add_argument("--block-rows", type=int, default=64)
+    ap.add_argument("--block-rows", type=int, default=0)
     args = ap.parse_args()
 
     if args.small:
         m, n, k, chunk = 4096, 512, 128, 1024
     else:
-        # n=4096 is the widest f32 KL-kernel VMEM fit at r128 (the two
-        # k x n f32 residents + the chunk stripe; 5120 is rejected)
-        m, n, k, chunk = 262_144, 4_096, 128, 32_768
+        # n=2048 is the widest f32 KL-kernel width the calibrated gate
+        # admits at br=128 (n=4096 measurably dies in Mosaic's
+        # scoped-VMEM stack in the in-core context and is rejected by
+        # the kl_dense/kl_masked fits_vmem tiers — docs/DESIGN.md)
+        m, n, k, chunk = 262_144, 2_048, 128, 32_768
     if args.n:
         n = args.n
     dtype = jnp.float32
@@ -70,7 +72,8 @@ def main():
         del hi
         return gen_mask(lo, chunk)
 
-    short, long_ = max(args.iters // 4, 2), args.iters
+    short = max(args.iters // 4, 2)
+    long_ = max(args.iters, short + 4)  # keep the differential nonzero
     kw = dict(rank=k, tol=0.0, chunk_rows=chunk, n_samples=m,
               n_channels=n, dtype=dtype, x_device=True, jit_loader=True,
               method="kl-mu", precision="highest", random_seed=5,
@@ -78,12 +81,10 @@ def main():
 
     def run(use_pallas, maxiter):
         t0 = time.perf_counter()
-        # br=64: at this width the default 128-row stripe exceeds the
-        # scoped-VMEM stack inside the fused epoch (docs/DESIGN.md)
         res = decomp_tpu.nmf.solve_streaming(
             loader, maxiter=maxiter, use_pallas=use_pallas,
-            pallas_block_rows=(args.block_rows if use_pallas is True
-                               else None), **kw)
+            pallas_block_rows=(args.block_rows or None
+                               if use_pallas is True else None), **kw)
         float(jnp.asarray(res.d, jnp.float32).sum())  # fence (axon)
         return time.perf_counter() - t0
 
@@ -98,6 +99,13 @@ def main():
             print(json.dumps({"variant": name,
                               "error": f"{type(e).__name__}: "
                                        f"{str(e)[:200]}"}))
+            continue
+        if wl <= ws:
+            print(json.dumps({"variant": name,
+                              "error": "degenerate differential "
+                                       f"(wall({long_})={wl:.3f} <= "
+                                       f"wall({short})={ws:.3f}): "
+                                       "host-load noise"}))
             continue
         ms = 1e3 * (wl - ws) / (long_ - short)
         out[name] = ms

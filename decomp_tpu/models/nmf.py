@@ -223,6 +223,10 @@ def solve(
             and _pmu.fits_vmem(-(-n_channels // 128) * 128,
                                -(-rank // 128) * 128,
                                y.dtype.itemsize, kl_like,
+                               kl_masked=(method == "kl-mu"
+                                          and mask is not None),
+                               kl_dense=(method == "kl-mu"
+                                         and mask is None),
                                **({"block_rows": pallas_block_rows}
                                   if pallas_block_rows else {}))
         )

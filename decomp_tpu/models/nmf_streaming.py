@@ -48,6 +48,8 @@ def _chunk_kernel_gate(use_pallas, *, on_tpu, method, mixed,
     falling back."""
     from decomp_tpu.ops import pallas_mu as _pmu
 
+    if use_pallas is False:
+        return False
     reqs = (
         (method == "mu" or (method == "kl-mu" and not mixed),
          "method must be 'mu', or 'kl-mu' without factor_dtype (the "
@@ -63,6 +65,8 @@ def _chunk_kernel_gate(use_pallas, *, on_tpu, method, mixed,
          "chunk_rows must be a multiple of pallas_block_rows"),
         (_pmu.fits_vmem(n_channels, rank, y_itemsize,
                         masked or method == "kl-mu",
+                        kl_masked=(masked and method == "kl-mu"),
+                        kl_dense=(not masked and method == "kl-mu"),
                         **({"block_rows": block_rows}
                            if block_rows else {})),
          "the kernel's per-stripe residents exceed scoped VMEM at this "
@@ -76,6 +80,64 @@ def _chunk_kernel_gate(use_pallas, *, on_tpu, method, mixed,
         if not cond:
             raise DecompError(f"use_pallas=True: {why}")
     return True
+
+
+def _make_epoch_runner(mk_epochs, use_pallas_chunk, gate_auto, heldout,
+                       warn_prefix):
+    """Shared auto-gate compile-fallback wrapper for the fused epochs
+    (single-device AND sharded streamers — one state machine, two
+    warning prefixes). ``mk_epochs(upc) -> (epoch, epoch_val)``. When
+    ``gate_auto`` (the kernel gate engaged via 'auto', non-interpret),
+    the FIRST dispatch of each epoch variant is probed inside
+    try/except: XLA's memory-space assignment can stack chunk-sized
+    kernel values in scoped VMEM in a whole-program-dependent way
+    (docs/DESIGN.md frontier table), so a failing config is discovered
+    by the compile itself; the runner then warns, rebuilds both epochs
+    with the jnp chunk step, and retries on the SAME (x, d) — the
+    inputs are untouched by the poisoned dispatch. Explicit
+    use_pallas=True callers pass gate_auto=False so errors propagate."""
+    state = {"fns": mk_epochs(use_pallas_chunk), "auto": gate_auto,
+             "pending": {"plain": True, "val": heldout}}
+
+    def run_epoch(val, xx, dd):
+        fn = state["fns"][1 if val else 0]
+        key = "val" if val else "plain"
+        if not (state["auto"] and state["pending"][key]):
+            return fn(xx, dd)
+        state["pending"][key] = False
+        try:
+            out = fn(xx, dd)
+            float(out[2])  # diff_dev: force the compile to surface
+            return out
+        except Exception as err:  # noqa: BLE001 - see docstring
+            import warnings
+
+            warnings.warn(
+                f"{warn_prefix}: the auto-gated Pallas chunk kernel "
+                "failed to compile on this platform "
+                f"({type(err).__name__}); falling back to the jnp "
+                "chunk step. Pass use_pallas=False to silence, or "
+                "use_pallas=True to raise.", RuntimeWarning)
+            state["auto"] = False
+            state["fns"] = mk_epochs(False)
+            return state["fns"][1 if val else 0](xx, dd)
+
+    return run_epoch
+
+
+def _validate_block_rows(pallas_block_rows):
+    """Typed up-front check: the kernels' stripe height must be a
+    positive multiple of 8 (the f32 Mosaic row tile); 0/negative values
+    would otherwise surface as a raw ZeroDivisionError in the gate or
+    an untyped Mosaic error inside the kernel."""
+    if pallas_block_rows is None:
+        return
+    if (not isinstance(pallas_block_rows, (int, np.integer))
+            or isinstance(pallas_block_rows, bool)
+            or int(pallas_block_rows) < 8
+            or int(pallas_block_rows) % 8):
+        raise DecompError("pallas_block_rows must be a positive multiple "
+                          f"of 8, got {pallas_block_rows!r}")
 
 
 def solve_streaming(
@@ -228,6 +290,7 @@ def solve_streaming(
     if use_pallas not in (True, False, "auto"):
         raise DecompError(f"use_pallas must be True, False or 'auto', "
                           f"got {use_pallas!r}")
+    _validate_block_rows(pallas_block_rows)
     if not jit_loader:
         if use_pallas is True:
             raise DecompError("use_pallas=True requires jit_loader=True "
@@ -464,45 +527,11 @@ def solve_streaming(
                          lambda xx, dd: e0v(xx, dd, cache, mcache)))
             return e0, e0v
 
-        epoch, epoch_val = _mk_epochs(use_pallas_chunk)
-        # Auto-gate compile fallback: XLA's memory-space assignment may
-        # put chunk-sized kernel values on Mosaic's scoped-VMEM stack
-        # inside the fused epoch and fail the compile (measured:
-        # 262144x4096 f32, MU chunks 16384-32768 and KL chunks >= 8192
-        # die at 16.1-19.9M vs the 16M limit, while the SAME kernel
-        # compiles standalone and at other chunk sizes — the placement
-        # depends on the whole program, so no closed-form gate exists).
-        # Under use_pallas='auto' the first dispatch of each epoch
-        # variant is therefore probed: on failure the epoch is rebuilt
-        # with the jnp chunk step and the solve continues; explicit
-        # use_pallas=True propagates the error.
-        _gate_auto = (use_pallas == "auto" and use_pallas_chunk
-                      and not _pallas_interpret)
-        _probe_pending = {"plain": True, "val": heldout}
-
-        def _run_epoch(val, xx, dd):
-            nonlocal epoch, epoch_val, _gate_auto
-            fn = epoch_val if val else epoch
-            key = "val" if val else "plain"
-            if not (_gate_auto and _probe_pending[key]):
-                return fn(xx, dd)
-            _probe_pending[key] = False
-            try:
-                out = fn(xx, dd)
-                float(out[2])  # diff_dev: force the compile to surface
-                return out
-            except Exception as err:  # noqa: BLE001 - see fallback note
-                import warnings
-
-                warnings.warn(
-                    "fused streaming epoch: the auto-gated Pallas chunk "
-                    "kernel failed to compile on this platform "
-                    f"({type(err).__name__}); falling back to the jnp "
-                    "chunk step. Pass use_pallas=False to silence, or "
-                    "use_pallas=True to raise.", RuntimeWarning)
-                _gate_auto = False
-                epoch, epoch_val = _mk_epochs(False)
-                return (epoch_val if val else epoch)(xx, dd)
+        _run_epoch = _make_epoch_runner(
+            _mk_epochs, use_pallas_chunk,
+            (use_pallas == "auto" and use_pallas_chunk
+             and not _pallas_interpret),
+            heldout, "fused streaming epoch")
 
         # tol == 0 with no callback: nothing needs the host per
         # iteration, so the loop just ENQUEUES epochs — on a

@@ -80,7 +80,8 @@ _VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def fits_vmem(n_pad: int, k_pad: int, itemsize: int, masked: bool,
-              block_rows: int = 128) -> bool:
+              block_rows: int = None, kl_masked: bool = False,
+              kl_dense: bool = False) -> bool:
     """Whether the MU kernel's VMEM envelope fits Mosaic's scoped limit.
 
     Calibrated against measured compiles on v5e (16M scoped vmem):
@@ -88,9 +89,33 @@ def fits_vmem(n_pad: int, k_pad: int, itemsize: int, masked: bool,
     same shape is rejected at 19.94M. Per-column residents: the k x n
     dictionary (itemsize) + f32 accumulator scratch and f32 stat output
     (8 bytes; masked keeps TWO k x n stats -> 16) + the streamed stripe.
+
+    ``block_rows=None`` models the stripe the kernel would actually
+    pick (``default_block_rows``) — the gate and the kernel must judge
+    the SAME geometry or the gate rejects configs the kernel runs.
+
+    ``kl_dense``/``kl_masked``: the KL kernels carry heavier stat
+    residents than their MU shape-twins — dense-KL ~24 bytes/col
+    (numd output + accumulator scratch + a stacked copy XLA keeps in
+    the observed failures), masked-KL 32 bytes/col (numd + dend, each
+    with output AND scratch). Calibrated in-core 2026-08-18 (m=131k
+    r128, maxiter=3): dense-KL f32 dies at n=4096 (18.05M reported;
+    modeled 18.0M — exact) and compiles at n<=3584 (n=3584 models
+    15.75M, marginally above the 15.7M headroom line, so the gate
+    conservatively rejects it; n=3072 at 13.5M passes); dense-KL bf16
+    n=4096 compiles (modeled 15.0M). Masked-KL f32 n=4096 dies at
+    19.95M even at br=64 (modeled 20.0M); n=2048 br=128 compiles at a
+    modeled 11.0M and wins 1.19x (BASELINE.md round-4 KL-streaming
+    row).
     """
+    if block_rows is None:
+        block_rows = default_block_rows(
+            n_pad, k_pad, itemsize, masked or kl_dense or kl_masked)
     streams = 2 if masked else 1
-    per_col = (k_pad * (itemsize + (16 if masked else 8))
+    stat_bytes = (32 if kl_masked else
+                  24 if kl_dense else
+                  16 if masked else 8)
+    per_col = (k_pad * (itemsize + stat_bytes)
                + block_rows * itemsize * streams)
     return per_col * n_pad <= int(15.7 * 1024 * 1024)
 

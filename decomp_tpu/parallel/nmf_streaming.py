@@ -40,7 +40,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from decomp_tpu.models.nmf_streaming import _chunk_kernel_gate, _fused_epoch
+from decomp_tpu.models.nmf_streaming import (
+    _chunk_kernel_gate,
+    _fused_epoch,
+    _make_epoch_runner,
+    _validate_block_rows,
+)
 from decomp_tpu.utils import assertion
 from decomp_tpu.utils.exceptions import DecompError
 from decomp_tpu.utils.result import NMFResult
@@ -124,6 +129,7 @@ def solve_streaming(
     if use_pallas not in (True, False, "auto"):
         raise DecompError(f"use_pallas must be True, False or 'auto', "
                           f"got {use_pallas!r}")
+    _validate_block_rows(pallas_block_rows)
     if not callable(y):
         raise DecompError("the sharded streaming solver requires a "
                           "callable y loader (host arrays cannot stream "
@@ -314,41 +320,11 @@ def solve_streaming(
                      lambda xx, dd: e0v(xx, dd, cache, mcache)))
         return e0, e0v
 
-    epoch, epoch_val = _mk_epochs(use_pallas_chunk)
-    # Auto-gate compile fallback, exactly as in the single-device
-    # streamer (see models.nmf_streaming): XLA's memory-space assignment
-    # can stack chunk-sized kernel values in scoped VMEM inside the
-    # fused epoch and fail the compile in a whole-program-dependent way;
-    # under use_pallas='auto' the first dispatch of each epoch variant
-    # is probed and falls back to the jnp chunk step, while explicit
-    # use_pallas=True propagates the error.
-    _gate_auto = (use_pallas == "auto" and use_pallas_chunk
-                  and not _pallas_interpret)
-    _probe_pending = {"plain": True, "val": heldout}
-
-    def _run_epoch(val, xx, dd):
-        nonlocal epoch, epoch_val, _gate_auto
-        fn = epoch_val if val else epoch
-        key = "val" if val else "plain"
-        if not (_gate_auto and _probe_pending[key]):
-            return fn(xx, dd)
-        _probe_pending[key] = False
-        try:
-            out = fn(xx, dd)
-            float(out[2])  # diff_dev: force the compile to surface
-            return out
-        except Exception as err:  # noqa: BLE001 - see fallback note
-            import warnings
-
-            warnings.warn(
-                "sharded fused streaming epoch: the auto-gated Pallas "
-                "chunk kernel failed to compile on this platform "
-                f"({type(err).__name__}); falling back to the jnp chunk "
-                "step. Pass use_pallas=False to silence, or "
-                "use_pallas=True to raise.", RuntimeWarning)
-            _gate_auto = False
-            epoch, epoch_val = _mk_epochs(False)
-            return (epoch_val if val else epoch)(xx, dd)
+    _run_epoch = _make_epoch_runner(
+        _mk_epochs, use_pallas_chunk,
+        (use_pallas == "auto" and use_pallas_chunk
+         and not _pallas_interpret),
+        heldout, "sharded fused streaming epoch")
 
     tol_f = float(tol)
     # Same amortisation as the single-device streamer: only CHECK epochs

@@ -329,6 +329,57 @@ def test_streaming_use_pallas_flag():
                                        use_pallas="bogus", **kw)
 
 
+def test_streaming_pallas_block_rows_validated():
+    """pallas_block_rows is validated up front with a typed error: 0
+    must not surface as a raw ZeroDivisionError from the gate's
+    chunk_rows % block_rows (review finding), and negative /
+    non-multiple-of-8 values must not reach the kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    yd = jnp.zeros((256, 128), jnp.float32)
+
+    def loader(lo, hi):
+        return jax.lax.dynamic_slice(yd, (lo, 0), (128, 128))
+
+    kw = dict(rank=128, tol=0.0, maxiter=2, chunk_rows=128, n_samples=256,
+              n_channels=128, dtype=np.float32, x_device=True,
+              jit_loader=True)
+    for bad in (0, -64, 7, 64.0, True):
+        with pytest.raises(decomp_tpu.utils.DecompError,
+                           match="pallas_block_rows"):
+            decomp_tpu.nmf.solve_streaming(loader, use_pallas=False,
+                                           pallas_block_rows=bad, **kw)
+
+
+def test_masked_kl_vmem_model():
+    """fits_vmem models the masked-KL kernel's FOUR K x N f32 stat
+    residents (kl_masked=True): the measured-unfit f32 n=4096 shape is
+    rejected (it died at 19.95M even at br=64) while the measured
+    1.19x-win n=2048 br=128 shape passes, and the streaming gate
+    raises the typed VMEM error for forced masked-KL at n=4096
+    instead of letting the compile crash."""
+    from decomp_tpu.models.nmf_streaming import _chunk_kernel_gate
+    from decomp_tpu.ops.pallas_mu import fits_vmem
+
+    assert not fits_vmem(4096, 128, 4, True, 64, kl_masked=True)
+    assert fits_vmem(2048, 128, 4, True, 128, kl_masked=True)
+    # dense-KL tier (24 B/col; in-core calibration 2026-08-18): f32
+    # n=4096 died at 18.05M (model: 18.0M — exact), bf16 n=4096 and
+    # f32 n<=3584 compiled. n=3584 models at 15.75M, marginally above
+    # the 15.7M headroom line, so the gate conservatively rejects it;
+    # n=3072 (13.5M) passes. block_rows=None models the kernel's
+    # actual default stripe.
+    assert fits_vmem(3072, 128, 4, True, kl_dense=True)
+    assert not fits_vmem(4096, 128, 4, True, kl_dense=True)
+    assert fits_vmem(4096, 128, 2, True, kl_dense=True)
+    with pytest.raises(decomp_tpu.utils.DecompError, match="VMEM"):
+        _chunk_kernel_gate(True, on_tpu=True, method="kl-mu",
+                           mixed=False, record_objective=False,
+                           chunk_rows=32768, n_channels=4096, rank=128,
+                           y_itemsize=4, masked=True, block_rows=64)
+
+
 def test_streaming_auto_gate_compile_fallback(monkeypatch):
     """Under use_pallas='auto', a kernel epoch that fails to compile
     falls back to the jnp chunk step with a RuntimeWarning and the

@@ -352,12 +352,20 @@ def test_mixed_kl_throughput_floor():
     ratio = t_f32 / t_mixed
     assert ratio > 2.0, f"mixed KL speedup {ratio:.2f}x (floor 2x)"
 
+    @jax.jit
+    def _kl_rows(x, d):
+        # per-row partial sums on device (f32 over 1000 terms each),
+        # f64 host reduction below: pulling ym (400 MB) to the host
+        # for an all-f64 evaluation takes tens of minutes through the
+        # axon tunnel at its slow times (measured ~0.6 MB/s)
+        r = (x.astype(jnp.float32) @ d.astype(jnp.float32)
+             + 1e-15) * mask
+        ylogy = jnp.where(ym > 0, ym * jnp.log(ym / (r + 1e-15)), 0.0)
+        return jnp.sum(ylogy - ym + r, axis=1)
+
     def kl_obj(res):
-        yv = np.asarray(ym, np.float64)
-        r = (np.asarray(res.x, np.float64) @ np.asarray(res.d, np.float64)
-             + 1e-15) * np.asarray(mask, np.float64)
-        ylogy = np.where(yv > 0, yv * np.log(yv / (r + 1e-15)), 0.0)
-        return float(np.sum(ylogy - yv + r))
+        return float(np.sum(np.asarray(_kl_rows(res.x, res.d),
+                                       np.float64)))
 
     o_f32, o_mixed = kl_obj(run_f32()), kl_obj(run_mixed())
     assert abs(o_mixed - o_f32) / abs(o_f32) < 0.01, (o_f32, o_mixed)
