@@ -310,6 +310,19 @@ def main() -> int:
     if not args.headline_only:
         bench_extra_configs(on_tpu, args.small)
 
+    # Rig-health stamp: one tiny fenced dispatch, timed. The tunnel's
+    # round-trip latency swings from ~25 ms (healthy) to minutes
+    # (degraded — observed 2026-08-18: a 1k x 1k sum took 158 s), and a
+    # capture taken during such an episode reads as a solver regression
+    # when it is the rig. ~best-of-3 so a single hiccup doesn't stamp a
+    # healthy run as sick.
+    def _probe():
+        t0 = time.perf_counter()
+        float(jnp.sum(jnp.full((128, 128), 2.0, jnp.float32)))
+        return time.perf_counter() - t0
+
+    dispatch_ms = round(1e3 * min(_probe() for _ in range(3)), 1)
+
     fd_tag = "/f32-factors" if factor_dtype is not None else ""
     result = {
         "metric": f"NMF MU iters/sec, {m}x{n} rank-{k} "
@@ -321,6 +334,7 @@ def main() -> int:
         "frac_of_peak": round(frac_peak, 4) if frac_peak else None,
         "peak_basis": peak_label if on_tpu else None,
         "wall_s_per_iter": round(best / args.iters, 6),
+        "rig_dispatch_ms": dispatch_ms,
     }
     print(json.dumps(result))
     return 0
