@@ -37,6 +37,20 @@ _HELDOUT_SALT = 0x68656C64  # ascii 'held'; see _solve's kv comment
 _METHODS = ("mu", "kl-mu", "hals")
 
 
+def _validate_inner_iter(inner_iter):
+    """Typed up-front check shared with the streamers: inner_iter=0
+    would silently skip every x update (the loop bodies use
+    ``range(inner_iter)``), and non-integers die as cryptic trace-time
+    errors inside jit."""
+    import numpy as _np
+
+    if (not isinstance(inner_iter, (int, _np.integer))
+            or isinstance(inner_iter, bool) or int(inner_iter) < 1):
+        raise DecompError(
+            f"inner_iter must be a positive integer, got {inner_iter!r}")
+    return int(inner_iter)
+
+
 def solve(
     y,
     d=None,
@@ -196,6 +210,7 @@ def solve(
             raise DecompError(
                 f"minibatch must be in [1, n_samples={n_samples}], got {minibatch}"
             )
+    inner_iter = _validate_inner_iter(inner_iter)
 
     if use_pallas == "auto":
         # Fused kernels pay off once the data matrix dominates HBM traffic;

@@ -30,6 +30,7 @@ from decomp_tpu.models.nmf import (
     _update_x_kl,
     _update_x_kl_mixed,
     _update_x_mixed,
+    _validate_inner_iter,
 )
 from decomp_tpu.utils import assertion
 from decomp_tpu.utils.exceptions import DecompError
@@ -38,7 +39,7 @@ from decomp_tpu.utils.result import NMFResult
 
 def _chunk_kernel_gate(use_pallas, *, on_tpu, method, mixed,
                        record_objective, chunk_rows, n_channels, rank,
-                       y_itemsize, masked, block_rows=None):
+                       y_itemsize, masked, block_rows=None, inner_iter=1):
     """Resolve the streaming chunk-kernel gate (shared by the
     single-device and sharded streamers). ``use_pallas`` semantics
     mirror ``nmf.solve``: 'auto' engages the fused chunk kernels when
@@ -58,6 +59,11 @@ def _chunk_kernel_gate(use_pallas, *, on_tpu, method, mixed,
         (not record_objective,
          "record_objective is unsupported (the fused chunk kernels do "
          "not emit the data-fit term)"),
+        (inner_iter == 1 or (method == "mu" and not masked),
+         "inner_iter > 1 is supported by the fused chunk kernels only "
+         "for dense method='mu' (the accelerated-MU x refinements reuse "
+         "the kernel's numerator; masked/KL denominators need fresh "
+         "data passes — same contract as nmf.solve's kernel gate)"),
         (chunk_rows % 128 == 0, "chunk_rows must be a multiple of 128"),
         (n_channels % 128 == 0, "n_channels must be a multiple of 128"),
         (rank % 128 == 0, "rank must be a multiple of 128"),
@@ -155,6 +161,7 @@ def solve_streaming(
     eps: float = 1e-15,
     precision: str = "highest",
     factor_dtype=None,
+    inner_iter: int = 1,
     callback: Optional[Callable] = None,
     n_samples: Optional[int] = None,
     n_channels: Optional[int] = None,
@@ -190,6 +197,17 @@ def solve_streaming(
     factor_dtype : as in ``nmf.solve`` — keep the x/d iterates in this
         wider dtype (e.g. f32 over streamed bf16 chunks) while the MXU
         contracts in y's dtype; methods 'mu' and 'kl-mu'.
+    inner_iter : as in ``nmf.solve`` — x refinements per d update
+        (accelerated MU, Gillis & Glineur). Out of core this is where
+        the acceleration pays MOST: each outer iteration costs a full
+        pass over the data (the HBM/loader roofline at pod scale), while
+        an extra x refinement reuses the chunk already on device — in
+        the fused dense-'mu' kernel it reuses the stripe's y @ d.T
+        numerator in VMEM for one O(M_c K^2) matmul, a ~1% epoch-cost
+        increment for the in-core-measured ~1.4x reduction in wall time
+        to equal quality. The chunked trajectory equals ``nmf.solve``'s
+        at the same ``inner_iter``. With ``use_pallas=True``,
+        inner_iter > 1 requires dense method='mu' (as in-core).
     callback : optional ``callback(it, diff)`` host-side observability
         hook, called once per outer iteration — except under
         ``stop='heldout'``, where it fires only on validation-check
@@ -290,6 +308,7 @@ def solve_streaming(
     if use_pallas not in (True, False, "auto"):
         raise DecompError(f"use_pallas must be True, False or 'auto', "
                           f"got {use_pallas!r}")
+    inner_iter = _validate_inner_iter(inner_iter)
     _validate_block_rows(pallas_block_rows)
     if not jit_loader:
         if use_pallas is True:
@@ -453,7 +472,7 @@ def solve_streaming(
             record_objective=record_objective, chunk_rows=chunk_rows,
             n_channels=n_channels, rank=rank,
             y_itemsize=jnp.dtype(y_dtype).itemsize, masked=masked,
-            block_rows=pallas_block_rows)
+            block_rows=pallas_block_rows, inner_iter=inner_iter)
         heldout = stop == "heldout"
         if heldout:
             if not masked:
@@ -514,13 +533,15 @@ def solve_streaming(
                 int(rank), int(n_channels), method, masked, mixed,
                 bool(record_objective), jnp.dtype(y_dtype), float(eps_f),
                 precision, upc, bool(_pallas_interpret),
-                n_cache, hd_key, False, n_true, None, None, _brows)
+                n_cache, hd_key, False, n_true, None, None, _brows,
+                inner_iter)
             e0v = (None if not heldout else _fused_epoch(
                 y_loader, mask_loader, int(chunk_rows), int(n_chunks),
                 int(rank), int(n_channels), method, masked, mixed,
                 bool(record_objective), jnp.dtype(y_dtype), float(eps_f),
                 precision, upc, bool(_pallas_interpret),
-                n_cache, hd_key, True, n_true, None, None, _brows))
+                n_cache, hd_key, True, n_true, None, None, _brows,
+                inner_iter))
             if n_cache:
                 return (lambda xx, dd: e0(xx, dd, cache, mcache),
                         (None if e0v is None else
@@ -615,7 +636,8 @@ def solve_streaming(
                     yc, xc, d, mc, eps_f, method=method,
                     masked=masked,
                     mixed=factor_dtype is not None,
-                    with_obj=record_objective)
+                    with_obj=record_objective,
+                    inner_iter=inner_iter)
                 if x_device:
                     x = x.at[lo:hi].set(xc)
                 else:
@@ -690,7 +712,7 @@ def _build_fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks, rank,
                        y_dtype, eps_f, precision, use_pallas_chunk=False,
                        pallas_interpret=False, n_cache=0, heldout=None,
                        with_val=False, n_true=None, mesh=None,
-                       row_axis=None, block_rows=None):
+                       row_axis=None, block_rows=None, inner_iter=1):
     """Build the jitted fused-epoch function for jit_loader
     mode: one dispatched call runs the x updates and d-statistics over
     ALL chunks (lax.fori_loop + dynamic_update_slice on the resident x).
@@ -848,10 +870,14 @@ def _build_fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks, rank,
                         block_rows=block_rows,
                         interpret=pallas_interpret)
                 else:
+                    # inner_iter > 1 reaches only this branch (gate):
+                    # the extra x refinements reuse the stripe's
+                    # y @ d.T numerator in VMEM, exactly as in-core.
                     xc, nc, dc = pallas_mu.mu_stats_dense(
                         yc, xc_prev, db, eps32,
                         block_rows=block_rows,
-                        interpret=pallas_interpret)
+                        interpret=pallas_interpret,
+                        inner_iter=inner_iter)
                 nc = nc.astype(acc_j)
                 dc = dc.astype(acc_j)
                 oc = jnp.zeros((), acc_j)
@@ -860,7 +886,7 @@ def _build_fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks, rank,
                     yc, xc_prev, d, mc, jnp.asarray(
                         eps_f, acc_j if mixed else y_dtype),
                     method=method, masked=masked, mixed=mixed,
-                    with_obj=record_objective)
+                    with_obj=record_objective, inner_iter=inner_iter)
             if ragged:
                 # tail rows' x must keep its (zero-padded) previous
                 # values: their update ran against zeroed data
@@ -981,15 +1007,16 @@ def _build_fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks, rank,
 
 @functools.partial(jax.jit,
                    static_argnames=("method", "masked", "mixed",
-                                    "with_obj"))
+                                    "with_obj", "inner_iter"))
 def _chunk_step(yc, xc, d, mc, eps, *, method, masked, mixed=False,
-                with_obj=False):
+                with_obj=False, inner_iter=1):
     return _chunk_step_impl(yc, xc, d, mc, eps, method=method,
-                            masked=masked, mixed=mixed, with_obj=with_obj)
+                            masked=masked, mixed=mixed, with_obj=with_obj,
+                            inner_iter=inner_iter)
 
 
 def _chunk_step_impl(yc, xc, d, mc, eps, *, method, masked, mixed=False,
-                     with_obj=False):
+                     with_obj=False, inner_iter=1):
     """x update for one row chunk + its d-update statistic contributions.
 
     For 'mu':    num += x_new.T @ (mask*y);
@@ -1009,7 +1036,8 @@ def _chunk_step_impl(yc, xc, d, mc, eps, *, method, masked, mixed=False,
         upd = _update_x_mixed if method == "mu" else _update_x_kl_mixed
     else:
         upd = _update_x if method == "mu" else _update_x_kl
-    xc = upd(myc, xc, d, mc, eps)
+    for _ in range(inner_iter):  # accelerated MU: see nmf.solve
+        xc = upd(myc, xc, d, mc, eps)
     cdt = yc.dtype
     xc_c = xc.astype(cdt)
     if method == "mu":

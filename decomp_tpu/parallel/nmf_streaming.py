@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from decomp_tpu.models.nmf import _validate_inner_iter
 from decomp_tpu.models.nmf_streaming import (
     _chunk_kernel_gate,
     _fused_epoch,
@@ -68,6 +69,7 @@ def solve_streaming(
     eps: float = 1e-15,
     precision: str = "highest",
     factor_dtype=None,
+    inner_iter: int = 1,
     callback: Optional[Callable] = None,
     n_samples: Optional[int] = None,
     n_channels: Optional[int] = None,
@@ -129,6 +131,7 @@ def solve_streaming(
     if use_pallas not in (True, False, "auto"):
         raise DecompError(f"use_pallas must be True, False or 'auto', "
                           f"got {use_pallas!r}")
+    inner_iter = _validate_inner_iter(inner_iter)
     _validate_block_rows(pallas_block_rows)
     if not callable(y):
         raise DecompError("the sharded streaming solver requires a "
@@ -254,7 +257,7 @@ def solve_streaming(
         method=method, mixed=mixed, record_objective=record_objective,
         chunk_rows=chunk_rows, n_channels=n_channels, rank=rank,
         y_itemsize=jnp.dtype(y_dtype).itemsize, masked=masked,
-        block_rows=pallas_block_rows)
+        block_rows=pallas_block_rows, inner_iter=inner_iter)
     _brows = None if pallas_block_rows is None else int(pallas_block_rows)
     n_cache = max(0, min(int(hbm_cache_chunks), n_chunks_local))
     cache = mcache = None
@@ -308,12 +311,14 @@ def solve_streaming(
             y, mask, chunk_rows, n_chunks_local, int(rank), n_channels,
             method, masked, mixed, bool(record_objective), y_dtype,
             float(eps), precision, upc, bool(_pallas_interpret),
-            n_cache, hd_key, False, n_true, mesh, row_axis, _brows)
+            n_cache, hd_key, False, n_true, mesh, row_axis, _brows,
+            inner_iter)
         e0v = (None if not heldout else _fused_epoch(
             y, mask, chunk_rows, n_chunks_local, int(rank), n_channels,
             method, masked, mixed, bool(record_objective), y_dtype,
             float(eps), precision, upc, bool(_pallas_interpret),
-            n_cache, hd_key, True, n_true, mesh, row_axis, _brows))
+            n_cache, hd_key, True, n_true, mesh, row_axis, _brows,
+            inner_iter))
         if n_cache:
             return (lambda xx, dd: e0(xx, dd, cache, mcache),
                     (None if e0v is None else

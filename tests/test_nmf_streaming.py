@@ -62,6 +62,50 @@ def test_streamed_mixed_precision_matches_in_core(masked):
     assert rel_err(stream.x, full.x) < 5e-3
 
 
+@pytest.mark.parametrize("method", ["mu", "kl-mu"])
+@pytest.mark.parametrize("masked", [False, True])
+def test_streamed_inner_iter_matches_in_core(method, masked):
+    """Accelerated MU out of core: the chunked inner_iter trajectory
+    equals nmf.solve's at the same inner_iter (the x refinements are
+    row-local, so chunking stays exact)."""
+    y, *_ = planted_nmf(seed=140, n_samples=83, n_channels=30, rank=4)
+    mask = random_mask(141, y.shape) if masked else None
+    x0, d0 = _init(142, 83, 30, 4)
+    full = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=15,
+                                method=method, mask=mask, inner_iter=3)
+    stream = decomp_tpu.nmf.solve_streaming(
+        y, d0, x=x0, tol=0.0, maxiter=15, method=method, mask=mask,
+        chunk_rows=17, inner_iter=3)
+    assert rel_err(stream.d, full.d) < 1e-12
+    assert rel_err(stream.x, full.x) < 1e-12
+
+
+def test_streamed_inner_iter_accelerates():
+    """Fewer outer iterations (= fewer full passes over the data) to the
+    same tolerance — out of core each saved outer iteration is a saved
+    HBM/loader sweep, which is the point of inner_iter at pod scale."""
+    y, *_ = planted_nmf(seed=143, n_samples=64, n_channels=40, rank=4)
+    x0, d0 = _init(144, 64, 40, 4)
+    plain = decomp_tpu.nmf.solve_streaming(y, d0, x=x0, tol=1e-5,
+                                           maxiter=30000, chunk_rows=16)
+    accel = decomp_tpu.nmf.solve_streaming(y, d0, x=x0, tol=1e-5,
+                                           maxiter=30000, chunk_rows=16,
+                                           inner_iter=3)
+    assert bool(accel.converged)
+    assert int(accel.niter) < int(plain.niter)
+
+
+def test_inner_iter_validated():
+    y, *_ = planted_nmf(seed=145)
+    for bad in (0, -1, 1.5, "2", True):
+        with pytest.raises(decomp_tpu.utils.DecompError,
+                           match="inner_iter"):
+            decomp_tpu.nmf.solve_streaming(y, rank=4, inner_iter=bad)
+        with pytest.raises(decomp_tpu.utils.DecompError,
+                           match="inner_iter"):
+            decomp_tpu.nmf.solve(y, rank=4, inner_iter=bad)
+
+
 def test_streamed_convergence_and_callback():
     y, *_ = planted_nmf(seed=43, n_samples=64, n_channels=40, rank=4)
     x0, d0 = _init(44, 64, 40, 4)
@@ -276,6 +320,55 @@ def test_fused_epoch_pallas_chunk_matches_jnp(masked, method):
                                          _pallas_interpret=True, **kw)
     assert rel_err(res.d, ref.d) < 1e-5
     assert rel_err(res.x, ref.x) < 1e-5
+
+
+def test_fused_epoch_inner_iter():
+    """inner_iter in jit_loader mode: the fused jnp epoch equals the
+    host-array streamer bit-for-bit, the dense-MU chunk kernel (whose
+    refinements reuse the stripe's y @ d.T numerator in VMEM) tracks the
+    jnp step, and the kernel gate rejects inner_iter > 1 off the dense
+    'mu' path with a typed error — all mirroring nmf.solve."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(146)
+    m, n, k, chunk = 512, 128, 128, 128
+    y = np.maximum(rng.uniform(0, 1, (m, 8)) @ rng.uniform(0, 1, (8, n))
+                   + 0.01 * rng.normal(size=(m, n)), 0).astype(np.float32)
+    x0 = rng.uniform(0.1, 1, (m, k)).astype(np.float32)
+    d0 = rng.uniform(0.1, 1, (k, n)).astype(np.float32)
+    yd = jnp.asarray(y)
+
+    def loader(lo, hi):
+        return jax.lax.dynamic_slice(yd, (lo, 0), (chunk, n))
+
+    kw = dict(tol=0.0, maxiter=10, chunk_rows=chunk, n_samples=m,
+              n_channels=n, dtype=np.float32, inner_iter=2)
+    host = decomp_tpu.nmf.solve_streaming(y, d0, x=x0, **kw)
+    fused = decomp_tpu.nmf.solve_streaming(
+        loader, d0, x=x0, x_device=True, jit_loader=True,
+        use_pallas=False, **kw)
+    np.testing.assert_array_equal(np.asarray(fused.d), np.asarray(host.d))
+    np.testing.assert_array_equal(np.asarray(fused.x), np.asarray(host.x))
+    kernel = decomp_tpu.nmf.solve_streaming(
+        loader, d0, x=x0, x_device=True, jit_loader=True,
+        use_pallas=True, _pallas_interpret=True, **kw)
+    assert rel_err(kernel.d, fused.d) < 1e-5
+    assert rel_err(kernel.x, fused.x) < 1e-5
+
+    def mask_loader(lo, hi):
+        return jnp.ones((chunk, n), jnp.float32)
+
+    with pytest.raises(decomp_tpu.utils.DecompError, match="inner_iter"):
+        decomp_tpu.nmf.solve_streaming(
+            loader, d0, x=x0, x_device=True, jit_loader=True,
+            use_pallas=True, mask=mask_loader, _pallas_interpret=True,
+            **kw)
+    with pytest.raises(decomp_tpu.utils.DecompError, match="inner_iter"):
+        decomp_tpu.nmf.solve_streaming(
+            loader, d0, x=x0, x_device=True, jit_loader=True,
+            use_pallas=True, method="kl-mu", _pallas_interpret=True,
+            **kw)
 
 
 def test_streaming_use_pallas_flag():

@@ -601,6 +601,23 @@ def _stream_problem(seed, m, n, k, chunk, masked=False):
     return y, mask_arr, x0, d0, loader, mloader
 
 
+def test_sharded_streaming_inner_iter_matches_single(mesh8):
+    """inner_iter (accelerated MU) in the sharded out-of-core epoch: the
+    per-chunk x refinements are row-local, so the sharded trajectory
+    matches the single-device streamer at the same inner_iter."""
+    y, _, x0, d0, loader, _ = _stream_problem(151, 512, 64, 4, 64)
+    kw = dict(tol=0.0, maxiter=12, chunk_rows=64, n_samples=512,
+              n_channels=64, dtype=np.float32, inner_iter=3)
+    ref = decomp_tpu.nmf.solve_streaming(loader, d0, x=x0, x_device=True,
+                                         jit_loader=True, **kw)
+    res = parallel.nmf.solve_streaming(loader, d0, x=x0, mesh=mesh8, **kw)
+    assert rel_err(res.d, ref.d) < 1e-5
+    assert rel_err(res.x, ref.x) < 1e-5
+    with pytest.raises(decomp_tpu.utils.DecompError, match="inner_iter"):
+        parallel.nmf.solve_streaming(loader, d0, x=x0, mesh=mesh8,
+                                     **{**kw, "inner_iter": 0})
+
+
 def test_sharded_streaming_heldout_lockstep(mesh8):
     """stop='heldout' in the SHARDED streaming solver (VERDICT round-3
     Missing #1): the validation draw is keyed by global chunk offset and
