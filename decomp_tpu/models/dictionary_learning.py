@@ -292,6 +292,8 @@ def solve(
             hd=hd,
             use_pallas=use_pallas,
             whole_kernel=(pallas_mode == "whole"),
+            whole_fixed=(pallas_mode == "whole"
+                         and _lasso._static_nonpositive(lasso_tol)),
             whole_hi_lo=(precision == "high"),
             pallas_block_rows=(pallas_block_rows
                                if pallas_mode is not None else None),
@@ -307,13 +309,13 @@ def solve(
     jax.jit,
     static_argnames=("maxiter", "lasso_method", "lasso_iter", "minibatch",
                      "record_objective", "use_pallas", "whole_kernel",
-                     "whole_hi_lo", "pallas_block_rows",
+                     "whole_fixed", "whole_hi_lo", "pallas_block_rows",
                      "pallas_interpret"),
 )
 def _solve(y, d, x, mask, alpha, tol, lasso_tol, forget, seed, *, maxiter,
            lasso_method, lasso_iter, minibatch, record_objective,
            hd=None, use_pallas=False, whole_kernel=False,
-           whole_hi_lo=False, pallas_block_rows=None,
+           whole_fixed=False, whole_hi_lo=False, pallas_block_rows=None,
            pallas_interpret=False):
     dtype = y.dtype
     rdt = real_dtype(dtype)
@@ -329,13 +331,18 @@ def _solve(y, d, x, mask, alpha, tol, lasso_tol, forget, seed, *, maxiter,
         # call per outer iteration, with per-row stopping at lasso_tol
         # (the jnp inner loop's global criterion at the default
         # lasso_tol=1e-6 effectively runs all lasso_iter steps anyway).
+        # With lasso_tol <= 0 (``whole_fixed``) the kernel statically
+        # elides its per-iteration freeze/stopping lattice — the
+        # fixed-budget mode, which is exactly this fixed-lasso_iter
+        # regime (see ops.pallas_fista._kernel).
         def sparse_code(y_, d_, x_, mask_):
             res = _lasso._whole_core(
                 y_, d_, alpha, x_, None, lasso_tol,
                 None, None, None, None,
                 method=lasso_method, maxiter=lasso_iter,
                 hi_lo=whole_hi_lo, block_rows=pallas_block_rows,
-                interpret=pallas_interpret, return_state=False)
+                interpret=pallas_interpret, return_state=False,
+                fixed=whole_fixed)
             return res.x
     else:
         def sparse_code(y_, d_, x_, mask_):

@@ -359,7 +359,8 @@ def solve(
             hi_lo=(precision == "high"),
             block_rows=pallas_block_rows,
             interpret=bool(_pallas_interpret),
-            return_state=bool(return_state))
+            return_state=bool(return_state),
+            fixed=_static_nonpositive(tol))
         if squeeze:
             res = res._replace(x=res.x[0], niter=res.niter[0],
                                converged=res.converged[0])
@@ -732,24 +733,39 @@ def _solve(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
                        aux=aux)
 
 
+def _static_nonpositive(tol) -> bool:
+    """True when ``tol``'s value is known at Python time and <= 0. Used
+    to engage the whole-solve kernel's FIXED-BUDGET mode (at tol <= 0 no
+    row can stop before maxiter, so the kernel statically elides its
+    per-iteration freeze/stopping lattice — bit-identical results, see
+    ops.pallas_fista._kernel). A traced tol conservatively returns False:
+    semantics are unchanged either way, only the elision is skipped."""
+    if isinstance(tol, jax.core.Tracer):
+        return False
+    try:
+        return float(tol) <= 0.0
+    except (TypeError, ValueError):
+        return False
+
+
 @functools.partial(
     jax.jit, static_argnames=("method", "maxiter", "hi_lo", "block_rows",
-                              "interpret", "return_state")
+                              "interpret", "return_state", "fixed")
 )
 def _solve_whole(y, a, alpha, x, lipschitz, tol, z0, t0, done0, nit0, *,
                  method, maxiter, hi_lo, block_rows, interpret,
-                 return_state):
+                 return_state, fixed=False):
     """jit entry for :func:`_whole_core` (kept separate so dictionary
     learning can trace the core inside its own outer while_loop)."""
     return _whole_core(y, a, alpha, x, lipschitz, tol, z0, t0, done0,
                        nit0, method=method, maxiter=maxiter, hi_lo=hi_lo,
                        block_rows=block_rows, interpret=interpret,
-                       return_state=return_state)
+                       return_state=return_state, fixed=fixed)
 
 
 def _whole_core(y, a, alpha, x, lipschitz, tol, z0, t0, done0, nit0, *,
                 method, maxiter, hi_lo, block_rows, interpret,
-                return_state):
+                return_state, fixed=False):
     """Whole-solve Pallas path (unmasked batch, per-problem stopping):
     the ENTIRE batched proximal-gradient solve runs inside
     ``ops.pallas_fista.solve_rows`` (VERDICT.md round-2 Next #1). The
@@ -828,7 +844,7 @@ def _whole_core(y, a, alpha, x, lipschitz, tol, z0, t0, done0, nit0, *,
         yah_p, gram_p, x0_p, z0_p, t0_p, d0_p, n0_p, step_p, thr_p,
         jnp.asarray(tol, f32), momentum=momentum,
         restart=(method == "acc_ista"), maxiter=maxiter, block_rows=br,
-        hi_lo=hi_lo, interpret=interpret)
+        hi_lo=hi_lo, interpret=interpret, fixed=fixed)
 
     aux = None
     if return_state and momentum:
@@ -841,11 +857,11 @@ def _whole_core(y, a, alpha, x, lipschitz, tol, z0, t0, done0, nit0, *,
 
 @functools.partial(
     jax.jit, static_argnames=("method", "maxiter", "hi_lo", "block_rows",
-                              "interpret", "return_state")
+                              "interpret", "return_state", "fixed")
 )
 def _solve_whole_split(ys, a_s, alpha, xs, lipschitz, tol, z0s, t0,
                        done0, nit0, *, method, maxiter, hi_lo,
-                       block_rows, interpret, return_state):
+                       block_rows, interpret, return_state, fixed=False):
     """Whole-solve Pallas path for SPLIT-COMPLEX batches (round 4,
     VERDICT round-3 Missing #4): the complex batch runs through
     ``ops.pallas_fista.solve_rows``'s ``group_fc`` mode — columns hold
@@ -936,7 +952,7 @@ def _solve_whole_split(ys, a_s, alpha, xs, lipschitz, tol, z0s, t0,
         yah2, g2, x0_p, z0_p, t0_p, d0_p, n0_p, step_p, thr_p,
         jnp.asarray(tol, f32), momentum=momentum,
         restart=(method == "acc_ista"), maxiter=maxiter, block_rows=br,
-        hi_lo=hi_lo, interpret=interpret, group_fc=f_pad)
+        hi_lo=hi_lo, interpret=interpret, group_fc=f_pad, fixed=fixed)
 
     from decomp_tpu.ops.complex_split import SplitComplex
 
@@ -1120,7 +1136,8 @@ def solve_split(y, a, alpha, x=None, *, tol=1e-5, maxiter: int = 1000,
             hi_lo=(precision == "high"),
             block_rows=pallas_block_rows,
             interpret=bool(_pallas_interpret),
-            return_state=bool(return_state))
+            return_state=bool(return_state),
+            fixed=_static_nonpositive(tol))
     with jax.default_matmul_precision(precision):
         xr, xi, niter, converged, objective, aux_split = _solve_split(
             ys, a_s, alpha, xs, mask, lip, jnp.asarray(tol, rdt),

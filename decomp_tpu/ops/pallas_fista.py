@@ -131,7 +131,7 @@ def _bitmask_split(gram):
 
 
 def _kernel(momentum, restart, maxiter, hi_lo, feat_vecs, group_fc,
-            *refs):
+            fixed, *refs):
     if feat_vecs:
         (smem_ref, stepsz_ref, thresh_ref, *refs) = refs
         stepsz = stepsz_ref[:]        # (1, F) per-feature step sizes
@@ -207,6 +207,67 @@ def _kernel(momentum, restart, maxiter, hi_lo, feat_vecs, group_fc,
 
     def row_sumsq(v):
         return jnp.sum(v * v, axis=1, keepdims=True)     # (br, 1)
+
+    if fixed:
+        # FIXED-BUDGET mode (static ``fixed=True``; callers engage it when
+        # the Python value of tol is <= 0): at tol = 0 the convergence
+        # test ``num/den < tol`` can never fire, so the whole per-
+        # iteration freeze/stopping lattice (two row reductions, sqrt,
+        # divide, compare, and five ``where`` passes) is dead code — a
+        # large share of the serial VPU chain that makes this solver
+        # VPU-bound at F <= ~2000 (see DESIGN.md's roofline). The loop
+        # becomes a STATIC-trip fori of bare proximal steps; per-row
+        # results are bit-identical to the exact kernel at tol = 0
+        # (frozen-on-entry rows are restored by one trailing ``where``).
+        # This is exactly dictionary learning's inner-coding regime: a
+        # short fixed lasso_iter budget with no early exit to exploit.
+        def fstep(carry):
+            if momentum:
+                x, z, t = carry
+                x_cand = prox(z)
+                t_cand = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+                z_cand = x_cand + ((t - 1.0) / t_cand) * (x_cand - x)
+                if restart:
+                    do = jnp.sum((z - x_cand) * (x_cand - x), axis=1,
+                                 keepdims=True) > 0
+                    t_cand = jnp.where(do, 1.0, t_cand)
+                    z_cand = jnp.where(do, x_cand, z_cand)
+                return (x_cand, z_cand, t_cand)
+            return (prox(carry[0]),)
+
+        x0 = x0_ref[:]
+        done0 = done0_ref[:]
+        nit0 = nit0_ref[:]
+        carry = ((x0, z0_ref[:], t0_ref[:]) if momentum else (x0,))
+        # maxiter = q full unrolled blocks + r statically-unrolled steps:
+        # exact trip count with Mosaic-friendly static unrolling (a
+        # dynamic fori bound blocks unrolling — measured ~60% slower).
+        check = _CHECK // 2 if group_fc else _CHECK
+        q, r = divmod(int(maxiter), check)
+        if q:
+            carry = jax.lax.fori_loop(
+                0, q,
+                lambda i, c: jax.lax.fori_loop(
+                    0, check, lambda j, cc: fstep(cc), c, unroll=True),
+                carry)
+        for _ in range(r):
+            carry = fstep(carry)
+        # Rows that ENTER done (resume of previously-converged rows;
+        # padding rows) stay frozen bit-exactly, as in the exact kernel.
+        keep = done0 > 0.5
+        if momentum:
+            x, z, t = carry
+            z_ref[:] = jnp.where(keep, z0_ref[:], z)
+            t_ref[:] = jnp.where(keep, t0_ref[:], t)
+        else:
+            x = carry[0]
+            z_ref[:] = jnp.where(keep, x0, x)
+            t_ref[:] = t0_ref[:]
+        x_ref[:] = jnp.where(keep, x0, x)
+        done_ref[:] = done0
+        nit_ref[:] = (nit0 + jnp.where(keep, 0.0, float(maxiter))).astype(
+            jnp.int32)
+        return
 
     def body(carry):
         # Scalar activity gate: steps past maxiter are exact no-ops, so
@@ -287,7 +348,7 @@ def _kernel(momentum, restart, maxiter, hi_lo, feat_vecs, group_fc,
 
 def solve_rows(yah, gram, x0, z0, t0, done0, nit0, stepsz, thresh, tol, *,
                momentum, restart, maxiter, block_rows=None, hi_lo=False,
-               interpret=False, vma=None, group_fc=0):
+               interpret=False, vma=None, group_fc=0, fixed=False):
     """Run the whole batched proximal-gradient solve on device.
 
     yah:   (M, F) f32 — precomputed y @ a^T (pre-masked data never enters;
@@ -305,6 +366,11 @@ def solve_rows(yah, gram, x0, z0, t0, done0, nit0, stepsz, thresh, tol, *,
            measurably cheaper: a (1, F) row broadcast materialises
            (br, F) VPU passes per use in Mosaic.
     tol:   scalar relative-change stopping threshold (per row).
+    fixed: static flag — the caller asserts the PYTHON value of tol is
+           <= 0, so no row can stop before maxiter and the kernel elides
+           the whole per-iteration freeze/stopping lattice (a static-trip
+           fori of bare proximal steps; bit-identical results, see
+           _kernel). niter comes back as nit0 + maxiter on non-done rows.
     group_fc: split-complex mode — F must equal 2*group_fc with columns
            laid out [re block | im block] of group_fc (128-aligned)
            complex features, ``gram`` the real 2Fc x 2Fc embedding
@@ -368,7 +434,7 @@ def solve_rows(yah, gram, x0, z0, t0, done0, nit0, stepsz, thresh, tol, *,
     feat_specs = [feat, feat] if feat_vecs else []
     outs = pl.pallas_call(
         functools.partial(_kernel, momentum, restart, int(maxiter),
-                          hi_lo, feat_vecs, int(group_fc)),
+                          hi_lo, feat_vecs, int(group_fc), bool(fixed)),
         grid=grid,
         in_specs=(
             [pl.BlockSpec(memory_space=pltpu.SMEM)]  # tol(+step+thresh)

@@ -174,7 +174,8 @@ def solve(
             maxiter=int(maxiter), mesh=mesh, axis=axis,
             hi_lo=(precision == "high"),
             block_rows=pallas_block_rows,
-            interpret=bool(_pallas_interpret))
+            interpret=bool(_pallas_interpret),
+            fixed=_lasso._static_nonpositive(tol))
     with jax.default_matmul_precision(precision):
         return _solve_sharded(
             y, a, alpha, x, mask, lip, jnp.asarray(tol, rdt),
@@ -277,11 +278,11 @@ def _solve_sharded(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
 @functools.partial(
     jax.jit,
     static_argnames=("method", "maxiter", "mesh", "axis", "hi_lo",
-                     "block_rows", "interpret"),
+                     "block_rows", "interpret", "fixed"),
 )
 def _solve_sharded_whole(y, a, alpha, x, lipschitz, tol, *, method,
                          maxiter, mesh, axis, hi_lo, block_rows,
-                         interpret):
+                         interpret, fixed=False):
     """Row-sharded whole-solve kernel path: each device runs
     models.lasso._whole_core on its local row block — the rows are
     independent problems and per-problem stopping is device-local, so
@@ -295,7 +296,7 @@ def _solve_sharded_whole(y, a, alpha, x, lipschitz, tol, *, method,
             y_l, a_r, alpha_, x_l, lip_, tol_, None, None, None, None,
             method=method, maxiter=maxiter, hi_lo=hi_lo,
             block_rows=block_rows, interpret=interpret,
-            return_state=False)
+            return_state=False, fixed=fixed)
         return res.x, res.niter, res.converged
 
     x_g, niter, converged = jax.shard_map(

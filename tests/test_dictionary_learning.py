@@ -203,6 +203,29 @@ def test_whole_kernel_sparse_coding_matches_jnp():
     np.testing.assert_array_equal(np.asarray(ker.x), np.asarray(ref.x))
 
 
+def test_whole_kernel_sparse_coding_fixed_budget():
+    """lasso_tol=0 routes the whole-solve sparse coding through the
+    kernel's FIXED-BUDGET mode (the freeze/stopping lattice is statically
+    elided — exactly DL's fixed-lasso_iter regime): results stay
+    bit-exact vs the jnp inner loop at the same lasso_tol=0."""
+    rng = np.random.default_rng(72)
+    n_samp, n_ch, n_atoms = 512, 64, 128
+    d_true = rng.normal(size=(n_atoms, n_ch))
+    d_true /= np.linalg.norm(d_true, axis=1, keepdims=True)
+    x_true = (rng.normal(size=(n_samp, n_atoms))
+              * (rng.random((n_samp, n_atoms)) < 0.1))
+    y = (x_true @ d_true
+         + 0.01 * rng.normal(size=(n_samp, n_ch))).astype(np.float32)
+    d0 = rng.normal(size=(n_atoms, n_ch)).astype(np.float32)
+    kw = dict(maxiter=12, lasso_iter=8, lasso_tol=0.0)
+    ref = decomp_tpu.dictionary_learning.solve(
+        y, d0, 0.05, use_pallas=False, **kw)
+    ker = decomp_tpu.dictionary_learning.solve(
+        y, d0, 0.05, use_pallas=True, _pallas_interpret=True, **kw)
+    np.testing.assert_array_equal(np.asarray(ker.d), np.asarray(ref.d))
+    np.testing.assert_array_equal(np.asarray(ker.x), np.asarray(ref.x))
+
+
 def test_solve_split_matches_native_complex():
     """dictionary_learning.solve_split over SplitComplex pytrees matches
     the native complex path and composes under jit (the split-complex

@@ -349,6 +349,97 @@ def test_whole_kernel_feature_alpha():
     np.testing.assert_array_equal(np.asarray(ker.x), np.asarray(ref.x))
 
 
+@pytest.mark.parametrize("momentum,restart,feat_vecs",
+                         [(True, False, False), (True, True, False),
+                          (False, False, False), (True, False, True),
+                          (False, False, True)])
+@pytest.mark.parametrize("maxiter", [0, 7, 8, 37])
+def test_solve_rows_fixed_budget_bitexact(momentum, restart, feat_vecs,
+                                          maxiter):
+    """fixed=True (the static fixed-budget mode: the per-iteration
+    freeze/stopping lattice is elided — ops.pallas_fista._kernel) is
+    BIT-IDENTICAL to the exact kernel at tol=0 across momentum/restart/
+    ista, scalar and per-feature step vectors, and maxiter remainders of
+    the unroll block — including a resumed-done row, which stays frozen."""
+    from decomp_tpu.ops import pallas_fista as pf
+
+    rng = np.random.default_rng(55)
+    m, f = 64, 128
+    a = rng.normal(size=(f, 200)).astype(np.float32)
+    gram = (a @ a.T).astype(np.float32)
+    yah = rng.normal(size=(m, f)).astype(np.float32)
+    x0 = rng.normal(size=(m, f)).astype(np.float32)
+    t0 = np.ones((m, 1), np.float32)
+    d0 = np.zeros((m, 1), np.float32)
+    d0[5] = 1.0                    # one row resumes already-converged
+    n0 = np.zeros((m, 1), np.float32)
+    n0[5] = 9.0
+    if feat_vecs:
+        step = (0.5 / np.abs(np.diag(gram))).astype(np.float32)[None, :]
+        thresh = (0.01 * step).astype(np.float32)
+    else:
+        step, thresh = np.float32(1e-3), np.float32(1e-4)
+    kw = dict(momentum=momentum, restart=restart, maxiter=maxiter,
+              block_rows=32, interpret=True)
+    ex = pf.solve_rows(yah, gram, x0, x0, t0, d0, n0, step, thresh,
+                       0.0, **kw)
+    fx = pf.solve_rows(yah, gram, x0, x0, t0, d0, n0, step, thresh,
+                       0.0, fixed=True, **kw)
+    for e, f_ in zip(ex, fx):
+        np.testing.assert_array_equal(np.asarray(e), np.asarray(f_))
+
+
+@pytest.mark.parametrize("method", ["ista", "fista", "acc_ista",
+                                    "parallel_cd"])
+def test_whole_kernel_fixed_budget_matches_jnp(method):
+    """tol <= 0 engages the kernel's fixed-budget mode through the public
+    solve(): results track the jnp path at the same fixed budget (the
+    kernel itself is bit-identical to the exact kernel — previous test —
+    but XLA may compile the two programs' step-size PRECOMPUTE a ulp
+    apart, so public-level parity is near-exact, not bitwise), and niter
+    is exactly maxiter everywhere."""
+    y, a = _whole_problem()
+    ref = decomp_tpu.lasso.solve(y, a, 0.05, method=method, tol=0.0,
+                                 maxiter=37, per_problem=True,
+                                 use_pallas=False)
+    ker = decomp_tpu.lasso.solve(y, a, 0.05, method=method, tol=0.0,
+                                 maxiter=37, per_problem=True,
+                                 use_pallas=True, _pallas_interpret=True)
+    assert rel_err(ker.x, ref.x) < 1e-6
+    assert (np.asarray(ker.niter) == 37).all()
+    assert not np.asarray(ker.converged).any()
+
+
+def test_whole_kernel_fixed_budget_resume_freezes():
+    """Rows resumed as already-converged stay bit-frozen through the
+    fixed-budget kernel (its single trailing done0 restore), while live
+    rows advance exactly maxiter iterations."""
+    y, a = _whole_problem(seed=54)
+    kw = dict(method="fista", per_problem=True, use_pallas=True,
+              _pallas_interpret=True)
+    straight = decomp_tpu.lasso.solve(y, a, 0.05, tol=2e-4, maxiter=200,
+                                      **kw)
+    nit_s = np.asarray(straight.niter)
+    assert nit_s.min() < nit_s.max()
+    # stop mid-flight so SOME rows are converged at the handoff
+    first = int(nit_s.min() + nit_s.max()) // 2
+    r1 = decomp_tpu.lasso.solve(y, a, 0.05, tol=2e-4, maxiter=first,
+                                return_state=True, **kw)
+    conv = np.asarray(r1.converged)
+    assert 0 < conv.sum() < y.shape[0]
+    st = {"done": r1.converged, "niter": r1.niter,
+          "z": r1.aux["z"], "t": r1.aux["t"]}
+    r2 = decomp_tpu.lasso.solve(y, a, 0.05, x=r1.x, tol=0.0, maxiter=7,
+                                state=st, **kw)
+    np.testing.assert_array_equal(np.asarray(r2.x)[conv],
+                                  np.asarray(r1.x)[conv])
+    nit1, nit2 = np.asarray(r1.niter), np.asarray(r2.niter)
+    np.testing.assert_array_equal(nit2[conv], nit1[conv])
+    np.testing.assert_array_equal(nit2[~conv], nit1[~conv] + 7)
+    # and the live rows really did advance, not just stay put
+    assert (np.asarray(r2.x)[~conv] != np.asarray(r1.x)[~conv]).any()
+
+
 def test_whole_kernel_validation():
     y, a = _whole_problem()
     with pytest.raises(decomp_tpu.utils.DecompError):

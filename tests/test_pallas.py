@@ -365,6 +365,34 @@ def test_whole_kernel_split_complex_matches_jnp(method):
             / max(np.linalg.norm(as_c(ref.x)), 1e-30)) < 1e-3
 
 
+def test_whole_kernel_split_complex_fixed_budget():
+    """group_fc + fixed-budget (tol=0): the split kernel's static-trip
+    mode matches the jnp split path at the same fixed budget."""
+    from decomp_tpu.ops import complex_split as cs
+
+    rng = np.random.default_rng(79)
+    m, f, c = 48, 128, 32  # padding-free atom count for the group halves
+    a = (rng.normal(size=(f, c))
+         + 1j * rng.normal(size=(f, c))).astype(np.complex64)
+    y = (rng.normal(size=(m, c))
+         + 1j * rng.normal(size=(m, c))).astype(np.complex64)
+    ys, a_s = cs.from_numpy(y), cs.from_numpy(a)
+    kw = dict(tol=0.0, maxiter=21, method="acc_ista", per_problem=True)
+    ref = decomp_tpu.lasso.solve_split(ys, a_s, 0.1, **kw)
+    res = decomp_tpu.lasso.solve_split(ys, a_s, 0.1, use_pallas=True,
+                                       _pallas_interpret=True, **kw)
+
+    def as_c(s):
+        return np.asarray(s.re) + 1j * np.asarray(s.im)
+
+    assert (np.asarray(res.niter) == 21).all()
+    assert not np.asarray(res.converged).any()
+    # one 2F-wide contraction vs four F-wide: reduction order differs,
+    # so solution-level (not bitwise) parity is the oracle here.
+    assert (np.linalg.norm(as_c(res.x) - as_c(ref.x))
+            / max(np.linalg.norm(as_c(ref.x)), 1e-30)) < 1e-4
+
+
 def test_whole_kernel_split_complex_resume_and_validation():
     """Exact per-row state resume through the split kernel, plus the
     contract validations."""
