@@ -77,6 +77,7 @@ def solve(
     use_pallas="auto",
     pallas_block_rows=None,
     _pallas_interpret: bool = False,
+    _bcd_pallas=None,
     complex_split="auto",
     stop: str = "rel_change",
     heldout_frac: float = 0.05,
@@ -181,6 +182,7 @@ def solve(
 
     is_complex = jnp.issubdtype(dtype, jnp.complexfloating)
     k_pad128 = -(-n_atoms // 128) * 128
+    user_use_pallas = use_pallas   # _resolve_bcd needs the un-rebound value
     pallas_mode = None
     if use_pallas == "auto":
         if (mask is not None
@@ -278,6 +280,8 @@ def solve(
         # per-atom / per-sample alpha weights follow the factor shapes
         alpha = pallas_lasso.pad_alpha(alpha, m_pad, k_pad)
 
+    bcd_mode = _resolve_bcd(_bcd_pallas, user_use_pallas, dtype,
+                            orig_k, orig_n)
     # 'highest' matmul precision: TPU's default bf16 MXU passes put a ~1e-3
     # noise floor under iterative convergence (see nmf.solve for details).
     with jax.default_matmul_precision(precision):
@@ -298,6 +302,7 @@ def solve(
             pallas_block_rows=(pallas_block_rows
                                if pallas_mode is not None else None),
             pallas_interpret=bool(_pallas_interpret),
+            bcd_mode=bcd_mode,
         )
     if use_pallas:  # slice the alignment padding back off
         res = res._replace(x=res.x[:orig_m, :orig_k],
@@ -310,13 +315,13 @@ def solve(
     static_argnames=("maxiter", "lasso_method", "lasso_iter", "minibatch",
                      "record_objective", "use_pallas", "whole_kernel",
                      "whole_fixed", "whole_hi_lo", "pallas_block_rows",
-                     "pallas_interpret"),
+                     "pallas_interpret", "bcd_mode"),
 )
 def _solve(y, d, x, mask, alpha, tol, lasso_tol, forget, seed, *, maxiter,
            lasso_method, lasso_iter, minibatch, record_objective,
            hd=None, use_pallas=False, whole_kernel=False,
            whole_fixed=False, whole_hi_lo=False, pallas_block_rows=None,
-           pallas_interpret=False):
+           pallas_interpret=False, bcd_mode="off"):
     dtype = y.dtype
     rdt = real_dtype(dtype)
     tiny = jnp.asarray(jnp.finfo(rdt).tiny, rdt)
@@ -382,12 +387,14 @@ def _solve(y, d, x, mask, alpha, tol, lasso_tol, forget, seed, *, maxiter,
             e_new = val_sqerr(new)
             return (e_old - e_new) / jnp.maximum(e_old, tiny_h)
 
+    bcd_kw = dict(use_kernel=bcd_mode != "off",
+                  interpret=bcd_mode == "interpret")
     if minibatch is None:
         if mask is None:
             def update_d(x_, d_, _y_sel, _mask_sel):
                 stats_a = x_.conj().T @ x_
                 stats_b = x_.conj().T @ my
-                return _bcd_dict_update(stats_a, stats_b, d_)
+                return _bcd_dict_update(stats_a, stats_b, d_, **bcd_kw)
         else:
             def update_d(x_, d_, _y_sel, _mask_sel):
                 return _masked_grad_dict_update(
@@ -421,7 +428,7 @@ def _solve(y, d, x, mask, alpha, tol, lasso_tol, forget, seed, *, maxiter,
             if mask is None:
                 acc_a = f * acc_a + xb.conj().T @ xb
                 acc_b = f * acc_b + xb.conj().T @ myb
-                d_ = _bcd_dict_update(acc_a, acc_b, d_)
+                d_ = _bcd_dict_update(acc_a, acc_b, d_, **bcd_kw)
             else:
                 # Masked statistics cannot be folded into (A, B): take a
                 # projected-gradient step on the batch instead.
@@ -452,14 +459,63 @@ def _solve(y, d, x, mask, alpha, tol, lasso_tol, forget, seed, *, maxiter,
     )
 
 
-def _bcd_dict_update(stats_a, stats_b, d):
+def _resolve_bcd(override, use_pallas, dtype, n_atoms, n_channels):
+    """Resolve the BCD sweep-kernel gate into a static mode string:
+    'off' | 'tpu' | 'interpret'. ``override`` (the private ``_bcd_pallas``
+    kwarg) forces: None = auto (calibrated TPU, real f32, VMEM fit —
+    ops.pallas_bcd.auto_engage), True/False force compiled/off,
+    'interpret' runs the kernel in interpreter mode (CPU tests).
+    ``use_pallas=False`` (the user's no-kernels switch) vetoes auto."""
+    if override == "interpret" or override:
+        if jnp.dtype(dtype) != jnp.float32:
+            raise DecompError("the BCD sweep kernel requires real "
+                              f"float32 statistics, got {dtype}")
+        return "interpret" if override == "interpret" else "tpu"
+    if override is not None:
+        return "off"
+    if use_pallas is False:
+        return "off"
+    from decomp_tpu.ops import pallas_bcd
+
+    return ("tpu" if pallas_bcd.auto_engage(n_atoms, n_channels, dtype)
+            else "off")
+
+
+def _bcd_dict_update(stats_a, stats_b, d, *, use_kernel=False,
+                     interpret=False, vma=None):
     """One block-coordinate-descent pass over atoms (Mairal et al. 2010,
     Algorithm 2 shape), with exact unit-norm projection per atom.
 
     Solves rows of  A @ d = B  one atom at a time:
         u_k = b_k - a_k @ d + a_kk * d_k ;  d_k <- u_k / ||u_k||
     Dead atoms (||u_k|| ~ 0) keep their previous direction.
+
+    ``use_kernel``: run the sweep as ONE fused Pallas kernel with A/B/d
+    VMEM-resident (ops.pallas_bcd) instead of a lax.fori_loop of
+    dynamic-sliced micro-steps — the sweep is sequential over atoms and
+    its per-step arithmetic is tiny, so the XLA loop is latency-bound
+    (measured ~5x: 979 -> 184 us per 256-atom sweep on v5e,
+    benchmarks/bench_bcd_sweep.py). Real f32
+    only; zero padding to the kernel's (K%8, N%128) alignment is an
+    exact sweep no-op (padded atoms have zero A/B/d rows -> u = 0 ->
+    keep).
     """
+    if use_kernel:
+        from decomp_tpu.ops import pallas_bcd
+
+        k_at, n_ch = d.shape
+        k_pad = -(-k_at // 8) * 8
+        n_pad = -(-n_ch // 128) * 128
+        if (k_pad, n_pad) != (k_at, n_ch):
+            def pad2(v, r, c):
+                return jnp.pad(v, ((0, r - v.shape[0]),
+                                   (0, c - v.shape[1])))
+            out = pallas_bcd.bcd_sweep(
+                pad2(stats_a, k_pad, k_pad), pad2(stats_b, k_pad, n_pad),
+                pad2(d, k_pad, n_pad), interpret=interpret, vma=vma)
+            return out[:k_at, :n_ch]
+        return pallas_bcd.bcd_sweep(stats_a, stats_b, d,
+                                    interpret=interpret, vma=vma)
     rdt = real_dtype(d.dtype)
     tiny = jnp.asarray(jnp.finfo(rdt).tiny, rdt)
     n_atoms = d.shape[0]

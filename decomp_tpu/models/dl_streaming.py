@@ -25,6 +25,7 @@ import numpy as np
 
 from decomp_tpu.models import lasso as _lasso
 from decomp_tpu.models.dictionary_learning import (_bcd_dict_update,
+                                                   _resolve_bcd,
                                                    _validate_lasso_method)
 from decomp_tpu.utils.weakcache import LoaderKeyedCache
 from decomp_tpu.ops.loop import run_iterations
@@ -60,6 +61,7 @@ def solve_streaming(
     dtype=None,
     jit_loader: bool = False,
     record_objective: bool = False,
+    _bcd_pallas=None,
 ) -> DictionaryLearningResult:
     """Out-of-core ``decomp_tpu.dictionary_learning.solve``.
 
@@ -118,7 +120,7 @@ def solve_streaming(
             callback=callback, stop=stop, heldout_frac=heldout_frac,
             check_every=check_every, random_seed=random_seed,
             n_samples=n_samples, n_channels=n_channels, dtype=dtype,
-            record_objective=record_objective)
+            record_objective=record_objective, _bcd_pallas=_bcd_pallas)
     if jit_loader:
         raise DecompError("jit_loader=True requires a callable y loader")
     y = np.asarray(y)
@@ -163,6 +165,10 @@ def solve_streaming(
     alpha_j = jnp.asarray(np.asarray(alpha).real.astype(rdt))
     lasso_tol_j = jnp.asarray(lasso_tol, rdt)
     d = l2_normalize(d.astype(dtype), axis=1)
+    bcd_mode = _resolve_bcd(_bcd_pallas, None, jnp.result_type(dtype),
+                            n_atoms, y.shape[1])
+    bcd_kw = dict(use_kernel=bcd_mode != "off",
+                  interpret=bcd_mode == "interpret")
 
     hd_key = None
     if heldout:
@@ -221,7 +227,7 @@ def solve_streaming(
                 stats_a = stats_a + a_c
                 stats_b = stats_b + b_c
             if mask is None:
-                d = _bcd_dict_update(stats_a, stats_b, d)
+                d = _bcd_dict_update(stats_a, stats_b, d, **bcd_kw)
             else:
                 # projected-gradient step from the accumulated Gram
                 # (stats_a) and gradient (stats_b) — the in-core
@@ -373,7 +379,7 @@ def _build_dl_fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks,
                           n_atoms, n_channels, lasso_method, lasso_iter,
                           masked, dtype, precision, with_obj=False,
                           heldout=None, with_val=False, n_true=None,
-                          mesh=None, row_axis=None):
+                          mesh=None, row_axis=None, bcd_mode="off"):
     """Fused dictionary-learning epoch for jit-traceable loaders: ONE
     dispatched call sparse-codes every chunk (fixed ``lasso_iter``
     budget, warm-started from the resident x), accumulates the
@@ -498,7 +504,11 @@ def _build_dl_fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks,
         if masked:
             d_new = _masked_d_step(sa, sb, d)
         else:
-            d_new = _bcd_dict_update(sa, sb, d)
+            # Fused-sweep kernel when gated (sharded: sa/sb are psum'd
+            # and d replicated; the epoch shard_map runs check_vma=False)
+            d_new = _bcd_dict_update(sa, sb, d,
+                                     use_kernel=bcd_mode != "off",
+                                     interpret=bcd_mode == "interpret")
         return d_new, _rel_diff_impl(d, d_new)
 
     if mesh is None:
@@ -571,7 +581,7 @@ def _solve_streaming_fused(y_loader, d, alpha, x, *, tol, maxiter,
                            stop, heldout_frac, check_every, random_seed,
                            n_samples, n_channels, dtype,
                            record_objective=False, mesh=None,
-                           row_axis=None):
+                           row_axis=None, _bcd_pallas=None):
     """Driver for the fused (jit-loader) DL epochs — single-device when
     ``mesh`` is None, sharded otherwise (the parallel entry wraps this).
     """
@@ -639,13 +649,14 @@ def _solve_streaming_fused(y_loader, d, alpha, x, *, tol, maxiter,
 
     n_true = n_samples if n_pad != n_samples else None
     hd_key = (float(heldout_frac), int(random_seed)) if heldout else None
+    bcd_mode = _resolve_bcd(_bcd_pallas, None, dtype, n_atoms, n_channels)
     common = (y_loader, mask_loader, chunk_rows, n_chunks_local,
               int(n_atoms), n_channels, lasso_method, int(lasso_iter),
               masked, dtype, precision, record_objective)
     epoch = _dl_fused_epoch(*common, hd_key, False, n_true, mesh,
-                            row_axis)
+                            row_axis, bcd_mode)
     epoch_val = (None if not heldout else _dl_fused_epoch(
-        *common, hd_key, True, n_true, mesh, row_axis))
+        *common, hd_key, True, n_true, mesh, row_axis, bcd_mode))
 
     tol_f = float(tol)
     need_diff = (not heldout) and (tol_f > 0.0 or callback is not None)

@@ -48,6 +48,7 @@ def solve(
     use_pallas="auto",
     pallas_block_rows=None,
     _pallas_interpret: bool = False,
+    _bcd_pallas=None,
     stop: str = "rel_change",
     heldout_frac: float = 0.05,
     random_seed: int = 0,
@@ -98,6 +99,7 @@ def solve(
 
     is_complex = jnp.issubdtype(dtype, jnp.complexfloating)
     n_dev_rows = mesh.shape[axis]
+    user_use_pallas = use_pallas   # _resolve_bcd needs the un-rebound value
     if use_pallas == "auto":
         use_pallas = (
             _calibrated_tpu()
@@ -145,6 +147,10 @@ def solve(
                             jnp.asarray(jnp.finfo(acc_h).tiny, acc_h))
         hd_global = (yv, val, vnorm)
 
+    from decomp_tpu.models.dictionary_learning import _resolve_bcd
+
+    bcd_mode = _resolve_bcd(_bcd_pallas, user_use_pallas, dtype,
+                            d.shape[0], y.shape[1])
     with jax.default_matmul_precision(precision):
         return _solve_sharded(
             y, d, x, mask,
@@ -155,6 +161,7 @@ def solve(
             record_objective=bool(record_objective),
             use_pallas=use_pallas, pallas_block_rows=pallas_block_rows,
             pallas_interpret=bool(_pallas_interpret), hd=hd_global,
+            bcd_mode=bcd_mode,
         )
 
 
@@ -162,12 +169,12 @@ def solve(
     jax.jit,
     static_argnames=("maxiter", "lasso_method", "lasso_iter", "mesh",
                      "axis", "record_objective", "use_pallas",
-                     "pallas_block_rows", "pallas_interpret"),
+                     "pallas_block_rows", "pallas_interpret", "bcd_mode"),
 )
 def _solve_sharded(y, d, x, mask, alpha, tol, lasso_tol, *, maxiter,
                    lasso_method, lasso_iter, mesh, axis, record_objective,
                    use_pallas=False, pallas_block_rows=None,
-                   pallas_interpret=False, hd=None):
+                   pallas_interpret=False, hd=None, bcd_mode="off"):
     dtype = y.dtype
     rdt = real_dtype(dtype)
     row_spec = P(axis, None)
@@ -225,7 +232,13 @@ def _solve_sharded(y, d, x, mask, alpha, tol, lasso_tol, *, maxiter,
                 if mask_l is None:
                     stats_a = psum(x_.conj().T @ x_)
                     stats_b = psum(x_.conj().T @ my_l)
-                    d_ = _bcd_dict_update(stats_a, stats_b, d_)
+                    # BCD inputs are psum'd / replicated -> the kernel's
+                    # output is mesh-invariant (vma = empty set)
+                    d_ = _bcd_dict_update(
+                        stats_a, stats_b, d_,
+                        use_kernel=bcd_mode != "off",
+                        interpret=bcd_mode == "interpret",
+                        vma=(frozenset() if bcd_mode != "off" else None))
                 else:
                     d_ = _masked_grad_dict_update(
                         my_l, x_, d_, mask_l, reduce_sum=psum,
@@ -288,7 +301,9 @@ def _solve_sharded(y, d, x, mask, alpha, tol, lasso_tol, *, maxiter,
                 None if vnorm_g is None else P(),
                 P() if alpha.ndim == 0 else P(None), P(), P())
     out_specs = (row_spec, P(None, None), P(), P(), P(), P())
-    # check_vma off for the Pallas branch (see parallel.nmf).
+    # check_vma off for the Pallas branch (see parallel.nmf). The BCD
+    # sweep kernel is fine under the checker: its inputs are psum'd /
+    # replicated and its out_shape carries vma=frozenset() (invariant).
     x_g, d_g, niter, converged, objective, ho_err = jax.shard_map(
         body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=not use_pallas,
@@ -324,6 +339,7 @@ def solve_streaming(
     n_channels=None,
     dtype=None,
     record_objective: bool = False,
+    _bcd_pallas=None,
 ):
     """Sharded out-of-core dictionary learning (round 4): the sample
     axis shards over ``mesh[row_axis]`` AND each device streams its
@@ -359,4 +375,4 @@ def solve_streaming(
         random_seed=random_seed, n_samples=n_samples,
         n_channels=n_channels, dtype=dtype,
         record_objective=record_objective, mesh=mesh,
-        row_axis=row_axis)
+        row_axis=row_axis, _bcd_pallas=_bcd_pallas)

@@ -320,6 +320,106 @@ def test_auto_is_off_on_cpu():
     assert np.isfinite(np.asarray(res.d)).all()
 
 
+def test_bcd_sweep_kernel_matches_oracle():
+    """The fused BCD dictionary-sweep kernel (ops.pallas_bcd): bit-exact
+    vs the jnp fori sweep at padding-free shapes; zero padding (atoms
+    and channels) is an exact sweep no-op on the real block (padded
+    norms only append zeros, which can re-associate the reduction —
+    tested at the padded shape to 1e-6)."""
+    import jax
+
+    from decomp_tpu.models.dictionary_learning import _bcd_dict_update
+    from decomp_tpu.ops import pallas_bcd
+
+    rng = np.random.default_rng(80)
+    k, n = 64, 128
+    x = rng.normal(size=(500, k)).astype(np.float32)
+    y = rng.normal(size=(500, n)).astype(np.float32)
+    a = jnp.asarray((x.T @ x).astype(np.float32))
+    b = jnp.asarray((x.T @ y).astype(np.float32))
+    d = rng.normal(size=(k, n)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+    with jax.default_matmul_precision("highest"):
+        ref = _bcd_dict_update(a, b, d)
+    ker = pallas_bcd.bcd_sweep(a, b, d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(ker))
+
+    # padded atoms + channels: padded rows stay exactly zero, the real
+    # block matches to reduction-order tolerance
+    kp, np_pad = k + 8, n + 128
+    pad = lambda v, r, c: np.pad(np.asarray(v),  # noqa: E731
+                                 ((0, r - v.shape[0]), (0, c - v.shape[1])))
+    kerp = pallas_bcd.bcd_sweep(jnp.asarray(pad(a, kp, kp)),
+                                jnp.asarray(pad(b, kp, np_pad)),
+                                jnp.asarray(pad(d, kp, np_pad)),
+                                interpret=True)
+    kerp = np.asarray(kerp)
+    assert np.abs(kerp[k:]).max() == 0
+    assert np.abs(kerp[:, n:]).max() == 0
+    assert rel_err(kerp[:k, :n], np.asarray(ref)) < 1e-6
+
+    with pytest.raises(ValueError):
+        pallas_bcd.bcd_sweep(a, b, jnp.asarray(np.zeros((k, 40),
+                                                        np.float32)),
+                             interpret=True)  # N not 128-aligned
+    with pytest.raises(ValueError):
+        pallas_bcd.bcd_sweep(a[:32], b, d, interpret=True)  # A mismatch
+
+
+def test_dl_bcd_kernel_paths_match_jnp():
+    """_bcd_pallas='interpret' routes every unmasked dictionary update
+    through the fused sweep kernel; trajectories track the jnp sweep
+    (whole-program compilation may move precompute by a ulp, so parity
+    is near-exact, not bitwise) across in-core, minibatch, host-
+    streaming and fused-streaming paths. Forced engagement off f32
+    raises."""
+    import jax
+
+    rng = np.random.default_rng(81)
+    m, n, k = 256, 40, 16
+    d_true = rng.normal(size=(k, n))
+    d_true /= np.linalg.norm(d_true, axis=1, keepdims=True)
+    xt = rng.normal(size=(m, k)) * (rng.random((m, k)) < 0.2)
+    y = (xt @ d_true + 0.01 * rng.normal(size=(m, n))).astype(np.float32)
+    d0 = rng.normal(size=(k, n)).astype(np.float32)
+    kw = dict(tol=0.0, maxiter=6, lasso_iter=4)
+
+    ref = decomp_tpu.dictionary_learning.solve(y, d0, 0.05, **kw)
+    ker = decomp_tpu.dictionary_learning.solve(y, d0, 0.05,
+                                               _bcd_pallas="interpret",
+                                               **kw)
+    assert rel_err(ker.d, ref.d) < 1e-5 and rel_err(ker.x, ref.x) < 1e-5
+
+    refm = decomp_tpu.dictionary_learning.solve(
+        y, d0, 0.05, minibatch=64, random_seed=1, **kw)
+    kerm = decomp_tpu.dictionary_learning.solve(
+        y, d0, 0.05, minibatch=64, random_seed=1,
+        _bcd_pallas="interpret", **kw)
+    assert rel_err(kerm.d, refm.d) < 1e-5
+
+    refh = decomp_tpu.dictionary_learning.solve_streaming(
+        y, d0, 0.05, chunk_rows=64, **kw)
+    kerh = decomp_tpu.dictionary_learning.solve_streaming(
+        y, d0, 0.05, chunk_rows=64, _bcd_pallas="interpret", **kw)
+    assert rel_err(kerh.d, refh.d) < 1e-5
+
+    yd = jnp.asarray(y)
+    loader = lambda lo, hi: jax.lax.dynamic_slice(  # noqa: E731
+        yd, (lo, 0), (64, n))
+    kwf = dict(chunk_rows=64, n_samples=m, n_channels=n,
+               dtype=np.float32, jit_loader=True, **kw)
+    reff = decomp_tpu.dictionary_learning.solve_streaming(
+        loader, d0, 0.05, **kwf)
+    kerf = decomp_tpu.dictionary_learning.solve_streaming(
+        loader, d0, 0.05, _bcd_pallas="interpret", **kwf)
+    assert rel_err(kerf.d, reff.d) < 1e-5
+
+    with pytest.raises(decomp_tpu.utils.DecompError, match="float32"):
+        decomp_tpu.dictionary_learning.solve(
+            y.astype(np.float64), d0.astype(np.float64), 0.05,
+            _bcd_pallas="interpret", **kw)
+
+
 def test_pallas_minibatch_rejected():
     y, *_ = planted_nmf(seed=9)
     with pytest.raises(decomp_tpu.utils.DecompError):

@@ -279,6 +279,40 @@ def test_sharded_dictionary_learning_matches_single_device(mesh8, masked):
     assert rel_err(res.x, ref.x) < 1e-10
 
 
+def test_sharded_dl_bcd_kernel_matches_single(mesh8):
+    """The BCD sweep kernel (interpret) inside the sharded in-core DL
+    body — psum'd stats, replicated d, vma=frozenset() under the vma
+    checker — and inside the sharded fused streaming epoch both track
+    the jnp-sweep single-device run."""
+    import jax
+    import jax.numpy as jnp
+
+    from problems import planted_patches
+    y, d_true, _ = planted_patches(seed=28, n_samples=160)
+    rng = np.random.default_rng(29)
+    d0 = (d_true + 0.3 * rng.normal(size=d_true.shape)).astype(np.float32)
+    y = y.astype(np.float32)
+    kw = dict(tol=0.0, maxiter=6, lasso_iter=4)
+    ref = decomp_tpu.dictionary_learning.solve(y, d0, 0.05, **kw)
+    res = parallel.dictionary_learning.solve(y, d0, 0.05, mesh=mesh8,
+                                             _bcd_pallas="interpret", **kw)
+    assert rel_err(res.d, ref.d) < 1e-5
+    assert rel_err(res.x, ref.x) < 1e-5
+
+    m, n = y.shape
+    yd = jnp.asarray(y)
+    chunk = m // 16
+    loader = lambda lo, hi: jax.lax.dynamic_slice(  # noqa: E731
+        yd, (lo, 0), (chunk, n))
+    kwf = dict(chunk_rows=chunk, n_samples=m, n_channels=n,
+               dtype=np.float32, **kw)
+    reff = decomp_tpu.dictionary_learning.solve_streaming(
+        loader, d0, 0.05, jit_loader=True, **kwf)
+    resf = parallel.dictionary_learning.solve_streaming(
+        loader, d0, 0.05, mesh=mesh8, _bcd_pallas="interpret", **kwf)
+    assert rel_err(resf.d, reff.d) < 1e-5
+
+
 def test_sharded_dictionary_learning_heldout_lockstep(mesh8):
     """stop='heldout' on the sharded IN-CORE DL solver: identical
     validation reserve (global salted draw), allreduced validation

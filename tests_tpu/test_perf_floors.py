@@ -417,3 +417,47 @@ def test_kl_streaming_kernel_beats_jnp():
         f"fused KL chunk kernel {ratio:.2f}x vs jnp chunk step "
         f"({1e3 * m_kernel:.1f} vs {1e3 * m_jnp:.1f} ms/iter; "
         "floor 1.05x)")
+
+
+@requires_tpu
+def test_bcd_sweep_kernel_floor():
+    """The fused BCD dictionary-sweep kernel (ops.pallas_bcd) must beat
+    the jnp fori sweep by >= 2.5x per sweep at config-3 geometry
+    (K=256, N=128; measured ~5x: 979 -> 184 us/sweep, BASELINE.md
+    round-4 table). A single sweep is ~100x below the tunnel dispatch
+    floor, so both sides chain 200 sweeps in one jitted scan. Compiled
+    parity (<=1e-5 after 200 chained sweeps) is asserted in the same
+    run — this doubles as the compiled-Mosaic oracle for the kernel."""
+    from decomp_tpu.models.dictionary_learning import _bcd_dict_update
+
+    k, n, chain = 256, 128, 200
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(4 * k, k)).astype(np.float32)
+    y = rng.normal(size=(4 * k, n)).astype(np.float32)
+    a = jnp.asarray(x.T @ x)
+    b = jnp.asarray(x.T @ y)
+    d0 = rng.normal(size=(k, n)).astype(np.float32)
+    d0 = jnp.asarray(d0 / np.linalg.norm(d0, axis=1, keepdims=True))
+
+    def chained(sweep):
+        @jax.jit
+        def run(d):
+            return jax.lax.scan(lambda d_, _: (sweep(d_), None), d,
+                                None, length=chain)[0]
+        return run
+
+    with jax.default_matmul_precision("highest"):
+        run_jnp = chained(lambda d: _bcd_dict_update(a, b, d))
+        run_ker = chained(
+            lambda d: _bcd_dict_update(a, b, d, use_kernel=True))
+        out_j = np.asarray(run_jnp(d0))
+        out_k = np.asarray(run_ker(d0))
+        err = np.abs(out_j - out_k).max() / np.abs(out_j).max()
+        assert err < 1e-5, f"compiled sweep diverged: rel {err:.2e}"
+        t_jnp = _best_wall(lambda: run_jnp(d0), _fence)
+        t_ker = _best_wall(lambda: run_ker(d0), _fence)
+    ratio = t_jnp / t_ker
+    assert ratio > 2.5, (
+        f"BCD sweep kernel {ratio:.2f}x vs jnp fori sweep "
+        f"({1e6 * t_ker / chain:.0f} vs {1e6 * t_jnp / chain:.0f} "
+        "us/sweep; floor 2.5x)")
