@@ -109,6 +109,11 @@ def solve(
         are zero-padded once to the kernels' 128-alignment (a fixed point
         of both updates) and the factors sliced back. 'auto' enables it
         on TPU for large real masked problems.
+        Independently, UNMASKED real-f32 dictionary updates run the
+        fused BCD sweep kernel (``ops.pallas_bcd``: the whole
+        sequential atom sweep in one VMEM-resident ``pallas_call``,
+        measured ~5x the XLA loop) automatically on calibrated TPUs;
+        ``use_pallas=False`` disables that too.
     stop : 'rel_change' (default) or 'heldout' (masked real full-batch
         problems): as in ``nmf.solve`` — reserve ``heldout_frac`` of the
         observed entries as an on-device validation set, train the
