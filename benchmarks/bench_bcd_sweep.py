@@ -60,7 +60,7 @@ def micro(small, chain):
     with jax.default_matmul_precision("highest"):
         run_jnp = chained(lambda d: _bcd_dict_update(a, b, d))
         run_ker = chained(lambda d: _bcd_dict_update(
-            a, b, d, use_kernel=True, interpret=interp))
+            a, b, d, bcd_mode="interpret" if interp else "tpu"))
         # parity fence (also warms both compiles)
         out_j = np.asarray(run_jnp(d0))
         out_k = np.asarray(run_ker(d0))

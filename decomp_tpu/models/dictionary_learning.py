@@ -141,6 +141,12 @@ def solve(
                          and jax.default_backend() == "tpu")
     if complex_split and _lasso._is_complex_concrete(y, d):
         # Split path: never materialise a complex array on the device.
+        if _bcd_pallas:
+            # Would otherwise be silently dropped by this early return;
+            # the kernel is real-f32-only anyway.
+            raise DecompError("the BCD sweep kernel requires real "
+                              "float32 statistics; complex problems run "
+                              "the split/native path without it")
         if minibatch is not None:
             raise DecompError("complex_split does not support minibatch; "
                               "run the native complex path on a backend "
@@ -286,7 +292,7 @@ def solve(
         alpha = pallas_lasso.pad_alpha(alpha, m_pad, k_pad)
 
     bcd_mode = _resolve_bcd(_bcd_pallas, user_use_pallas, dtype,
-                            orig_k, orig_n)
+                            orig_k, orig_n, masked=mask is not None)
     # 'highest' matmul precision: TPU's default bf16 MXU passes put a ~1e-3
     # noise floor under iterative convergence (see nmf.solve for details).
     with jax.default_matmul_precision(precision):
@@ -392,14 +398,12 @@ def _solve(y, d, x, mask, alpha, tol, lasso_tol, forget, seed, *, maxiter,
             e_new = val_sqerr(new)
             return (e_old - e_new) / jnp.maximum(e_old, tiny_h)
 
-    bcd_kw = dict(use_kernel=bcd_mode != "off",
-                  interpret=bcd_mode == "interpret")
     if minibatch is None:
         if mask is None:
             def update_d(x_, d_, _y_sel, _mask_sel):
                 stats_a = x_.conj().T @ x_
                 stats_b = x_.conj().T @ my
-                return _bcd_dict_update(stats_a, stats_b, d_, **bcd_kw)
+                return _bcd_dict_update(stats_a, stats_b, d_, bcd_mode=bcd_mode)
         else:
             def update_d(x_, d_, _y_sel, _mask_sel):
                 return _masked_grad_dict_update(
@@ -433,7 +437,7 @@ def _solve(y, d, x, mask, alpha, tol, lasso_tol, forget, seed, *, maxiter,
             if mask is None:
                 acc_a = f * acc_a + xb.conj().T @ xb
                 acc_b = f * acc_b + xb.conj().T @ myb
-                d_ = _bcd_dict_update(acc_a, acc_b, d_, **bcd_kw)
+                d_ = _bcd_dict_update(acc_a, acc_b, d_, bcd_mode=bcd_mode)
             else:
                 # Masked statistics cannot be folded into (A, B): take a
                 # projected-gradient step on the batch instead.
@@ -464,21 +468,33 @@ def _solve(y, d, x, mask, alpha, tol, lasso_tol, forget, seed, *, maxiter,
     )
 
 
-def _resolve_bcd(override, use_pallas, dtype, n_atoms, n_channels):
+def _resolve_bcd(override, use_pallas, dtype, n_atoms, n_channels,
+                 masked=False):
     """Resolve the BCD sweep-kernel gate into a static mode string:
     'off' | 'tpu' | 'interpret'. ``override`` (the private ``_bcd_pallas``
     kwarg) forces: None = auto (calibrated TPU, real f32, VMEM fit —
     ops.pallas_bcd.auto_engage), True/False force compiled/off,
     'interpret' runs the kernel in interpreter mode (CPU tests).
-    ``use_pallas=False`` (the user's no-kernels switch) vetoes auto."""
+    Forcing on a MASKED problem raises (the masked dictionary step is
+    projected-gradient, not BCD — the force would be a silent no-op).
+    Any falsy non-None ``use_pallas`` (the user's no-kernels switch)
+    vetoes auto."""
     if override == "interpret" or override:
+        if masked:
+            raise DecompError(
+                "the BCD sweep kernel applies to UNMASKED dictionary "
+                "updates only (masked problems take the projected-"
+                "gradient dictionary step); drop _bcd_pallas or the "
+                "mask")
         if jnp.dtype(dtype) != jnp.float32:
             raise DecompError("the BCD sweep kernel requires real "
                               f"float32 statistics, got {dtype}")
         return "interpret" if override == "interpret" else "tpu"
     if override is not None:
         return "off"
-    if use_pallas is False:
+    if use_pallas is not None and not use_pallas:
+        return "off"
+    if masked:
         return "off"
     from decomp_tpu.ops import pallas_bcd
 
@@ -486,8 +502,7 @@ def _resolve_bcd(override, use_pallas, dtype, n_atoms, n_channels):
             else "off")
 
 
-def _bcd_dict_update(stats_a, stats_b, d, *, use_kernel=False,
-                     interpret=False, vma=None):
+def _bcd_dict_update(stats_a, stats_b, d, *, bcd_mode="off", vma=None):
     """One block-coordinate-descent pass over atoms (Mairal et al. 2010,
     Algorithm 2 shape), with exact unit-norm projection per atom.
 
@@ -495,8 +510,9 @@ def _bcd_dict_update(stats_a, stats_b, d, *, use_kernel=False,
         u_k = b_k - a_k @ d + a_kk * d_k ;  d_k <- u_k / ||u_k||
     Dead atoms (||u_k|| ~ 0) keep their previous direction.
 
-    ``use_kernel``: run the sweep as ONE fused Pallas kernel with A/B/d
-    VMEM-resident (ops.pallas_bcd) instead of a lax.fori_loop of
+    ``bcd_mode`` ('off' | 'tpu' | 'interpret', from ``_resolve_bcd``):
+    'tpu'/'interpret' run the sweep as ONE fused Pallas kernel with
+    A/B/d VMEM-resident (ops.pallas_bcd) instead of a lax.fori_loop of
     dynamic-sliced micro-steps — the sweep is sequential over atoms and
     its per-step arithmetic is tiny, so the XLA loop is latency-bound
     (measured ~5x: 979 -> 184 us per 256-atom sweep on v5e,
@@ -505,16 +521,15 @@ def _bcd_dict_update(stats_a, stats_b, d, *, use_kernel=False,
     exact sweep no-op (padded atoms have zero A/B/d rows -> u = 0 ->
     keep).
     """
-    if use_kernel:
+    if bcd_mode != "off":
         from decomp_tpu.ops import pallas_bcd
+        from decomp_tpu.ops.pallas_lasso import pad2
 
+        interpret = bcd_mode == "interpret"
         k_at, n_ch = d.shape
         k_pad = -(-k_at // 8) * 8
         n_pad = -(-n_ch // 128) * 128
         if (k_pad, n_pad) != (k_at, n_ch):
-            def pad2(v, r, c):
-                return jnp.pad(v, ((0, r - v.shape[0]),
-                                   (0, c - v.shape[1])))
             out = pallas_bcd.bcd_sweep(
                 pad2(stats_a, k_pad, k_pad), pad2(stats_b, k_pad, n_pad),
                 pad2(d, k_pad, n_pad), interpret=interpret, vma=vma)
@@ -530,7 +545,14 @@ def _bcd_dict_update(stats_a, stats_b, d, *, use_kernel=False,
         b_row = jax.lax.dynamic_slice_in_dim(stats_b, k, 1, axis=0)[0]
         d_k = jax.lax.dynamic_slice_in_dim(d_, k, 1, axis=0)[0]
         a_kk = jnp.real(a_row[k])
-        u = b_row - a_row @ d_ + a_kk.astype(d_.dtype) * d_k
+        # HIGHEST pinned (not ambient): ~33 kFLOP makes precision free,
+        # and the Pallas sweep kernel runs HIGHEST unconditionally
+        # (Mosaic cannot lower Precision.HIGH inside kernels), so
+        # pinning here keeps kernel-on/off trajectories on the SAME
+        # matmul policy under any solve(precision=...) setting.
+        u = (b_row
+             - jnp.dot(a_row, d_, precision=jax.lax.Precision.HIGHEST)
+             + a_kk.astype(d_.dtype) * d_k)
         norm = l2_norm(u)
         new_k = jnp.where(norm > tiny, u / jnp.maximum(norm, tiny).astype(rdt),
                           d_k)

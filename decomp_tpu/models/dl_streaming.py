@@ -166,9 +166,7 @@ def solve_streaming(
     lasso_tol_j = jnp.asarray(lasso_tol, rdt)
     d = l2_normalize(d.astype(dtype), axis=1)
     bcd_mode = _resolve_bcd(_bcd_pallas, None, jnp.result_type(dtype),
-                            n_atoms, y.shape[1])
-    bcd_kw = dict(use_kernel=bcd_mode != "off",
-                  interpret=bcd_mode == "interpret")
+                            n_atoms, y.shape[1], masked=mask is not None)
 
     hd_key = None
     if heldout:
@@ -227,7 +225,7 @@ def solve_streaming(
                 stats_a = stats_a + a_c
                 stats_b = stats_b + b_c
             if mask is None:
-                d = _bcd_dict_update(stats_a, stats_b, d, **bcd_kw)
+                d = _bcd_dict_update(stats_a, stats_b, d, bcd_mode=bcd_mode)
             else:
                 # projected-gradient step from the accumulated Gram
                 # (stats_a) and gradient (stats_b) — the in-core
@@ -506,9 +504,7 @@ def _build_dl_fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks,
         else:
             # Fused-sweep kernel when gated (sharded: sa/sb are psum'd
             # and d replicated; the epoch shard_map runs check_vma=False)
-            d_new = _bcd_dict_update(sa, sb, d,
-                                     use_kernel=bcd_mode != "off",
-                                     interpret=bcd_mode == "interpret")
+            d_new = _bcd_dict_update(sa, sb, d, bcd_mode=bcd_mode)
         return d_new, _rel_diff_impl(d, d_new)
 
     if mesh is None:
@@ -649,7 +645,8 @@ def _solve_streaming_fused(y_loader, d, alpha, x, *, tol, maxiter,
 
     n_true = n_samples if n_pad != n_samples else None
     hd_key = (float(heldout_frac), int(random_seed)) if heldout else None
-    bcd_mode = _resolve_bcd(_bcd_pallas, None, dtype, n_atoms, n_channels)
+    bcd_mode = _resolve_bcd(_bcd_pallas, None, dtype, n_atoms,
+                            n_channels, masked=masked)
     common = (y_loader, mask_loader, chunk_rows, n_chunks_local,
               int(n_atoms), n_channels, lasso_method, int(lasso_iter),
               masked, dtype, precision, record_objective)

@@ -21,8 +21,10 @@ stay VMEM-resident, d lives in a scratch ref that each step updates in
 place (dynamic row stores on REFS are Mosaic-legal; dynamic slicing of
 VALUES is not), so the per-step cost is on-core latency instead of an
 XLA loop iteration. Everything is f32; the matvec runs at
-``Precision.HIGHEST`` (it is ~33 kFLOP — precision is free here), so
-results match the jnp sweep under the library's default policy.
+``Precision.HIGHEST`` in BOTH the kernel and the jnp sweep (pinned —
+Mosaic cannot lower ``Precision.HIGH`` inside kernels, and at ~33 kFLOP
+the precision is free), so kernel-on and kernel-off trajectories run
+the same matmul policy under any ``solve(precision=...)`` setting.
 
 Shape contract (as the other kernels: pre-pad outside): K % 8 == 0 and
 N % 128 == 0. Padded atoms carry zero A rows / B rows / d rows and are
@@ -39,8 +41,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_LIMIT = int(15.5 * 1024 * 1024)
-_CALIBRATION = 1.6  # same measured Mosaic overhead budget as pallas_fista
+#: Calibrated ON-CHIP (v5e, 2026-08-18) by probing standalone compiles:
+#: raw working-set bytes 4*(K^2 + 4KN) compile up to 15.75M (K=1792
+#: N=128; K=1664 13.81M; K=256 N=3584 14.25M) and fail from 16.25M
+#: (K=256 N=4096; K=1920 N=128 17.81M) — i.e. Mosaic charges this
+#: kernel essentially its raw residency (calibration 1.0), unlike
+#: pallas_fista's 1.6x envelope. The gate keeps ~1.25M of headroom
+#: below the measured 16.25M failure floor for whole-program context
+#: (other live VMEM values inside a jitted solve body — the
+#: scoped-VMEM stacking quirk of docs/DESIGN.md).
+_VMEM_LIMIT = int(15.0 * 1024 * 1024)
+_CALIBRATION = 1.0
 
 
 def _resident_bytes(k: int, n: int) -> int:
@@ -81,6 +92,12 @@ def _kernel(n_atoms, a_ref, b_ref, d0_ref, dout_ref, d_ref):
         d_k = d_ref[pl.ds(k, 1), :]                            # (1, N)
         a_kk = jnp.sum(jnp.where(lane == k, a_row, 0.0),
                        axis=1, keepdims=True)                  # (1, 1)
+        # HIGHEST pinned: Mosaic cannot lower Precision.HIGH inside
+        # kernels (probed: "Unsupported dot precision: HIGH"), so
+        # inheriting the ambient policy would crash solve(precision=
+        # 'high'). The jnp sweep pins HIGHEST on this matvec too, so
+        # kernel-on/off trajectories match under any precision setting
+        # (and at ~33 kFLOP the extra precision is free).
         u = (b_row
              - jnp.dot(a_row, d_ref[:],
                        preferred_element_type=jnp.float32,

@@ -150,7 +150,8 @@ def solve(
     from decomp_tpu.models.dictionary_learning import _resolve_bcd
 
     bcd_mode = _resolve_bcd(_bcd_pallas, user_use_pallas, dtype,
-                            d.shape[0], y.shape[1])
+                            d.shape[0], y.shape[1],
+                            masked=mask is not None)
     with jax.default_matmul_precision(precision):
         return _solve_sharded(
             y, d, x, mask,
@@ -235,9 +236,7 @@ def _solve_sharded(y, d, x, mask, alpha, tol, lasso_tol, *, maxiter,
                     # BCD inputs are psum'd / replicated -> the kernel's
                     # output is mesh-invariant (vma = empty set)
                     d_ = _bcd_dict_update(
-                        stats_a, stats_b, d_,
-                        use_kernel=bcd_mode != "off",
-                        interpret=bcd_mode == "interpret",
+                        stats_a, stats_b, d_, bcd_mode=bcd_mode,
                         vma=(frozenset() if bcd_mode != "off" else None))
                 else:
                     d_ = _masked_grad_dict_update(

@@ -604,3 +604,41 @@ def test_complex_solve_honors_use_pallas():
     with pytest.raises(decomp_tpu.utils.DecompError):
         decomp_tpu.lasso.solve(y, a, 0.1, use_pallas=True,
                                record_objective=True, **kw)
+
+
+def test_bcd_force_incompatible_raises_and_falsy_vetoes():
+    """Forcing _bcd_pallas on a masked or complex problem raises a
+    typed error instead of a silent no-op (the masked dictionary step
+    is projected-gradient; complex takes the split/native path), and
+    any falsy use_pallas spelling (False, 0) vetoes the auto gate
+    everywhere the lasso kernels honour it (code-review round-4
+    findings #1/#4)."""
+    from decomp_tpu.models.dictionary_learning import _resolve_bcd
+
+    rng = np.random.default_rng(82)
+    m, n, k = 64, 40, 8
+    y = rng.normal(size=(m, n)).astype(np.float32)
+    d0 = rng.normal(size=(k, n)).astype(np.float32)
+    mask = (rng.random((m, n)) > 0.3).astype(np.float32)
+    kw = dict(tol=0.0, maxiter=2, lasso_iter=2)
+
+    with pytest.raises(decomp_tpu.utils.DecompError, match="UNMASKED"):
+        decomp_tpu.dictionary_learning.solve(
+            y, d0, 0.05, mask=mask, _bcd_pallas="interpret", **kw)
+    with pytest.raises(decomp_tpu.utils.DecompError, match="UNMASKED"):
+        decomp_tpu.dictionary_learning.solve_streaming(
+            y, d0, 0.05, mask=mask, chunk_rows=32,
+            _bcd_pallas="interpret", **kw)
+    with pytest.raises(decomp_tpu.utils.DecompError, match="complex"):
+        decomp_tpu.dictionary_learning.solve(
+            y.astype(np.complex64), d0.astype(np.complex64), 0.05,
+            complex_split=True, _bcd_pallas=True, **kw)
+
+    # falsy non-None use_pallas vetoes auto; 'auto'/None leave it to
+    # the calibrated-TPU gate (off on CPU)
+    for veto in (False, 0):
+        assert _resolve_bcd(None, veto, np.float32, 16, 128) == "off"
+    assert _resolve_bcd(None, None, np.float32, 16, 128) in ("off", "tpu")
+    # masked problems never auto-engage
+    assert _resolve_bcd(None, "auto", np.float32, 16, 128,
+                        masked=True) == "off"

@@ -449,7 +449,7 @@ def test_bcd_sweep_kernel_floor():
     with jax.default_matmul_precision("highest"):
         run_jnp = chained(lambda d: _bcd_dict_update(a, b, d))
         run_ker = chained(
-            lambda d: _bcd_dict_update(a, b, d, use_kernel=True))
+            lambda d: _bcd_dict_update(a, b, d, bcd_mode="tpu"))
         out_j = np.asarray(run_jnp(d0))
         out_k = np.asarray(run_ker(d0))
         err = np.abs(out_j - out_k).max() / np.abs(out_j).max()
