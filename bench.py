@@ -103,6 +103,17 @@ def bench_extra_configs(on_tpu: bool, small: bool) -> None:
     tiny = small or not on_tpu
     rng = np.random.default_rng(1)
 
+    # Whole-call-timed configs (2/3/4) carry the rig's dispatch latency
+    # in their value (unlike 5'/headline, which time differentially):
+    # stamp it per line so a slow-tunnel day (observed 25 -> 40 ms)
+    # reads as rig state, not a solver regression, in BENCH_rNN.json.
+    def _probe():
+        t0 = time.perf_counter()
+        float(jnp.sum(jnp.full((128, 128), 2.0, jnp.float32)))
+        return time.perf_counter() - t0
+
+    dispatch_ms = round(1e3 * min(_probe() for _ in range(3)), 1)
+
     # --- config 2: batch lasso, whole-solve kernel, time-to-tol -------
     n_prob, n_feat, n_ch = (256, 64, 48) if tiny else (10_000, 512, 256)
     a = rng.normal(size=(n_feat, n_ch)).astype(np.float32)
@@ -122,7 +133,8 @@ def bench_extra_configs(on_tpu: bool, small: bool) -> None:
         "metric": f"config2 batch-lasso whole-solve time-to-tol, "
                   f"{n_prob}x{n_feat}",
         "value": round(t2, 4), "unit": "s",
-        "vs_baseline": round(base2 / t2, 3) if base2 else None}))
+        "vs_baseline": round(base2 / t2, 3) if base2 else None,
+        "rig_dispatch_ms": dispatch_ms}))
 
     # --- config 3: dictionary learning, 60 outer iters ----------------
     n_samp, n_atoms, ch = (300, 32, 64) if tiny else (20_000, 256, 64)
@@ -141,7 +153,8 @@ def bench_extra_configs(on_tpu: bool, small: bool) -> None:
         "metric": f"config3 dictionary-learning 60 outer iters, "
                   f"{n_samp}x{ch} {n_atoms} atoms",
         "value": round(t3, 4), "unit": "s",
-        "vs_baseline": round(base3 / t3, 3) if base3 else None}))
+        "vs_baseline": round(base3 / t3, 3) if base3 else None,
+        "rig_dispatch_ms": dispatch_ms}))
 
     # --- config 4: masked completion preset (mixed + heldout stop) ----
     m4, n4, k4 = (2000, 128, 8) if tiny else (100_000, 1000, 50)
@@ -159,7 +172,8 @@ def bench_extra_configs(on_tpu: bool, small: bool) -> None:
         "metric": f"config4 masked-completion preset time-to-stop, "
                   f"{m4}x{n4} rank-{k4} 30% missing",
         "value": round(t4, 4), "unit": "s",
-        "vs_baseline": round(base4 / t4, 3) if base4 else None}))
+        "vs_baseline": round(base4 / t4, 3) if base4 else None,
+        "rig_dispatch_ms": dispatch_ms}))
 
     # --- config 5': full pod shape out-of-core on one chip ------------
     m5, n5, k5, chunk5 = ((4096, 512, 128, 1024) if tiny
