@@ -89,6 +89,24 @@ def _best_wall(fn, repeats=2):
     return best
 
 
+def _dispatch_probe_ms() -> float:
+    """Rig-health stamp: one tiny fenced dispatch, timed, best-of-3.
+
+    The tunnel's round-trip latency swings from ~25 ms (healthy) to
+    minutes (degraded — observed 2026-08-18: a 1k x 1k sum took 158 s),
+    and a capture taken during such an episode reads as a solver
+    regression when it is the rig. Whole-call-timed metrics carry this
+    latency in their value, so each one re-probes right before it runs
+    (a mid-session degradation must not be stamped with an earlier
+    healthy reading)."""
+    def _probe():
+        t0 = time.perf_counter()
+        float(jnp.sum(jnp.full((128, 128), 2.0, jnp.float32)))
+        return time.perf_counter() - t0
+
+    return round(1e3 * min(_probe() for _ in range(3)), 1)
+
+
 def bench_extra_configs(on_tpu: bool, small: bool) -> None:
     """Compact driver-visible lines for graded configs 2/3/4/5'
     (VERDICT round-3 Weak #6): one JSON line each in the driver schema,
@@ -102,17 +120,10 @@ def bench_extra_configs(on_tpu: bool, small: bool) -> None:
 
     tiny = small or not on_tpu
     rng = np.random.default_rng(1)
-
     # Whole-call-timed configs (2/3/4) carry the rig's dispatch latency
     # in their value (unlike 5'/headline, which time differentially):
-    # stamp it per line so a slow-tunnel day (observed 25 -> 40 ms)
-    # reads as rig state, not a solver regression, in BENCH_rNN.json.
-    def _probe():
-        t0 = time.perf_counter()
-        float(jnp.sum(jnp.full((128, 128), 2.0, jnp.float32)))
-        return time.perf_counter() - t0
-
-    dispatch_ms = round(1e3 * min(_probe() for _ in range(3)), 1)
+    # each line re-probes and stamps it so a slow-tunnel day (observed
+    # 25 -> 40 ms) reads as rig state, not a solver regression.
 
     # --- config 2: batch lasso, whole-solve kernel, time-to-tol -------
     n_prob, n_feat, n_ch = (256, 64, 48) if tiny else (10_000, 512, 256)
@@ -134,7 +145,7 @@ def bench_extra_configs(on_tpu: bool, small: bool) -> None:
                   f"{n_prob}x{n_feat}",
         "value": round(t2, 4), "unit": "s",
         "vs_baseline": round(base2 / t2, 3) if base2 else None,
-        "rig_dispatch_ms": dispatch_ms}))
+        "rig_dispatch_ms": _dispatch_probe_ms()}))
 
     # --- config 3: dictionary learning, 60 outer iters ----------------
     n_samp, n_atoms, ch = (300, 32, 64) if tiny else (20_000, 256, 64)
@@ -154,7 +165,7 @@ def bench_extra_configs(on_tpu: bool, small: bool) -> None:
                   f"{n_samp}x{ch} {n_atoms} atoms",
         "value": round(t3, 4), "unit": "s",
         "vs_baseline": round(base3 / t3, 3) if base3 else None,
-        "rig_dispatch_ms": dispatch_ms}))
+        "rig_dispatch_ms": _dispatch_probe_ms()}))
 
     # --- config 4: masked completion preset (mixed + heldout stop) ----
     m4, n4, k4 = (2000, 128, 8) if tiny else (100_000, 1000, 50)
@@ -173,7 +184,7 @@ def bench_extra_configs(on_tpu: bool, small: bool) -> None:
                   f"{m4}x{n4} rank-{k4} 30% missing",
         "value": round(t4, 4), "unit": "s",
         "vs_baseline": round(base4 / t4, 3) if base4 else None,
-        "rig_dispatch_ms": dispatch_ms}))
+        "rig_dispatch_ms": _dispatch_probe_ms()}))
 
     # --- config 5': full pod shape out-of-core on one chip ------------
     m5, n5, k5, chunk5 = ((4096, 512, 128, 1024) if tiny
@@ -324,18 +335,7 @@ def main() -> int:
     if not args.headline_only:
         bench_extra_configs(on_tpu, args.small)
 
-    # Rig-health stamp: one tiny fenced dispatch, timed. The tunnel's
-    # round-trip latency swings from ~25 ms (healthy) to minutes
-    # (degraded — observed 2026-08-18: a 1k x 1k sum took 158 s), and a
-    # capture taken during such an episode reads as a solver regression
-    # when it is the rig. ~best-of-3 so a single hiccup doesn't stamp a
-    # healthy run as sick.
-    def _probe():
-        t0 = time.perf_counter()
-        float(jnp.sum(jnp.full((128, 128), 2.0, jnp.float32)))
-        return time.perf_counter() - t0
-
-    dispatch_ms = round(1e3 * min(_probe() for _ in range(3)), 1)
+    dispatch_ms = _dispatch_probe_ms()
 
     fd_tag = "/f32-factors" if factor_dtype is not None else ""
     result = {

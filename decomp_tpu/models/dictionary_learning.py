@@ -479,6 +479,9 @@ def _resolve_bcd(override, use_pallas, dtype, n_atoms, n_channels,
     projected-gradient, not BCD — the force would be a silent no-op).
     Any falsy non-None ``use_pallas`` (the user's no-kernels switch)
     vetoes auto."""
+    if override not in (None, True, False, "interpret"):
+        raise DecompError("_bcd_pallas must be None (auto), True, False "
+                          f"or 'interpret', got {override!r}")
     if override == "interpret" or override:
         if masked:
             raise DecompError(

@@ -645,8 +645,11 @@ def _solve_streaming_fused(y_loader, d, alpha, x, *, tol, maxiter,
 
     n_true = n_samples if n_pad != n_samples else None
     hd_key = (float(heldout_frac), int(random_seed)) if heldout else None
-    bcd_mode = _resolve_bcd(_bcd_pallas, None, dtype, n_atoms,
-                            n_channels, masked=masked)
+    # result_type canonicalizes the DECLARED dtype (f64 -> f32 under
+    # default x64-off) so the gate judges the dtype the epoch actually
+    # runs, matching the host-array path's gate.
+    bcd_mode = _resolve_bcd(_bcd_pallas, None, jnp.result_type(dtype),
+                            n_atoms, n_channels, masked=masked)
     common = (y_loader, mask_loader, chunk_rows, n_chunks_local,
               int(n_atoms), n_channels, lasso_method, int(lasso_iter),
               masked, dtype, precision, record_objective)

@@ -642,3 +642,39 @@ def test_bcd_force_incompatible_raises_and_falsy_vetoes():
     # masked problems never auto-engage
     assert _resolve_bcd(None, "auto", np.float32, 16, 128,
                         masked=True) == "off"
+    # unknown override spellings raise instead of silently forcing the
+    # compiled kernel ('off'/'auto' are truthy strings)
+    for bad in ("off", "auto", "tpu", 2):
+        with pytest.raises(decomp_tpu.utils.DecompError,
+                           match="_bcd_pallas"):
+            _resolve_bcd(bad, None, np.float32, 16, 128)
+
+    # the fused-streaming entry canonicalizes the DECLARED dtype exactly
+    # like the host-array entry (jnp.result_type), so a float64
+    # declaration is judged as the dtype the epochs actually run:
+    # f32-and-engage under production x64-off, f64-and-raise under this
+    # suite's x64-on. The two entries must behave identically either
+    # way (code-review round-4: the fused path used the raw dtype).
+    import jax
+
+    yj = jnp.asarray(y.astype(np.float64))
+    loader = lambda lo, hi: jax.lax.dynamic_slice(  # noqa: E731
+        yj, (lo, 0), (32, n))
+
+    def outcome(fn):
+        try:
+            fn()
+            return "engaged"
+        except decomp_tpu.utils.DecompError:
+            return "raised"
+
+    host = outcome(lambda: decomp_tpu.dictionary_learning.solve_streaming(
+        y.astype(np.float64), d0.astype(np.float64), 0.05, chunk_rows=32,
+        _bcd_pallas="interpret", **kw))
+    fused = outcome(lambda: decomp_tpu.dictionary_learning.solve_streaming(
+        loader, d0.astype(np.float64), 0.05, chunk_rows=32, n_samples=m,
+        n_channels=n, dtype=np.float64, jit_loader=True,
+        _bcd_pallas="interpret", **kw))
+    assert host == fused, (host, fused)
+    assert host == ("raised" if jnp.result_type(np.float64)
+                    == jnp.float64 else "engaged")
