@@ -313,3 +313,70 @@ def test_chunked_per_problem_matches_straight(tmp_path, method):
     np.testing.assert_array_equal(np.asarray(res2.x),
                                   np.asarray(straight.x))
     np.testing.assert_array_equal(np.asarray(res2.niter), nit_s)
+
+
+def test_chunked_sharded_streaming_matches_straight(tmp_path):
+    """checkpointed_solve x parallel.nmf.solve_streaming: the POD
+    configuration (sharded + out-of-core) checkpoints and resumes
+    exactly — chunked budgets on the 8-device mesh equal the
+    uninterrupted sharded run bit-for-bit, and a mid-run 'crash'
+    resumes from the npz. Sharded in-core DL is exercised the same way
+    (its result carries both warm fields)."""
+    import jax.numpy as jnp
+
+    from decomp_tpu import parallel
+
+    mesh = parallel.make_mesh(axis_names=("rows",))
+    rng = np.random.default_rng(33)
+    m, n, k, chunk = 64, 40, 4, 8
+    y = np.abs(rng.normal(size=(m, n))).astype(np.float32)
+    yj = jnp.asarray(y)
+
+    def loader(lo, hi):
+        import jax.lax as lax
+        return lax.dynamic_slice_in_dim(yj, lo, 8, axis=0)
+
+    x0 = rng.uniform(0.1, 1.0, (m, k)).astype(np.float32)
+    d0 = rng.uniform(0.1, 1.0, (k, n)).astype(np.float32)
+    kw = dict(mesh=mesh, tol=0.0, maxiter=12, chunk_rows=chunk,
+              n_samples=m, n_channels=n, dtype=np.float32)
+    straight = parallel.nmf.solve_streaming(loader, d0, x=x0, **kw)
+
+    mgr = CheckpointManager(str(tmp_path / "shstream"))
+    ckw = dict(kw)
+    del ckw["maxiter"]
+    res, total = checkpointed_solve(
+        parallel.nmf.solve_streaming, loader, manager=mgr, chunk_iters=4,
+        maxiter=12, d=d0, x=x0, **ckw)
+    assert total == 12
+    np.testing.assert_array_equal(np.asarray(res.d), np.asarray(straight.d))
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(straight.x))
+
+    # crash after 8 of 12, resume from the manager file
+    mgr2 = CheckpointManager(str(tmp_path / "shstream2"))
+    checkpointed_solve(parallel.nmf.solve_streaming, loader, manager=mgr2,
+                       chunk_iters=4, maxiter=8, d=d0, x=x0, **ckw)
+    assert mgr2.exists()
+    res2, total2 = checkpointed_solve(
+        parallel.nmf.solve_streaming, loader, manager=mgr2, chunk_iters=4,
+        maxiter=12, d=d0, x=x0, **ckw)
+    assert total2 == 12
+    np.testing.assert_array_equal(np.asarray(res2.d),
+                                  np.asarray(straight.d))
+
+    # sharded in-core dictionary learning through the same driver
+    a0 = rng.normal(size=(6, n)).astype(np.float32)
+    dl_straight = parallel.dictionary_learning.solve(
+        y, a0, 0.05, mesh=mesh, tol=0.0, maxiter=6, lasso_iter=3)
+    mgr3 = CheckpointManager(str(tmp_path / "shdl"))
+    dl_res, dl_total = checkpointed_solve(
+        parallel.dictionary_learning.solve, y, manager=mgr3,
+        chunk_iters=2, maxiter=6, d=a0, alpha=0.05, mesh=mesh, tol=0.0,
+        lasso_iter=3)
+    assert dl_total == 6
+    # not bit-exact: the DL entry re-normalizes the warm-started d
+    # (unit rows divided by their ~1.0 norm shift low bits at each
+    # chunk boundary) — trajectory-equal to fp tolerance
+    np.testing.assert_allclose(np.asarray(dl_res.d),
+                               np.asarray(dl_straight.d),
+                               rtol=1e-4, atol=1e-6)
