@@ -212,6 +212,9 @@ def solve(
             )
     inner_iter = _validate_inner_iter(inner_iter)
 
+    from decomp_tpu.ops.pallas_mu import validate_block_rows
+
+    validate_block_rows(pallas_block_rows)
     if use_pallas == "auto":
         # Fused kernels pay off once the data matrix dominates HBM traffic;
         # tiny problems lose more to padding than they gain — and the
@@ -476,7 +479,11 @@ def _solve(y, d, x, mask, seed, tol, eps, forget, *, rank, maxiter,
         step, init, tol=tol, maxiter=maxiter, diff_fn=diff_fn,
         objective_fn=objective, record_objective=record_objective,
         check_every=check_every, verbose=verbose,
-        min_iter=2 * check_every if hd is not None else 0,
+        # warm-up floor clamped to the budget (ADVICE round-3
+        # #3's clamp): unclamped, maxiter < 3*check_every could
+        # never report convergence
+        min_iter=(min(2 * check_every, max(maxiter - check_every, 0))
+                  if hd is not None else 0),
     )
     x_fin, d_fin = res.state[0], res.state[1]
     aux = (None if val_sqerr is None
@@ -682,7 +689,11 @@ def _solve_pallas(my, d, x, mask, tol, eps, *, maxiter, method="mu",
         step, (x_p, d_p), tol=tol, maxiter=maxiter, diff_fn=diff_fn,
         objective_fn=objective, record_objective=record_objective,
         check_every=check_every, verbose=verbose,
-        min_iter=2 * check_every if hd is not None else 0,
+        # warm-up floor clamped to the budget (ADVICE round-3
+        # #3's clamp): unclamped, maxiter < 3*check_every could
+        # never report convergence
+        min_iter=(min(2 * check_every, max(maxiter - check_every, 0))
+                  if hd is not None else 0),
     )
     aux = (None if val_sqerr is None
            else {"heldout_rel_err": jnp.sqrt(val_sqerr(res.state))})

@@ -115,7 +115,24 @@ def _make_epoch_runner(mk_epochs, use_pallas_chunk, gate_auto, heldout,
             out = fn(xx, dd)
             float(out[2])  # diff_dev: force the compile to surface
             return out
-        except Exception as err:  # noqa: BLE001 - see docstring
+        except Exception as err:  # noqa: BLE001 - filtered below
+            # Only jax/XLA/Mosaic failures are compile fallbacks; a
+            # user loader raising (e.g. FileNotFoundError) at trace
+            # time is re-raised untouched instead of being
+            # misattributed to the kernel (code-review round 4).
+            # Compile failures can carry arbitrary exception TYPES
+            # (observed: KeyError from the lowering cache), so classify
+            # by the RAISING FRAME: jax/jaxlib internals -> fallback,
+            # anything else (the loader's own code, numpy, ...) ->
+            # re-raise.
+            tb = err.__traceback__
+            while tb is not None and tb.tb_next is not None:
+                tb = tb.tb_next
+            fname = ("" if tb is None
+                     else tb.tb_frame.f_code.co_filename)
+            if not ("/jax/" in fname or "/jaxlib/" in fname
+                    or "/jax_" in fname):
+                raise
             import warnings
 
             warnings.warn(
@@ -131,19 +148,8 @@ def _make_epoch_runner(mk_epochs, use_pallas_chunk, gate_auto, heldout,
     return run_epoch
 
 
-def _validate_block_rows(pallas_block_rows):
-    """Typed up-front check: the kernels' stripe height must be a
-    positive multiple of 8 (the f32 Mosaic row tile); 0/negative values
-    would otherwise surface as a raw ZeroDivisionError in the gate or
-    an untyped Mosaic error inside the kernel."""
-    if pallas_block_rows is None:
-        return
-    if (not isinstance(pallas_block_rows, (int, np.integer))
-            or isinstance(pallas_block_rows, bool)
-            or int(pallas_block_rows) < 8
-            or int(pallas_block_rows) % 8):
-        raise DecompError("pallas_block_rows must be a positive multiple "
-                          f"of 8, got {pallas_block_rows!r}")
+from decomp_tpu.ops.pallas_mu import (  # noqa: E402 - shared validator
+    validate_block_rows as _validate_block_rows)
 
 
 def solve_streaming(
@@ -397,6 +403,15 @@ def solve_streaming(
     if d is None:
         scale = _init_scale(rank)
         d = (scale * rng.uniform(size=(rank, n_channels))).astype(fdt)
+    else:
+        # Typed entry checks (same as the sharded streamer and
+        # nmf.solve): a wrong-width or 1-D warm d otherwise dies as a
+        # cryptic XLA shape mismatch deep inside the jitted epoch.
+        assertion.assert_ndim("d", d, 2)
+        assertion.assert_axis_size("d", d, 1, n_channels, "n_channels")
+        if rank is not None and d.shape[0] != rank:
+            raise DecompError(
+                f"rank={rank} inconsistent with d.shape[0]={d.shape[0]}")
     d = jnp.asarray(d, fdt)
     rank = d.shape[0]
     if x is None:
@@ -604,7 +619,10 @@ def solve_streaming(
                         converged = True
                         break
         if record_objective:
-            for i, o in enumerate(objs_dev):  # single drain at the end
+            # ONE batched device->host transfer: per-scalar float() reads
+            # would cost one ~25 ms tunnel round trip PER EPOCH here
+            # (code-review round 4).
+            for i, o in enumerate(jax.device_get(objs_dev)):
                 obj_curve[i] = float(o)
         objective = (jnp.asarray(obj_curve[:], jnp.float64
                                  if acc_dt == np.float64 else jnp.float32)

@@ -137,6 +137,26 @@ def default_block_rows(n: int, k: int, itemsize: int,
     return block
 
 
+def validate_block_rows(pallas_block_rows):
+    """Typed up-front check shared by every entry exposing the stripe
+    override: the kernels' stripe height must be a positive multiple of
+    8 (the f32 Mosaic row tile); 0/negative/odd values would otherwise
+    surface as a raw ZeroDivisionError in a gate or an untyped Mosaic
+    error inside a kernel."""
+    import numpy as _np
+
+    from decomp_tpu.utils.exceptions import DecompError
+
+    if pallas_block_rows is None:
+        return
+    if (not isinstance(pallas_block_rows, (int, _np.integer))
+            or isinstance(pallas_block_rows, bool)
+            or int(pallas_block_rows) < 8
+            or int(pallas_block_rows) % 8):
+        raise DecompError("pallas_block_rows must be a positive multiple "
+                          f"of 8, got {pallas_block_rows!r}")
+
+
 def _dense_kernel(prec, inner, eps_ref, ddt_ref, y_ref, x_ref, d_ref,
                   xout_ref, numd_ref, gram_ref,
                   numd_acc, gram_acc):

@@ -159,6 +159,7 @@ def solve(
         assertion.assert_same_shape("mask", mask, "y", y)
         mask = jnp.asarray(mask, y.dtype)
 
+    pallas_mu.validate_block_rows(pallas_block_rows)
     if use_pallas == "auto":
         kl_like = method in ("kl-mu", "hals") or mask is not None
         use_pallas = (
@@ -205,24 +206,15 @@ def solve(
             raise DecompError("heldout_frac must be in (0, 1)")
         if check_every == 1:
             check_every = 25
-        # SAME derivation as models.nmf._solve: the sharded and
-        # single-device held-out runs then use the identical validation
-        # set (exact parity; tested).
-        from decomp_tpu.models.nmf import _HELDOUT_SALT
-        kv = jax.random.fold_in(jax.random.PRNGKey(
-            jnp.asarray(random_seed, jnp.uint32)), _HELDOUT_SALT)
-        acc_h = jnp.promote_types(jnp.float32, real_dtype(y.dtype))
-        val = ((jax.random.uniform(kv, y.shape) < float(heldout_frac))
-               .astype(y.dtype) * mask)
-        mask = mask - val
-        # yv/val stay in the data dtype (val is 0/1 — exact); the
-        # machinery casts into its f32 reductions per check. See
-        # models.nmf._solve.
-        yv = val * y
-        yv_acc = yv.astype(acc_h)
-        vnorm = jnp.maximum(jnp.sum(yv_acc * yv_acc),
-                            jnp.asarray(jnp.finfo(acc_h).tiny, acc_h))
-        hd_global = (yv, val, vnorm)
+        # The validation reserve itself (SAME derivation as
+        # models.nmf._solve) is drawn INSIDE the jitted _solve_sharded
+        # under a sharding constraint: drawing it here eagerly would
+        # materialise a full-size unsharded uniform (and full-size
+        # eager val/yv products) on the default device — an OOM at pod
+        # scale even when every shard fits (code-review round 4).
+        hd_frac = float(heldout_frac)
+    else:
+        hd_frac = None
 
     seed = jnp.asarray(random_seed, jnp.uint32)
     with jax.default_matmul_precision(precision):
@@ -231,7 +223,7 @@ def solve(
             rank=rank, maxiter=int(maxiter), method=method, mesh=mesh,
             row_axis=row_axis, col_axis=col_axis,
             record_objective=bool(record_objective),
-            check_every=int(check_every), hd=hd_global,
+            check_every=int(check_every), heldout_frac=hd_frac,
             factor_dtype=factor_dtype,
             use_pallas=use_pallas, pallas_block_rows=pallas_block_rows,
             pallas_interpret=bool(_pallas_interpret),
@@ -242,12 +234,12 @@ def solve(
     jax.jit,
     static_argnames=("rank", "maxiter", "method", "mesh", "row_axis",
                      "col_axis", "record_objective", "check_every",
-                     "factor_dtype", "use_pallas", "pallas_block_rows",
-                     "pallas_interpret"),
+                     "heldout_frac", "factor_dtype", "use_pallas",
+                     "pallas_block_rows", "pallas_interpret"),
 )
 def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter,
                    method, mesh, row_axis, col_axis, record_objective,
-                   check_every=1, hd=None, factor_dtype=None,
+                   check_every=1, heldout_frac=None, factor_dtype=None,
                    use_pallas=False, pallas_block_rows=None,
                    pallas_interpret=False):
     rdt = real_dtype(y.dtype)
@@ -422,7 +414,11 @@ def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter,
             step, (x_l, d_l), tol=tol, maxiter=maxiter, diff_fn=diff_fn,
             objective_fn=objective, record_objective=record_objective,
             check_every=check_every,
-            min_iter=2 * check_every if yv_l is not None else 0,
+            # warm-up floor clamped to the budget: with
+            # maxiter < 3*check_every the unclamped floor
+            # could never fire (ADVICE round-3 #3's clamp)
+            min_iter=(min(2 * check_every, max(maxiter - check_every, 0))
+                      if yv_l is not None else 0),
         )
         x_out, d_out = res.state[0], res.state[1]
         ho_err = (jnp.sqrt(val_sqerr(res.state)).astype(jnp.float32)
@@ -434,7 +430,33 @@ def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter,
         return (x_out, d_out, res.niter, res.converged, res.objective,
                 ho_err)
 
-    yv_g, val_g, vnorm_g = (None, None, None) if hd is None else hd
+    yv_g, val_g, vnorm_g = None, None, None
+    if heldout_frac is not None:
+        # SAME derivation as models.nmf._solve (identical validation
+        # set — exact lockstep parity, tested). Drawn HERE, inside the
+        # jit, under the data sharding constraint: the partitionable
+        # threefry generates each shard locally with values identical
+        # to the unpartitioned draw, so nothing full-size ever
+        # materialises on one device (code-review round 4; the old
+        # eager entry-level draw OOM'd device 0 at pod scale).
+        from decomp_tpu.models.nmf import _HELDOUT_SALT
+        from jax.sharding import NamedSharding
+
+        constrain = functools.partial(
+            jax.lax.with_sharding_constraint,
+            shardings=NamedSharding(mesh, data_spec))
+        kv = jax.random.fold_in(jax.random.PRNGKey(seed), _HELDOUT_SALT)
+        acc_h = jnp.promote_types(jnp.float32, rdt)
+        u = constrain(jax.random.uniform(kv, y.shape))
+        val_g = constrain((u < heldout_frac).astype(y.dtype) * mask)
+        mask = constrain(mask - val_g)
+        # yv/val stay in the data dtype (val is 0/1 — exact); the
+        # machinery casts into its f32 reductions per check. See
+        # models.nmf._solve.
+        yv_g = constrain(val_g * y)
+        yv_acc = yv_g.astype(acc_h)
+        vnorm_g = jnp.maximum(jnp.sum(yv_acc * yv_acc),
+                              jnp.asarray(jnp.finfo(acc_h).tiny, acc_h))
     in_specs = (data_spec,
                 None if d is None else d_spec,
                 None if x is None else x_spec,
@@ -455,7 +477,8 @@ def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter,
         body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=not use_pallas,
     )(y, d, x, mask, yv_g, val_g, vnorm_g, seed, tol, eps)
-    aux = None if hd is None else {"heldout_rel_err": ho_err}
+    aux = (None if heldout_frac is None
+           else {"heldout_rel_err": ho_err})
     return NMFResult(x=x_g, d=d_g, niter=niter, converged=converged,
                      objective=objective, aux=aux)
 

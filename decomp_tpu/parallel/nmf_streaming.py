@@ -379,7 +379,10 @@ def solve_streaming(
                     converged = True
                     break
     if record_objective:
-        for i, o in enumerate(objs_dev):  # single drain at the end
+        # ONE batched device->host transfer: per-scalar float() reads
+        # would cost one ~25 ms tunnel round trip PER EPOCH here
+        # (code-review round 4).
+        for i, o in enumerate(jax.device_get(objs_dev)):
             obj_curve[i] = float(o)
         acc_np = np.promote_types(np.float32, y_dtype)
         objective = jnp.asarray(obj_curve[:], jnp.float64

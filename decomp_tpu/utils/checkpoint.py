@@ -33,8 +33,10 @@ class CheckpointManager:
         return os.path.exists(self.path)
 
     def save(self, step: int, state: Dict[str, np.ndarray]) -> None:
-        """Write atomically (tmp file + rename) so a crash mid-save can
-        never corrupt the previous snapshot."""
+        """Write atomically (tmp file + fsync + rename) so a crash —
+        including power loss, not just a killed process — can never
+        corrupt the previous snapshot: the tmp file's blocks are forced
+        to disk BEFORE the rename, and the directory entry after it."""
         payload = {k: np.asarray(v) for k, v in state.items()}
         payload[_STEP_KEY] = np.asarray(int(step))
         directory = os.path.dirname(os.path.abspath(self.path))
@@ -42,7 +44,17 @@ class CheckpointManager:
         try:
             with os.fdopen(fd, "wb") as f:
                 np.savez(f, **payload)
+                f.flush()
+                os.fsync(f.fileno())
             os.replace(tmp, self.path)
+            try:
+                dfd = os.open(directory, os.O_RDONLY)
+                try:
+                    os.fsync(dfd)
+                finally:
+                    os.close(dfd)
+            except OSError:  # pragma: no cover - fs without dir fsync
+                pass
         except BaseException:
             if os.path.exists(tmp):
                 os.unlink(tmp)

@@ -483,3 +483,39 @@ def test_heldout_reserve_survives_user_key_collision():
     val_old = ((jax.random.uniform(kv_old, mask.shape) < 0.05)
                .astype(jnp.float32) * mask)
     assert float(val_old.sum()) == 0.0
+
+
+def test_heldout_small_budget_can_converge():
+    """The heldout warm-up floor clamps to the budget: with
+    maxiter < 2*check_every a genuinely plateaued run can still report
+    converged=True (ADVICE round-3 #3's clamp applied to the NMF
+    heldout sites — code-review round 4). Planted noiseless problem at
+    tiny tol-free plateau: run long first to find the plateau point,
+    then a short-budget run must not be structurally locked out."""
+    rng = np.random.default_rng(70)
+    m, n, k = 200, 60, 4
+    y = (rng.uniform(0, 1, (m, k)) @ rng.uniform(0, 1, (k, n))
+         ).astype(np.float32)
+    mask = (rng.random((m, n)) > 0.3).astype(np.float32)
+    x0 = rng.uniform(0.1, 1, (m, k)).astype(np.float32)
+    d0 = rng.uniform(0.1, 1, (k, n)).astype(np.float32)
+    # check_every=25 (mode default); budget below 2*25: convergence
+    # must still be REPORTABLE (the solve may or may not plateau this
+    # early — assert the mechanism, not the outcome, via a huge tol)
+    res = decomp_tpu.nmf.solve(y * mask, d0, x=x0, mask=mask, tol=1e9,
+                               maxiter=40, stop="heldout",
+                               random_seed=1)
+    assert bool(res.converged), int(res.niter)
+
+
+def test_block_rows_validated_at_nmf_entries():
+    """pallas_block_rows=12 / 0 / True raise typed errors at both NMF
+    entries instead of raw Mosaic/ZeroDivision errors (code-review
+    round 4)."""
+    rng = np.random.default_rng(71)
+    y = rng.uniform(0, 1, (64, 40)).astype(np.float32)
+    for bad in (12, 0, -8, True):
+        with pytest.raises(decomp_tpu.utils.DecompError,
+                           match="pallas_block_rows"):
+            decomp_tpu.nmf.solve(y, rank=4, maxiter=2,
+                                 pallas_block_rows=bad)

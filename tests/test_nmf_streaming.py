@@ -1175,3 +1175,51 @@ def test_fused_epoch_cache_does_not_pin_loader():
     assert sentinel() is None, "epoch cache pinned the dropped loader"
     assert mns.epoch_cache_info().currsize < size0, (
         "dropped loader's compiled epochs were not evicted")
+
+
+def test_streaming_warm_d_validated():
+    """A wrong-width or 1-D warm d raises a typed error at entry
+    instead of a cryptic XLA shape mismatch inside the epoch
+    (code-review round 4)."""
+    rng = np.random.default_rng(60)
+    y = rng.uniform(0, 1, (64, 40)).astype(np.float32)
+    with pytest.raises(decomp_tpu.utils.ShapeError):
+        decomp_tpu.nmf.solve_streaming(
+            y, rng.uniform(0, 1, (4, 41)).astype(np.float32),
+            chunk_rows=32, maxiter=2)
+    with pytest.raises(decomp_tpu.utils.ShapeError):
+        decomp_tpu.nmf.solve_streaming(
+            y, rng.uniform(0, 1, (40,)).astype(np.float32),
+            chunk_rows=32, maxiter=2)
+    with pytest.raises(decomp_tpu.utils.DecompError, match="rank"):
+        decomp_tpu.nmf.solve_streaming(
+            y, rng.uniform(0, 1, (4, 40)).astype(np.float32), rank=5,
+            chunk_rows=32, maxiter=2)
+
+
+def test_loader_error_not_swallowed_as_compile_fallback(monkeypatch):
+    """A loader that raises at trace time propagates its own error —
+    it must NOT be misattributed to the Pallas auto-gate and warned
+    away as a compile fallback (code-review round 4)."""
+    import warnings
+
+    from decomp_tpu.ops import pallas_mu
+
+    monkeypatch.setattr(pallas_mu, "calibrated_tpu", lambda: True)
+
+    def bad_loader(lo, hi):
+        raise FileNotFoundError("shard 7 missing")
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        with pytest.raises(FileNotFoundError, match="shard 7"):
+            decomp_tpu.nmf.solve_streaming(
+                bad_loader, rng_d(), chunk_rows=128, n_samples=512,
+                n_channels=128, dtype=np.float32, x_device=True,
+                jit_loader=True, tol=0.0, maxiter=3)
+    assert not any("falling back" in str(w.message) for w in rec)
+
+
+def rng_d():
+    return np.random.default_rng(61).uniform(
+        0.1, 1, (128, 128)).astype(np.float32)

@@ -1067,3 +1067,30 @@ def test_sharded_streaming_mixed_kl_matches_single(mesh8):
     assert p.x.dtype == jnp.float32 and p.d.dtype == jnp.float32
     assert rel_err(p.d, s.d) < 1e-5
     assert rel_err(p.x, s.x) < 1e-5
+
+
+def test_sharded_heldout_small_budget_and_in_jit_draw(mesh8):
+    """Two round-4 fixes in one: (a) the sharded heldout warm-up floor
+    clamps to the budget (maxiter < 2*check_every can still report
+    convergence), and (b) the validation reserve is now drawn INSIDE
+    the jitted sharded solve under a sharding constraint (the old eager
+    entry-level draw materialised full-size unsharded arrays on one
+    device — pod-scale OOM); the partitionable threefry keeps the drawn
+    set IDENTICAL, so lockstep with the single-device solver must
+    hold exactly."""
+    rng = np.random.default_rng(72)
+    m, n, k = 64, 40, 4
+    y = (rng.uniform(0, 1, (m, k)) @ rng.uniform(0, 1, (k, n))
+         ).astype(np.float32)
+    mask = (rng.random((m, n)) > 0.3).astype(np.float32)
+    x0 = rng.uniform(0.1, 1, (m, k)).astype(np.float32)
+    d0 = rng.uniform(0.1, 1, (k, n)).astype(np.float32)
+    kw = dict(x=x0, mask=mask, tol=1e9, maxiter=40, stop="heldout",
+              random_seed=1)
+    single = decomp_tpu.nmf.solve(y * mask, d0, **kw)
+    shard = parallel.nmf.solve(y * mask, d0, mesh=mesh8,
+                               row_axis="rows", **kw)
+    assert bool(shard.converged) and bool(single.converged)
+    assert int(shard.niter) == int(single.niter)
+    assert np.isclose(float(shard.aux["heldout_rel_err"]),
+                      float(single.aux["heldout_rel_err"]), rtol=1e-5)
