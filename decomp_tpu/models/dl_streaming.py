@@ -400,7 +400,11 @@ def _build_dl_fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks,
         hd_frac = jnp.float32(heldout[0])
         hd_key = jax.random.fold_in(
             jax.random.PRNGKey(np.uint32(heldout[1])), _HELDOUT_SALT)
-    n_dev = 1 if mesh is None else mesh.shape[row_axis]
+    if mesh is None:
+        n_dev = 1
+    else:
+        from decomp_tpu.parallel.mesh import validate_axis
+        n_dev = validate_axis(mesh, row_axis, "row_axis")
     n_local = n_chunks * chunk_rows
     ragged = n_true is not None and int(n_true) < n_dev * n_local
     if mesh is not None:
@@ -615,7 +619,11 @@ def _solve_streaming_fused(y_loader, d, alpha, x, *, tol, maxiter,
             f"chunk_rows={chunk_rows} exceeds n_samples={n_samples}")
     if np.asarray(alpha).ndim:
         raise DecompError("the fused DL epoch supports scalar alpha")
-    n_dev = 1 if mesh is None else mesh.shape[row_axis]
+    if mesh is None:
+        n_dev = 1
+    else:
+        from decomp_tpu.parallel.mesh import validate_axis
+        n_dev = validate_axis(mesh, row_axis, "row_axis")
     n_chunks_local = -(-n_samples // (n_dev * chunk_rows))
     n_local = n_chunks_local * chunk_rows
     n_pad = n_dev * n_local

@@ -753,7 +753,11 @@ def _build_fused_epoch(y_loader, mask_loader, chunk_rows, n_chunks, rank,
     trajectories agree to psum reduction order.
     """
     acc_j = jnp.promote_types(jnp.float32, y_dtype)
-    n_dev = 1 if mesh is None else mesh.shape[row_axis]
+    if mesh is None:
+        n_dev = 1
+    else:
+        from decomp_tpu.parallel.mesh import validate_axis
+        n_dev = validate_axis(mesh, row_axis, "row_axis")
     n_local = n_chunks * chunk_rows          # padded rows per device
     ragged = n_true is not None and int(n_true) < n_dev * n_local
     if heldout is not None:

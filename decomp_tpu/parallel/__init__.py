@@ -10,6 +10,11 @@ the communication backend IS mesh + PartitionSpecs + XLA collectives
 """
 
 from decomp_tpu.parallel import dictionary_learning, lasso, nmf
-from decomp_tpu.parallel.mesh import make_mesh, shard_rows
+from decomp_tpu.parallel.mesh import (
+    make_mesh,
+    make_multislice_mesh,
+    shard_rows,
+)
 
-__all__ = ["nmf", "lasso", "dictionary_learning", "make_mesh", "shard_rows"]
+__all__ = ["nmf", "lasso", "dictionary_learning", "make_mesh",
+           "make_multislice_mesh", "shard_rows"]

@@ -85,12 +85,14 @@ def solve(
         mask = jnp.asarray(mask, real_dtype(dtype))
     _validate_lasso_method(lasso_method)
     assertion.assert_nonnegative("alpha", alpha)
-    if axis not in mesh.axis_names:
-        raise DecompError(f"axis {axis!r} not in mesh axes {mesh.axis_names}")
-    if y.shape[0] % mesh.shape[axis]:
+    from decomp_tpu.parallel import mesh as _mesh
+    if not isinstance(axis, str):
+        axis = _mesh.axis_tuple(axis)  # hashable for the jit static arg
+    n_dev = _mesh.validate_axis(mesh, axis, "axis")
+    if y.shape[0] % n_dev:
         raise DecompError(
             f"n_samples={y.shape[0]} not divisible by mesh axis "
-            f"{axis!r} of size {mesh.shape[axis]}")
+            f"{axis!r} of size {n_dev}")
 
     rdt = real_dtype(dtype)
 
@@ -98,7 +100,7 @@ def solve(
     from decomp_tpu.ops.pallas_mu import calibrated_tpu as _calibrated_tpu
 
     is_complex = jnp.issubdtype(dtype, jnp.complexfloating)
-    n_dev_rows = mesh.shape[axis]
+    n_dev_rows = n_dev
     user_use_pallas = use_pallas   # _resolve_bcd needs the un-rebound value
     if use_pallas == "auto":
         use_pallas = (
@@ -180,7 +182,10 @@ def _solve_sharded(y, d, x, mask, alpha, tol, lasso_tol, *, maxiter,
     rdt = real_dtype(dtype)
     row_spec = P(axis, None)
     psum = functools.partial(jax.lax.psum, axis_name=axis)
-    vma = frozenset({axis}) if use_pallas else None
+    if use_pallas:
+        vma = frozenset((axis,) if isinstance(axis, str) else axis)
+    else:
+        vma = None
 
     def body(y_l, d_r, x_l, mask_l, yv_l, val_l, vnorm_, alpha_, tol_,
              lasso_tol_):
@@ -362,9 +367,11 @@ def solve_streaming(
     if not callable(y):
         raise DecompError("the sharded streaming DL solver requires a "
                           "callable y loader")
-    if row_axis not in mesh.axis_names:
-        raise DecompError(f"row_axis {row_axis!r} not in mesh axes "
-                          f"{mesh.axis_names}")
+    from decomp_tpu.parallel import mesh as _mesh
+    if not isinstance(row_axis, str):
+        # hashable for the epoch compile-cache key / jit static arg
+        row_axis = _mesh.axis_tuple(row_axis)
+    _mesh.validate_axis(mesh, row_axis, "row_axis")
     return _solve_streaming_fused(
         y, d, alpha, x, tol=tol, maxiter=maxiter,
         lasso_method=lasso_method, lasso_iter=lasso_iter,

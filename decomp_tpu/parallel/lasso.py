@@ -78,9 +78,10 @@ def solve(
     if per_problem and method == "cd":
         raise DecompError("per_problem convergence does not support "
                           "method 'cd'")
-    if axis not in mesh.axis_names:
-        raise DecompError(f"axis {axis!r} not in mesh axes {mesh.axis_names}")
-    n_dev = mesh.shape[axis]
+    from decomp_tpu.parallel import mesh as _mesh
+    if not isinstance(axis, str):
+        axis = _mesh.axis_tuple(axis)  # hashable for the jit static arg
+    n_dev = _mesh.validate_axis(mesh, axis, "axis")
     if y.shape[0] % n_dev:
         raise DecompError(
             f"n_samples={y.shape[0]} not divisible by mesh axis "
@@ -107,7 +108,7 @@ def solve(
 
     grad_methods = ("ista", "fista", "acc_ista", "parallel_cd")
     is_complex = jnp.issubdtype(dtype, jnp.complexfloating)
-    n_dev_rows = mesh.shape[axis]
+    n_dev_rows = n_dev
     f_pad128 = -(-a.shape[0] // 128) * 128
     pallas_mode = None
     if use_pallas == "auto":
@@ -236,7 +237,8 @@ def _solve_sharded(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
             vary_rows=lambda v: jax.lax.pcast(v, axis, to="varying"),
             use_pallas=use_pallas, pallas_block_rows=br,
             pallas_interpret=pallas_interpret,
-            pallas_vma=frozenset({axis}) if use_pallas else None,
+            pallas_vma=(frozenset((axis,) if isinstance(axis, str)
+                                  else axis) if use_pallas else None),
         )
         # per_problem's diff_fn is the unconverged-row count: compare it
         # against the fixed 0.5 (count == 0), not the user tol
@@ -361,7 +363,10 @@ def solve_streaming(
     chunk_rows = int(chunk_rows)
     if chunk_rows < 1:
         raise DecompError("chunk_rows must be >= 1")
-    n_dev = mesh.shape[axis]
+    from decomp_tpu.parallel import mesh as _mesh
+    if not isinstance(axis, str):
+        axis = _mesh.axis_tuple(axis)
+    n_dev = _mesh.validate_axis(mesh, axis, "axis")
     if chunk_rows % n_dev:
         raise DecompError(
             f"chunk_rows={chunk_rows} must divide evenly over "

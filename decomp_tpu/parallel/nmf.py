@@ -27,6 +27,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from decomp_tpu.ops import pallas_mu
 from decomp_tpu.ops.pallas_mu import calibrated_tpu as _calibrated_tpu
+from decomp_tpu.parallel import mesh as _mesh
 
 from decomp_tpu.models.nmf import (
     _kl_objective,
@@ -80,6 +81,13 @@ def solve(
     pre-placed global arrays (e.g. via ``parallel.shard_rows``). Global
     row/column counts must divide the respective mesh axis sizes.
 
+    ``row_axis``/``col_axis`` may each also be a TUPLE of mesh axis
+    names for hierarchical (multi-slice) sharding, e.g.
+    ``row_axis=('slice', 'rows')`` on a DCN x ICI mesh: the sample axis
+    shards over the combined extent and the statistic psums name both
+    axes, which XLA lowers as slice-local ICI reductions plus a small
+    cross-slice DCN exchange (see ``parallel.mesh``).
+
     use_pallas: as in ``decomp_tpu.nmf.solve`` — for row-only sharding
     (col_axis=None, method='mu') each device runs the fused single-pass
     Pallas kernel on its local row block and only the K-sized sufficient
@@ -108,14 +116,18 @@ def solve(
     if method == "hals" and mask is not None:
         raise DecompError("method 'hals' does not support mask; use 'mu'")
 
-    if row_axis not in mesh.axis_names:
-        raise DecompError(f"row_axis {row_axis!r} not in mesh axes "
-                          f"{mesh.axis_names}")
-    if col_axis is not None and col_axis not in mesh.axis_names:
-        raise DecompError(f"col_axis {col_axis!r} not in mesh axes "
-                          f"{mesh.axis_names}")
-    n_rows = mesh.shape[row_axis]
-    n_cols = mesh.shape[col_axis] if col_axis is not None else 1
+    row_axis = _mesh.axis_tuple(row_axis) if not isinstance(
+        row_axis, str) else row_axis  # hashable for the jit static arg
+    if col_axis is not None and not isinstance(col_axis, str):
+        col_axis = _mesh.axis_tuple(col_axis)
+    n_rows = _mesh.validate_axis(mesh, row_axis, "row_axis")
+    n_cols = (_mesh.validate_axis(mesh, col_axis, "col_axis")
+              if col_axis is not None else 1)
+    if (col_axis is not None
+            and set(_mesh.axis_tuple(row_axis))
+            & set(_mesh.axis_tuple(col_axis))):
+        raise DecompError(f"row_axis {row_axis!r} and col_axis "
+                          f"{col_axis!r} share a mesh axis")
     if n_samples % n_rows:
         raise DecompError(
             f"n_samples={n_samples} not divisible by mesh axis "
@@ -264,7 +276,9 @@ def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter,
         return jax.lax.psum(v, row_axis)
 
     def psum_all(v):
-        axes = (row_axis,) + ((col_axis,) if col_axis is not None else ())
+        from decomp_tpu.parallel.mesh import axis_tuple
+        axes = axis_tuple(row_axis) + (axis_tuple(col_axis)
+                                       if col_axis is not None else ())
         return jax.lax.psum(v, axes)
 
     def body(y_l, d_l, x_l, mask_l, yv_l, val_l, vnorm_, seed_, tol_,
@@ -318,7 +332,8 @@ def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter,
                 val_l = jnp.pad(val_l,
                                 ((0, m_pad - m_l), (0, n_pad - n_l)))
 
-            vma = frozenset({row_axis})
+            from decomp_tpu.parallel.mesh import axis_tuple
+            vma = frozenset(axis_tuple(row_axis))
             cdt = my_l.dtype
             if method == "kl-mu":
                 if mask_l is None:

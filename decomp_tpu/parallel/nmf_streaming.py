@@ -144,10 +144,11 @@ def solve_streaming(
     if mask is not None and not callable(mask):
         raise DecompError("with a callable y, mask must also be a "
                           "callable (lo, hi) -> chunk")
-    if row_axis not in mesh.axis_names:
-        raise DecompError(f"row_axis {row_axis!r} not in mesh axes "
-                          f"{mesh.axis_names}")
-    n_dev = mesh.shape[row_axis]
+    from decomp_tpu.parallel import mesh as _mesh
+    if not isinstance(row_axis, str):
+        # hashable for the epoch compile-cache key / jit static arg
+        row_axis = _mesh.axis_tuple(row_axis)
+    n_dev = _mesh.validate_axis(mesh, row_axis, "row_axis")
     n_samples, n_channels = int(n_samples), int(n_channels)
     chunk_rows = int(chunk_rows)
     if chunk_rows < 1:

@@ -1094,3 +1094,210 @@ def test_sharded_heldout_small_budget_and_in_jit_draw(mesh8):
     assert int(shard.niter) == int(single.niter)
     assert np.isclose(float(shard.aux["heldout_rel_err"]),
                       float(single.aux["heldout_rel_err"]), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Multi-slice (hierarchical tuple-axis) tier: every parallel.* solver
+# accepts a TUPLE of mesh axis names for its row/sample axis — the
+# pod-of-pods layout where an outer axis spans DCN-connected slices and
+# the inner axis spans each slice's ICI ring (parallel.mesh docstring).
+# Tuple-axis solves must equal the flat-axis sharded solve AND the
+# single-device solve to fp tolerance, with the same stop iterations.
+
+
+@pytest.fixture(scope="module")
+def mesh2x4():
+    return parallel.make_mesh((2, 4), axis_names=("slice", "rows"))
+
+
+@pytest.fixture(scope="module")
+def mesh2x2x2():
+    return parallel.make_mesh((2, 2, 2),
+                              axis_names=("slice", "rows", "cols"))
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_multislice_nmf_matches_single_and_flat(mesh8, mesh2x4, masked):
+    y, *_ = planted_nmf(seed=201, n_samples=64, n_channels=40, rank=5)
+    mask = random_mask(202, y.shape) if masked else None
+    x0, d0 = _init(203, 64, 40, 5)
+    kw = dict(x=x0, tol=0.0, maxiter=30, mask=mask)
+    ref = decomp_tpu.nmf.solve(y, d0, **kw)
+    flat = parallel.nmf.solve(y, d0, mesh=mesh8, **kw)
+    hier = parallel.nmf.solve(y, d0, mesh=mesh2x4,
+                              row_axis=("slice", "rows"), **kw)
+    assert rel_err(hier.x, ref.x) < 1e-12
+    assert rel_err(hier.d, ref.d) < 1e-12
+    assert rel_err(hier.x, flat.x) < 1e-12
+    assert int(hier.niter) == int(ref.niter)
+
+
+def test_multislice_nmf_row_tuple_plus_col_axis(mesh2x2x2):
+    """3-axis mesh: the sample axis shards hierarchically over
+    ('slice', 'rows') while the channel axis shards over 'cols' — the
+    statistic psums name all three axes."""
+    y, *_ = planted_nmf(seed=204, n_samples=64, n_channels=40, rank=5)
+    x0, d0 = _init(205, 64, 40, 5)
+    ref = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=30)
+    res = parallel.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=30,
+                             mesh=mesh2x2x2, row_axis=("slice", "rows"),
+                             col_axis="cols")
+    assert rel_err(res.x, ref.x) < 1e-12
+    assert rel_err(res.d, ref.d) < 1e-12
+
+
+def test_multislice_nmf_heldout_lockstep(mesh2x4):
+    """stop='heldout' with a tuple row axis: the validation reserve is
+    the identical global draw and the error allreduces over both axes,
+    BUT the hierarchical psum's two-stage reduction order differs from
+    the single-device sum — at a plateau boundary the fp difference can
+    move the verdict by one check interval (25 here), never more. All
+    devices within the tuple-axis run still stop together (the scalar is
+    allreduced), which is the lockstep that matters."""
+    rng = np.random.default_rng(206)
+    m, n, k = 160, 64, 4
+    ytrue = (rng.uniform(0, 1, (m, k)) @ rng.uniform(0, 1, (k, n))
+             + 0.02 * rng.normal(size=(m, n))).astype(np.float32)
+    mask = (rng.random((m, n)) >= 0.3).astype(np.float32)
+    x0 = rng.uniform(0.1, 1, (m, k)).astype(np.float32)
+    d0 = rng.uniform(0.1, 1, (k, n)).astype(np.float32)
+    kw = dict(mask=mask, tol=1e-3, maxiter=2000, stop="heldout",
+              random_seed=3)
+    s = decomp_tpu.nmf.solve(ytrue * mask, d0, x=x0, **kw)
+    p = parallel.nmf.solve(ytrue * mask, d0, x=x0, mesh=mesh2x4,
+                           row_axis=("slice", "rows"), **kw)
+    assert bool(p.converged) and bool(s.converged)
+    assert abs(int(p.niter) - int(s.niter)) <= 25  # one check interval
+    np.testing.assert_allclose(float(p.aux["heldout_rel_err"]),
+                               float(s.aux["heldout_rel_err"]), rtol=1e-2)
+
+
+@pytest.mark.parametrize("per_problem", [False, True])
+def test_multislice_lasso_matches_single_device(mesh2x4, per_problem):
+    rng = np.random.default_rng(207)
+    a = rng.normal(size=(24, 96))
+    y = rng.normal(size=(16, 96)) * (10.0 ** rng.uniform(-2, 1,
+                                                         size=(16, 1)))
+    kw = dict(tol=1e-6, maxiter=3000, method="fista",
+              per_problem=per_problem)
+    ref = decomp_tpu.lasso.solve(y, a, 0.05, **kw)
+    res = parallel.lasso.solve(y, a, 0.05, mesh=mesh2x4,
+                               axis=("slice", "rows"), **kw)
+    np.testing.assert_array_equal(np.asarray(res.niter),
+                                  np.asarray(ref.niter))
+    assert rel_err(res.x, ref.x) < 1e-12
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_multislice_dictionary_learning(mesh2x4, masked):
+    y, a, _ = planted_lasso(seed=208, n_samples=16)
+    mask = random_mask(209, y.shape) if masked else None
+    rng = np.random.default_rng(210)
+    d0 = rng.normal(size=a.shape)
+    kw = dict(tol=0.0, maxiter=8, lasso_iter=5, mask=mask)
+    ref = decomp_tpu.dictionary_learning.solve(y, d0, 0.05, **kw)
+    res = parallel.dictionary_learning.solve(y, d0, 0.05, mesh=mesh2x4,
+                                             axis=("slice", "rows"), **kw)
+    assert rel_err(res.x, ref.x) < 1e-10
+    assert rel_err(res.d, ref.d) < 1e-10
+
+
+def test_multislice_streaming_nmf_matches_single(mesh2x4):
+    """The sharded out-of-core fused epoch with a tuple row axis: each
+    device's global row offset comes from the FLATTENED
+    axis_index(('slice', 'rows')), so loader windows tile the global
+    range exactly as with a flat axis."""
+    y, _, x0, d0, loader, _ = _stream_problem(211, 512, 64, 4, 64)
+    kw = dict(tol=0.0, maxiter=10, chunk_rows=64, n_samples=512,
+              n_channels=64, dtype=np.float32)
+    ref = decomp_tpu.nmf.solve_streaming(loader, d0, x=x0, x_device=True,
+                                         jit_loader=True, **kw)
+    res = parallel.nmf.solve_streaming(loader, d0, x=x0, mesh=mesh2x4,
+                                       row_axis=("slice", "rows"), **kw)
+    assert rel_err(res.d, ref.d) < 1e-5
+    assert rel_err(res.x, ref.x) < 1e-5
+
+
+def test_multislice_streaming_dl_matches_single(mesh2x4):
+    """Sharded out-of-core dictionary learning over a tuple row axis."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(212)
+    m, n, k, chunk = 256, 48, 6, 32
+    y = rng.normal(size=(m, n)).astype(np.float32)
+    d0 = rng.normal(size=(k, n)).astype(np.float32)
+    yd = jnp.asarray(y)
+
+    def loader(lo, hi):
+        return jax.lax.dynamic_slice(yd, (lo, 0), (chunk, n))
+
+    kw = dict(tol=0.0, maxiter=6, lasso_iter=5, chunk_rows=chunk,
+              n_samples=m, n_channels=n, dtype=np.float32)
+    ref = decomp_tpu.dictionary_learning.solve_streaming(
+        loader, d0, 0.05, jit_loader=True, **kw)
+    res = parallel.dictionary_learning.solve_streaming(
+        loader, d0, 0.05, mesh=mesh2x4, row_axis=("slice", "rows"), **kw)
+    assert rel_err(res.d, ref.d) < 1e-5
+    assert rel_err(res.x, ref.x) < 1e-5
+
+
+def test_multislice_shard_rows_and_pre_placed(mesh2x4):
+    """parallel.shard_rows with a tuple axis places the leading axis over
+    the combined extent; pre-placed global arrays solve unchanged."""
+    y, *_ = planted_nmf(seed=213, n_samples=64, n_channels=40, rank=4)
+    x0, d0 = _init(214, 64, 40, 4)
+    y_s = parallel.shard_rows(np.asarray(y), mesh2x4, ("slice", "rows"))
+    assert y_s.sharding.spec[0] == ("slice", "rows")
+    ref = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=20)
+    res = parallel.nmf.solve(y_s, d0, x=x0, tol=0.0, maxiter=20,
+                             mesh=mesh2x4, row_axis=("slice", "rows"))
+    assert rel_err(res.x, ref.x) < 1e-12
+
+
+def test_multislice_validation_errors(mesh2x4, mesh2x2x2):
+    y, *_ = planted_nmf(seed=215, n_samples=64, n_channels=40, rank=4)
+    err = decomp_tpu.utils.DecompError
+    with pytest.raises(err, match="repeats"):
+        parallel.nmf.solve(y, rank=4, mesh=mesh2x4,
+                           row_axis=("rows", "rows"))
+    with pytest.raises(err, match="not in mesh"):
+        parallel.nmf.solve(y, rank=4, mesh=mesh2x4,
+                           row_axis=("slice", "cols"))
+    with pytest.raises(err, match="at least one"):
+        parallel.nmf.solve(y, rank=4, mesh=mesh2x4, row_axis=())
+    with pytest.raises(err, match="share a mesh axis"):
+        parallel.nmf.solve(y, rank=4, mesh=mesh2x2x2,
+                           row_axis=("slice", "rows", "cols"),
+                           col_axis="cols")
+    # lists are accepted and normalised to tuples (jit static args must
+    # be hashable)
+    x0, d0 = _init(216, 64, 40, 4)
+    res = parallel.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=5,
+                             mesh=mesh2x4, row_axis=["slice", "rows"])
+    ref = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=5)
+    assert rel_err(res.x, ref.x) < 1e-12
+
+
+def test_make_multislice_mesh(mesh8):
+    """make_multislice_mesh groups devices by slice (explicit n_slices
+    on virtual devices) and the resulting tuple-axis solve matches
+    single-device."""
+    err = decomp_tpu.utils.DecompError
+    msh = parallel.make_multislice_mesh(n_slices=2)
+    assert dict(msh.shape) == {"slice": 2, "rows": 4}
+    # inferred grouping: all 8 virtual devices report process 0 ->
+    # one slice of 8
+    inferred = parallel.make_multislice_mesh()
+    assert dict(inferred.shape)["slice"] == 1
+    with pytest.raises(err, match="does not divide"):
+        parallel.make_multislice_mesh(n_slices=3)
+    with pytest.raises(err, match="exactly two axes"):
+        parallel.make_multislice_mesh(axis_names=("a", "b", "c"))
+
+    y, *_ = planted_nmf(seed=217, n_samples=64, n_channels=40, rank=4)
+    x0, d0 = _init(218, 64, 40, 4)
+    ref = decomp_tpu.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=10)
+    res = parallel.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=10, mesh=msh,
+                             row_axis=("slice", "rows"))
+    assert rel_err(res.x, ref.x) < 1e-12
