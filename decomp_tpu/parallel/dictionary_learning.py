@@ -22,6 +22,7 @@ from decomp_tpu.models.dictionary_learning import (
     _validate_lasso_method,
 )
 from decomp_tpu.ops.loop import run_iterations
+from decomp_tpu.parallel import mesh as _mesh
 from decomp_tpu.utils import assertion
 from decomp_tpu.utils.dtypes import real_dtype
 from decomp_tpu.utils.exceptions import DecompError
@@ -85,7 +86,6 @@ def solve(
         mask = jnp.asarray(mask, real_dtype(dtype))
     _validate_lasso_method(lasso_method)
     assertion.assert_nonnegative("alpha", alpha)
-    from decomp_tpu.parallel import mesh as _mesh
     if not isinstance(axis, str):
         axis = _mesh.axis_tuple(axis)  # hashable for the jit static arg
     n_dev = _mesh.validate_axis(mesh, axis, "axis")
@@ -182,10 +182,7 @@ def _solve_sharded(y, d, x, mask, alpha, tol, lasso_tol, *, maxiter,
     rdt = real_dtype(dtype)
     row_spec = P(axis, None)
     psum = functools.partial(jax.lax.psum, axis_name=axis)
-    if use_pallas:
-        vma = frozenset((axis,) if isinstance(axis, str) else axis)
-    else:
-        vma = None
+    vma = frozenset(_mesh.axis_tuple(axis)) if use_pallas else None
 
     def body(y_l, d_r, x_l, mask_l, yv_l, val_l, vnorm_, alpha_, tol_,
              lasso_tol_):
@@ -367,7 +364,6 @@ def solve_streaming(
     if not callable(y):
         raise DecompError("the sharded streaming DL solver requires a "
                           "callable y loader")
-    from decomp_tpu.parallel import mesh as _mesh
     if not isinstance(row_axis, str):
         # hashable for the epoch compile-cache key / jit static arg
         row_axis = _mesh.axis_tuple(row_axis)

@@ -17,6 +17,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from decomp_tpu.models import lasso as _lasso
 from decomp_tpu.ops.loop import run_iterations
+from decomp_tpu.parallel import mesh as _mesh
 from decomp_tpu.utils import assertion
 from decomp_tpu.utils.dtypes import real_dtype
 from decomp_tpu.utils.exceptions import DecompError
@@ -78,7 +79,6 @@ def solve(
     if per_problem and method == "cd":
         raise DecompError("per_problem convergence does not support "
                           "method 'cd'")
-    from decomp_tpu.parallel import mesh as _mesh
     if not isinstance(axis, str):
         axis = _mesh.axis_tuple(axis)  # hashable for the jit static arg
     n_dev = _mesh.validate_axis(mesh, axis, "axis")
@@ -237,8 +237,8 @@ def _solve_sharded(y, a, alpha, x, mask, lipschitz, tol, *, method, maxiter,
             vary_rows=lambda v: jax.lax.pcast(v, axis, to="varying"),
             use_pallas=use_pallas, pallas_block_rows=br,
             pallas_interpret=pallas_interpret,
-            pallas_vma=(frozenset((axis,) if isinstance(axis, str)
-                                  else axis) if use_pallas else None),
+            pallas_vma=(frozenset(_mesh.axis_tuple(axis))
+                        if use_pallas else None),
         )
         # per_problem's diff_fn is the unconverged-row count: compare it
         # against the fixed 0.5 (count == 0), not the user tol
@@ -363,7 +363,6 @@ def solve_streaming(
     chunk_rows = int(chunk_rows)
     if chunk_rows < 1:
         raise DecompError("chunk_rows must be >= 1")
-    from decomp_tpu.parallel import mesh as _mesh
     if not isinstance(axis, str):
         axis = _mesh.axis_tuple(axis)
     n_dev = _mesh.validate_axis(mesh, axis, "axis")

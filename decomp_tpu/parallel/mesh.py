@@ -33,10 +33,22 @@ AxisSpec = Union[str, Tuple[str, ...]]
 
 
 def axis_tuple(axis: AxisSpec) -> Tuple[str, ...]:
-    """Normalise an axis spec (name or sequence of names) to a tuple."""
+    """Normalise an axis spec (name or sequence of names) to a tuple.
+
+    Raises the library's typed DecompError for non-string, non-sequence
+    arguments (None, ints, ...) instead of leaking a bare TypeError."""
     if isinstance(axis, str):
         return (axis,)
-    return tuple(axis)
+    try:
+        names = tuple(axis)
+    except TypeError:
+        raise DecompError(
+            f"axis must be a mesh axis name or a sequence of names, "
+            f"got {axis!r}") from None
+    if not all(isinstance(nm, str) for nm in names):
+        raise DecompError(
+            f"axis must name mesh axes (strings), got {axis!r}")
+    return names
 
 
 def validate_axis(mesh: Mesh, axis: AxisSpec, what: str = "axis") -> int:

@@ -276,9 +276,8 @@ def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter,
         return jax.lax.psum(v, row_axis)
 
     def psum_all(v):
-        from decomp_tpu.parallel.mesh import axis_tuple
-        axes = axis_tuple(row_axis) + (axis_tuple(col_axis)
-                                       if col_axis is not None else ())
+        axes = _mesh.axis_tuple(row_axis) + (
+            _mesh.axis_tuple(col_axis) if col_axis is not None else ())
         return jax.lax.psum(v, axes)
 
     def body(y_l, d_l, x_l, mask_l, yv_l, val_l, vnorm_, seed_, tol_,
@@ -332,8 +331,7 @@ def _solve_sharded(y, d, x, mask, seed, tol, eps, *, rank, maxiter,
                 val_l = jnp.pad(val_l,
                                 ((0, m_pad - m_l), (0, n_pad - n_l)))
 
-            from decomp_tpu.parallel.mesh import axis_tuple
-            vma = frozenset(axis_tuple(row_axis))
+            vma = frozenset(_mesh.axis_tuple(row_axis))
             cdt = my_l.dtype
             if method == "kl-mu":
                 if mask_l is None:

@@ -47,6 +47,7 @@ from decomp_tpu.models.nmf_streaming import (
     _make_epoch_runner,
     _validate_block_rows,
 )
+from decomp_tpu.parallel import mesh as _mesh
 from decomp_tpu.utils import assertion
 from decomp_tpu.utils.exceptions import DecompError
 from decomp_tpu.utils.result import NMFResult
@@ -144,7 +145,6 @@ def solve_streaming(
     if mask is not None and not callable(mask):
         raise DecompError("with a callable y, mask must also be a "
                           "callable (lo, hi) -> chunk")
-    from decomp_tpu.parallel import mesh as _mesh
     if not isinstance(row_axis, str):
         # hashable for the epoch compile-cache key / jit static arg
         row_axis = _mesh.axis_tuple(row_axis)

@@ -1270,6 +1270,13 @@ def test_multislice_validation_errors(mesh2x4, mesh2x2x2):
         parallel.nmf.solve(y, rank=4, mesh=mesh2x2x2,
                            row_axis=("slice", "rows", "cols"),
                            col_axis="cols")
+    # non-string, non-sequence axes raise the library's typed error,
+    # not a bare TypeError (code-review round 5)
+    with pytest.raises(err, match="axis name"):
+        parallel.nmf.solve(y, rank=4, mesh=mesh2x4, row_axis=None)
+    with pytest.raises(err, match="strings"):
+        parallel.lasso.solve(y, np.ones((4, 40)), 0.1, mesh=mesh2x4,
+                             axis=("slice", 0))
     # lists are accepted and normalised to tuples (jit static args must
     # be hashable)
     x0, d0 = _init(216, 64, 40, 4)
