@@ -1308,3 +1308,21 @@ def test_make_multislice_mesh(mesh8):
     res = parallel.nmf.solve(y, d0, x=x0, tol=0.0, maxiter=10, mesh=msh,
                              row_axis=("slice", "rows"))
     assert rel_err(res.x, ref.x) < 1e-12
+
+
+def test_multislice_streaming_lasso(mesh2x4):
+    """parallel.lasso.solve_streaming over a tuple axis: chunks
+    row-shard over the combined ('slice', 'rows') extent."""
+    rng = np.random.default_rng(219)
+    m, f, ch = 256, 24, 32
+    a = rng.normal(size=(f, ch)).astype(np.float32)
+    y = (rng.normal(size=(m, f)) @ a
+         + 0.01 * rng.normal(size=(m, ch))).astype(np.float32)
+    core = decomp_tpu.lasso.solve(y, a, 0.05, tol=1e-5, maxiter=600,
+                                  method="fista", per_problem=True)
+    stream = parallel.lasso.solve_streaming(
+        y, a, 0.05, mesh=mesh2x4, axis=("slice", "rows"), tol=1e-5,
+        maxiter=600, method="fista", chunk_rows=64, per_problem=True,
+        use_pallas=False)
+    assert rel_err(stream.x, core.x) < 1e-4
+    assert np.asarray(stream.converged).all()
