@@ -353,18 +353,22 @@ def test_mixed_kl_throughput_floor():
     assert ratio > 2.0, f"mixed KL speedup {ratio:.2f}x (floor 2x)"
 
     @jax.jit
-    def _kl_rows(x, d):
+    def _kl_rows(x, d, ym, mask):
         # per-row partial sums on device (f32 over 1000 terms each),
         # f64 host reduction below: pulling ym (400 MB) to the host
         # for an all-f64 evaluation takes tens of minutes through the
-        # axon tunnel at its slow times (measured ~0.6 MB/s)
+        # axon tunnel at its slow times (measured ~0.6 MB/s).
+        # ym/mask MUST be arguments, not closure captures: jit lowers
+        # closed-over concrete arrays as constants EMBEDDED in the
+        # module, and an 800 MB compile payload exceeds the remote-
+        # compile tunnel's request-body limit (HTTP 413 — observed).
         r = (x.astype(jnp.float32) @ d.astype(jnp.float32)
              + 1e-15) * mask
         ylogy = jnp.where(ym > 0, ym * jnp.log(ym / (r + 1e-15)), 0.0)
         return jnp.sum(ylogy - ym + r, axis=1)
 
     def kl_obj(res):
-        return float(np.sum(np.asarray(_kl_rows(res.x, res.d),
+        return float(np.sum(np.asarray(_kl_rows(res.x, res.d, ym, mask),
                                        np.float64)))
 
     o_f32, o_mixed = kl_obj(run_f32()), kl_obj(run_mixed())
