@@ -26,6 +26,12 @@ as platform custom calls, so artifacts that engaged a TPU kernel gate run
 on matching TPU generations only; pass ``platforms=("tpu", "cpu")`` to
 lower a multi-platform artifact instead.
 
+Keep multi-GB data out of baked constants: arrays closed over (or passed
+as non-example kwargs) are embedded in the lowered module, and this
+platform's remote-compile transport rejects outsized request bodies
+(measured: an ~800 MB constant payload fails with HTTP 413). Per-request
+data belongs in ``example_args``.
+
 Result NamedTuples are converted to plain dicts at the export boundary
 (``jax.export`` serializes only standard container pytrees) and rebuilt
 into the right ``*Result`` class at call time, so callers see the normal
@@ -51,8 +57,18 @@ import json
 import jax
 import jax.numpy as jnp
 
+from decomp_tpu.ops.complex_split import SplitComplex
 from decomp_tpu.utils import result as _result
 from decomp_tpu.utils.exceptions import DecompError
+
+# SplitComplex crosses the export boundary (solve_split artifacts carry
+# it in both inputs and the result's x); jax.export serializes custom
+# pytree types only once registered.
+try:
+    jax.export.register_namedtuple_serialization(
+        SplitComplex, serialized_name="decomp_tpu.SplitComplex")
+except ValueError:
+    pass  # already registered (repeat import paths)
 
 _MAGIC = b"DTAOT1\n"
 _RESULT_CLASSES = {
@@ -63,12 +79,18 @@ _RESULT_CLASSES = {
 
 
 def _spec(a):
-    """ShapeDtypeStruct for an example arg (arrays pass shape+dtype only;
-    an existing ShapeDtypeStruct passes through, keeping any sharding)."""
-    if isinstance(a, jax.ShapeDtypeStruct):
-        return a
-    arr = jnp.asarray(a)
-    return jax.ShapeDtypeStruct(arr.shape, arr.dtype)
+    """ShapeDtypeStructs for an example arg (arrays pass shape+dtype
+    only; existing ShapeDtypeStructs pass through, keeping any
+    sharding). Pytree args (e.g. SplitComplex) keep their structure,
+    specs applied leaf-wise."""
+
+    def leaf(v):
+        if isinstance(v, jax.ShapeDtypeStruct):
+            return v
+        arr = jnp.asarray(v)
+        return jax.ShapeDtypeStruct(arr.shape, arr.dtype)
+
+    return jax.tree.map(leaf, a)
 
 
 class AotSolver:

@@ -115,6 +115,34 @@ def test_aot_shape_dtype_struct_specs_and_baked_config():
     assert rel_err(res.x, live.x) == 0.0
 
 
+def test_aot_split_complex_roundtrip():
+    """solve_split artifacts carry the SplitComplex pytree across the
+    export boundary in both directions (registered namedtuple
+    serialization)."""
+    import jax.numpy as jnp
+
+    from decomp_tpu.ops import complex_split as cs
+
+    rng = np.random.default_rng(13)
+    m, f, c = 16, 8, 12
+    a = (rng.normal(size=(f, c))
+         + 1j * rng.normal(size=(f, c))).astype(np.complex64)
+    y = (rng.normal(size=(m, c))
+         + 1j * rng.normal(size=(m, c))).astype(np.complex64)
+    ys = cs.SplitComplex(jnp.asarray(y.real), jnp.asarray(y.imag))
+    a_s = cs.SplitComplex(jnp.asarray(a.real), jnp.asarray(a.imag))
+    cfg = dict(tol=1e-5, maxiter=60, method="fista")
+
+    live = decomp_tpu.lasso.solve_split(ys, a_s, 0.1, **cfg)
+    loaded = aot.load_solver(aot.export_solver(
+        decomp_tpu.lasso.solve_split, ys, a_s, 0.1, **cfg).serialize())
+    res = loaded(ys, a_s, 0.1)
+    assert isinstance(res.x, cs.SplitComplex)
+    assert rel_err(np.asarray(res.x.re), np.asarray(live.x.re)) == 0.0
+    assert rel_err(np.asarray(res.x.im), np.asarray(live.x.im)) == 0.0
+    assert int(res.niter) == int(live.niter)
+
+
 def test_aot_sharded_solve_roundtrip():
     """parallel solvers export too: the artifact pins the mesh topology
     (8 devices here) and reloads in any process with a matching device
