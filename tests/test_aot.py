@@ -168,6 +168,25 @@ def test_aot_sharded_solve_roundtrip():
     assert rel_err(res.d, live.d) == 0.0
 
 
+def test_aot_multi_platform_artifact():
+    """platforms=('cpu','tpu') lowers one artifact for both backends;
+    calling it on the CPU backend reproduces the live solve."""
+    import jax.numpy as jnp
+
+    y, *_ = planted_nmf(seed=15, n_samples=32, n_channels=16, rank=3)
+    rng = np.random.default_rng(16)
+    d0 = rng.uniform(0.1, 1.0, (3, 16))
+    cfg = dict(tol=0.0, maxiter=10)
+
+    live = decomp_tpu.nmf.solve(y, d0, **cfg)
+    loaded = aot.load_solver(aot.export_solver(
+        decomp_tpu.nmf.solve, y, d0, platforms=("cpu", "tpu"),
+        **cfg).serialize())
+    assert set(loaded.platforms) == {"cpu", "tpu"}
+    res = loaded(y, d0)
+    assert bool(jnp.array_equal(res.x, live.x))
+
+
 def test_aot_rejects_garbage_and_non_result_functions(tmp_path):
     with pytest.raises(DecompError, match="bad magic"):
         aot.load_solver(b"not an artifact")
