@@ -168,6 +168,35 @@ def test_aot_sharded_solve_roundtrip():
     assert rel_err(res.d, live.d) == 0.0
 
 
+def test_aot_multislice_tuple_axis_roundtrip():
+    """Hierarchical (tuple-axis) sharded solves export too: the artifact
+    pins the full ('slice', 'rows') mesh topology and the hierarchical
+    psums serialize like any other collective. Round-5 combination
+    coverage: AOT × multi-slice."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from decomp_tpu import parallel
+
+    rng = np.random.default_rng(17)
+    y = rng.uniform(0.1, 1.0, (64, 32))
+    d0 = rng.uniform(0.1, 1.0, (4, 32))
+    mesh = parallel.make_mesh((2, 4), ("slice", "rows"))
+    cfg = dict(mesh=mesh, row_axis=("slice", "rows"), tol=1e-5,
+               maxiter=40)
+
+    live = parallel.nmf.solve(y, d0, **cfg)
+    loaded = aot.load_solver(aot.export_solver(
+        parallel.nmf.solve, y, d0, **cfg).serialize())
+    ys = jax.device_put(y, NamedSharding(mesh, P(("slice", "rows"),
+                                                 None)))
+    ds = jax.device_put(d0, NamedSharding(mesh, P(None, None)))
+    res = loaded(ys, ds)
+    assert int(res.niter) == int(live.niter)
+    assert rel_err(res.x, live.x) == 0.0
+    assert rel_err(res.d, live.d) == 0.0
+
+
 def test_aot_multi_platform_artifact():
     """platforms=('cpu','tpu') lowers one artifact for both backends;
     calling it on the CPU backend reproduces the live solve."""
